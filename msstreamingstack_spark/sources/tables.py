@@ -1,0 +1,65 @@
+"""Batch table loaders over the driver's parquet testdata.
+
+Maps the reference's sources (SURVEY.md §2.1): the Kafka JSON stream
+(S1) and sample-file schema source (S2) are stood in for by the
+``events`` parquet table per FIXTURES.md §F4; the remaining tables feed
+the relational/extension operators. Parquet is self-describing columnar
+— Catalyst gets predicate pushdown and column pruning for free, which
+is the 100 TB-minded reason everything here stays on ``spark.read``
+with no driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from msstreamingstack_spark.schemas import PROPS_SCHEMA, TABLE_NAMES
+from msstreamingstack_spark.session import apply_runtime_confs
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def sf_dir_default() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    ``events.ts`` arrives as long epoch-nanoseconds (TIMESTAMP(NANOS)
+    parquet read under ``nanosAsLong`` — see session.py).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    apply_runtime_confs(spark)  # harness-created sessions lack nanosAsLong
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` plus ``ts_sec`` (epoch seconds, long).
+
+    All event-time arithmetic in the engine runs on integer epoch
+    seconds: exact, timezone-free, and bit-identical to the DuckDB
+    oracle's ``epoch_ns(ts)//1e9``. Mirrors the reference treating
+    ``message_date`` as epoch seconds (StructuredStreaming.scala:186).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_sec", (F.col("ts") / NANOS_PER_SEC).cast("long"))
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream-shaped view of ``events`` (FIXTURES.md §F4 mapping).
+
+    Exercises the reference's parse/derive stage
+    (StructuredStreaming.scala:87-120): JSON props parsing (P2, the
+    ``from_json`` path), struct expansion (P3), and seeds the columns
+    the derivation library (functions/expressions.py) consumes.
+    """
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.withColumn("props_parsed", F.from_json(F.col("props"), PROPS_SCHEMA))
+        .withColumn("prop_k", F.col("props_parsed.k"))
+        .drop("props_parsed")
+    )
