@@ -192,3 +192,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Register the remaining query families (import side effects populate
+# REGISTRY; placed at module bottom to avoid circular imports).
+# ---------------------------------------------------------------------------
+from msstreamingstack_spark import queries_relational  # noqa: E402,F401
