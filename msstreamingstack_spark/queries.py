@@ -111,9 +111,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "enrich_clickstream",
-    f"""
+# Full enriched-events relation (shared by several oracles below and
+# in queries_state.py).
+ENRICH_SQL = f"""
 WITH e AS ({EVENTS_TS_SQL}),
 p AS (SELECT event_id, user_id, event_type, value, ts_sec,
              {PROP_K_SQL} AS prop_k FROM e),
@@ -126,7 +126,12 @@ SELECT event_id, user_id, event_type, value, ts_sec, prop_k, user_agent,
        {classify_device_sql('user_agent')} AS device,
        {normalize_platform_sql('platform_raw')} AS platform
 FROM ua
-""",
+"""
+
+
+@register(
+    "enrich_clickstream",
+    ENRICH_SQL,
     tags=("reference", "P2", "P7", "P8"),
     doc="JSON props parse (P2) + synthetic UA + device when-chain (P8) "
     "+ platform normalization (P7). Reference "
@@ -199,3 +204,4 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REGISTRY; placed at module bottom to avoid circular imports).
 # ---------------------------------------------------------------------------
 from msstreamingstack_spark import queries_relational  # noqa: E402,F401
+from msstreamingstack_spark import queries_state  # noqa: E402,F401
