@@ -1,0 +1,157 @@
+"""Text-analysis expression library (training-data-pipeline extension
+surface): tokenization, quality scoring, language-ID heuristic,
+fingerprinting, and the deterministic hashing primitives shared by the
+dedup operators.
+
+Everything is built-in-expression based (JVM side, codegen-friendly —
+no Python UDFs in the hot path), and every builder has a SQL twin
+generated from the SAME constants so the DuckDB oracle cannot drift.
+
+Hash determinism: both engines agree on ``md5(utf8)``; a 48-bit prefix
+of the hex digest parsed as an integer gives a cross-engine 'hash to
+int' primitive (Spark ``conv(hex,16,10)``, DuckDB ``'0x'||hex`` cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_RE = r"\S+"
+# BPE-ish segmentation: word pieces or single non-space punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic. Precedence order breaks score ties deterministically.
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "of", "and", "is")),
+    ("es", ("el", "la", "de", "que", "y")),
+    ("de", ("der", "die", "das", "und", "ist")),
+    ("fr", ("le", "la", "de", "et", "est")),
+    ("zh", ("de5", "shi4", "le5", "zai4", "he2")),
+)
+
+MOD_HASH = (1 << 61) - 1  # Mersenne prime for minhash permutations
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def token_count_sql(text_sql: str, pattern: str = TOKEN_RE) -> str:
+    return f"length(regexp_extract_all({text_sql}, '{pattern}'))"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace-token array (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def tokens_sql(text_sql: str) -> str:
+    return f"string_split({text_sql}, chr(32))"
+
+
+def stop_count(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+
+
+def stop_count_sql(text_sql: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"length(list_filter({tokens_sql(text_sql)}, "
+        f"x -> list_contains([{lst}], x)))"
+    )
+
+
+def profile_score(text: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(text)
+    prof = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(prof, x)))
+
+
+def profile_score_sql(text_sql: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in words)
+    return (
+        f"length(list_filter({tokens_sql(text_sql)}, "
+        f"x -> list_contains([{lst}], x)))"
+    )
+
+
+def langid_pred(text: Column) -> Column:
+    """Argmax of profile scores; ties resolved by profile order (the
+    greatest-so-far comparison is strict, so earlier profiles win)."""
+    best_lang = F.lit(LANG_PROFILES[0][0])
+    best_score = profile_score(text, LANG_PROFILES[0][1])
+    for lang, words in LANG_PROFILES[1:]:
+        s = profile_score(text, words)
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def langid_pred_sql(text_sql: str) -> str:
+    # mirrors the strict-greater fold above via GREATEST over earlier profiles
+    scores = {
+        lang: profile_score_sql(text_sql, words) for lang, words in LANG_PROFILES
+    }
+    langs = [lang for lang, _ in LANG_PROFILES]
+    arms = []
+    for i, lang in enumerate(langs[:-1]):
+        later = [scores[lg] for lg in langs[i + 1 :]]
+        earlier = [scores[lg] for lg in langs[:i]]
+        cond = " AND ".join(
+            [f"{scores[lang]} >= {s}" for s in later]
+            + [f"{scores[lang]} > {s}" for s in earlier]
+        )
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Hashing / fingerprints
+# ---------------------------------------------------------------------------
+def md5_hex(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def hash48(col: Column) -> Column:
+    """Deterministic cross-engine 48-bit integer hash of a string."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast("long")
+
+
+def hash48_sql(col_sql: str) -> str:
+    return f"TRY_CAST('0x' || substr(md5({col_sql}), 1, 12) AS BIGINT)"
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Empty array when fewer than n
+    tokens (guards Spark's descending-sequence pitfall)."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(text_sql: str, n: int = 3) -> str:
+    toks = tokens_sql(text_sql)
+    parts = " || chr(32) || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> {parts}))"
+    ).replace("t[", f"{toks}[")

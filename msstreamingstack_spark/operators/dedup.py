@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all deterministic and (except where noted) oracle-checkable:
+
+1. exact        — md5-groupBy; one shuffle on the digest.
+2. ngram-jaccard— exact set similarity on word-shingles via a
+                  shingle-inverted-index self-join (the verify kernel).
+3. minhash-LSH  — scale path: fixed-permutation MinHash signatures,
+                  banded bucketing; candidates verified with exact
+                  jaccard. At 100 TB the shingle join only runs on
+                  LSH candidates (tiny) instead of all pairs.
+4. simhash      — 32-bit weighted simhash + hamming-distance pairs.
+
+Hashing is the cross-engine 48-bit md5 prefix (functions/text.py), so
+the DuckDB oracle reproduces signatures bit-for-bit — no RNG anywhere.
+
+Scale notes: the all-pairs stages (simhash pair scan, jaccard on
+candidates) are written candidate-first: banding bounds the pair set,
+and the shingle explode carries only (doc_id, shingle-hash) longs, not
+text. Skewed mega-shingles (boilerplate) would need a document-
+frequency cap — standard trick, left as a filter hook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from msstreamingstack_spark.functions.text import (
+    MOD_HASH,
+    hash48,
+    hash48_sql,
+    shingles,
+    shingles_sql,
+)
+
+NUM_HASHES = 16
+BAND_SIZE = 2  # 8 bands × 2 rows
+SIMHASH_BITS = 32
+
+# Fixed odd multipliers/offsets for the minhash permutation family
+# h_i(x) = (A[i]*x + B[i]) mod (2^61-1); generated from an LCG-style
+# recurrence so both engines share literal constants.
+_MULT = 6364136223846793005
+_INC = 1442695040888963407
+MINHASH_A = tuple(((_MULT * (i + 1)) % 16381) | 1 for i in range(NUM_HASHES))
+MINHASH_B = tuple((_INC * (i + 1)) % MOD_HASH for i in range(NUM_HASHES))
+
+
+def _perm(i: int, h: Column) -> Column:
+    return (h * MINHASH_A[i] + MINHASH_B[i]) % MOD_HASH
+
+
+def _perm_sql(i: int, h_sql: str) -> str:
+    return f"(({h_sql}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD_HASH}"
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical id per content-hash group = min doc id; rows flagged
+    as duplicates when not canonical. Window over the digest partition
+    → single shuffle, no join."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy("content_md5")
+    return (
+        docs.withColumn("content_md5", digest)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
+        .select(id_col, "content_md5", "keep_id", "is_dup")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, md5(text) AS content_md5,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle explode
+# ---------------------------------------------------------------------------
+def doc_shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h) — distinct 48-bit shingle hashes. Only longs leave
+    the scan stage; the text column is pruned immediately after."""
+    return (
+        docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("sh"))
+        .select(id_col, hash48(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+
+def doc_shingle_hashes_sql(doc_rel: str = "documents") -> str:
+    return f"""
+SELECT DISTINCT doc_id, {hash48_sql('sh')} AS h
+FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS sh FROM {doc_rel})
+"""
+
+
+def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact jaccard for a given (d1, d2) candidate set, from the
+    shingle-hash table: |∩| via a two-sided semi-restricted join,
+    |∪| = n1 + n2 − |∩|."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), "h")
+    inter = (
+        pairs.join(a, "d1").join(b, ["d2", "h"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram jaccard (all pairs sharing ≥1 shingle)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    sh = doc_shingle_hashes(docs)
+    cand = (
+        sh.select(F.col("doc_id").alias("d1"), "h")
+        .join(sh.select(F.col("doc_id").alias("d2"), "h"), "h")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    out = _jaccard_on_pairs(sh, cand)
+    return out.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
+def ngram_jaccard_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS ({doc_shingle_hashes_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH, candidates verified with exact jaccard
+# ---------------------------------------------------------------------------
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One row per doc with mh_0..mh_{NUM_HASHES-1} — a single groupBy
+    with NUM_HASHES min-aggregates (map-side combined)."""
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_perm(i, F.col("h"))).alias(f"mh_{i}") for i in range(NUM_HASHES)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Banded-LSH candidate generation + exact-jaccard verification.
+    Bands explode to (band_idx, band_key) and bucket-join — the
+    scalable alternative to an all-pairs signature comparison."""
+    sh = doc_shingle_hashes(docs)
+    sig = minhash_signatures(sh)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    out = _jaccard_on_pairs(sh, cand)
+    return out.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
+def minhash_lsh_sql(threshold: float = 0.8) -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    mh_cols = ",\n         ".join(
+        f"MIN({_perm_sql(i, 'h')}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, CAST(mh_{j0} AS VARCHAR) || '_' || CAST(mh_{j1} AS VARCHAR) AS key FROM sig".format(
+            b=b, j0=b * BAND_SIZE, j1=b * BAND_SIZE + 1
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({doc_shingle_hashes_sql()}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.d1, i.d2,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.d1 JOIN sizes sb ON sb.doc_id = i.d2
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit weighted simhash: token weight = occurrence count; bit b
+    set when the weighted sum of ±1 votes from token-hash bit b is
+    positive. One explode + one groupBy (32 conditional sums)."""
+    toks = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", hash48(F.col("tok")))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"s_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_table_sql(doc_rel: str = "documents") -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt, {hash48_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, chr(32))) AS tok FROM {doc_rel})
+  GROUP BY doc_id, tok
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. All-pairs compare is
+    fine at test SF; at scale, band the 32 bits into 4 bytes and
+    bucket-join (any byte equal ⇒ candidate) before the popcount."""
+    st = simhash_table(docs)
+    a = st.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = st.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 6) -> str:
+    return f"""
+WITH st AS ({simhash_table_sql()})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM st a JOIN st b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

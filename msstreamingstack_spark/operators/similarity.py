@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the corpus, dot/norm via built-in higher-order functions
+(``zip_with`` + ``aggregate``: JVM-side sequential fold, so the DuckDB
+oracle's ``list_dot_product`` over DOUBLE[] reproduces the arithmetic;
+results are additionally rounded to 9 decimals before ranking to keep
+cross-engine ordering stable).
+
+Scale path: sign-random-projection LSH — pack per-plane sign bits into
+a bucket id, candidate pairs share a bucket, exact cosine only on
+candidates. Plane vectors are derived from the cross-engine md5 hash
+(functions/text.py) so signatures are deterministic; the operator is
+still approximate by nature (recall < 1), so its correctness check is
+the pytest recall bound against the brute-force result rather than a
+SQL oracle.
+
+At 100 TB: brute force is O(Q×N) — fine when Q is a broadcastable
+query batch; the LSH path turns all-pairs near-dup mining into
+bucket-local joins. IVF (k-means coarse quantizer) would be the next
+step; requires an iterative fit, out of SQL-oracle scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from msstreamingstack_spark.functions.text import hash48
+
+COS_ROUND = 9  # decimals; cross-engine double drift is ~1e-15 relative
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in DOUBLE (order-matched with
+    the oracle's list_dot_product over DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    d = DOT_SQL.format(a=a, b=b)
+    na = DOT_SQL.format(a=a, b=a)
+    nb = DOT_SQL.format(a=b, b=b)
+    return f"{d} / (sqrt({na}) * sqrt({nb}))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self). The
+    query side is broadcast; ranking is (rounded cosine desc, id asc)
+    for determinism."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def brute_force_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, {COS_ROUND}) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (scale path, pytest-verified recall)
+# ---------------------------------------------------------------------------
+# Multi-table SRP: L tables × B planes. For neighbors at angle θ the
+# per-table collision probability is (1-θ/π)^B; L independent tables
+# lift recall to 1-(1-p)^L. 8×4 targets ~0.7+ recall at θ≈65° (the
+# top-neighbor regime of the random test embeddings).
+N_TABLES = 8
+PLANES_PER_TABLE = 4
+DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — same idea as
+    the cross-engine hash48, computed driver-side once (tiny)."""
+    import hashlib
+
+    vals = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:12], 16)
+        vals.append((h % 2001) / 1000.0 - 1.0)
+    return vals
+
+
+def srp_buckets(vec_col: Column) -> Column:
+    """Array of N_TABLES bucket ids (sign bits of each table's planes
+    packed into a long). Explode + equi-join on (table, bucket) is the
+    scalable candidate generation: shuffle keys only, no pair scan."""
+    buckets = []
+    for t in range(N_TABLES):
+        bucket = None
+        for j in range(PLANES_PER_TABLE):
+            plane = F.array(*[F.lit(v) for v in _plane(t * PLANES_PER_TABLE + j)])
+            bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket"))
+        )
+    return F.array(*buckets)
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collision in ANY table;
+    exact cosine + rank within candidates. Misses are possible (that's
+    the trade); recall is asserted in tests against brute_force_topk."""
+    from pyspark.sql import Window
+
+    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(vc),
+            F.explode(srp_buckets(F.col(vec_col))).alias("bk"),
+        ).select(idc, vc, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+
+    qb = F.broadcast(bucketed(queries, "query_id", "qv"))
+    cb = bucketed(corpus, "neighbor_id", "cv")
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

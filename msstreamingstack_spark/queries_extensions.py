@@ -1,0 +1,245 @@
+"""Extension queries: the training-data-pipeline operator families
+(dedup, text analysis, similarity search) over the driver's
+``documents`` and ``embeddings`` tables.
+
+Approximate/scale-path operators that are inherently not SQL-oracle
+material (SRP-ANN) are registered without an oracle — the driver then
+records a rows-only check and pytest asserts recall against the exact
+baseline (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from msstreamingstack_spark.functions.text import (
+    BPE_RE,
+    langid_pred,
+    langid_pred_sql,
+    md5_hex,
+    shingles,
+    shingles_sql,
+    stop_count,
+    stop_count_sql,
+    token_count,
+    token_count_sql,
+)
+from msstreamingstack_spark.operators.dedup import (
+    EXACT_DEDUP_SQL,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_lsh_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash_pairs,
+    simhash_pairs_sql,
+)
+from msstreamingstack_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_sql,
+    srp_ann_topk,
+)
+from msstreamingstack_spark.queries import register
+from msstreamingstack_spark.sources.tables import load_table
+
+JACCARD_T = 0.8
+N_QUERY_VECS = 10
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id, lang, source,
+       length(text) AS char_len,
+       {token_count_sql('text')} AS n_tokens,
+       {token_count_sql('text', BPE_RE)} AS n_bpe_tokens,
+       {stop_count_sql('text')} AS n_stopwords,
+       CAST({stop_count_sql('text')} AS DOUBLE)
+         / CAST({token_count_sql('text')} AS DOUBLE) AS stop_ratio,
+       CAST(length(text) AS DOUBLE)
+         / CAST({token_count_sql('text')} AS DOUBLE) AS avg_token_len
+FROM documents
+""",
+    tags=("extension", "text"),
+    doc="Per-document quality features: char/token/BPE-ish token "
+    "counts, stopword ratio, mean token length — all JVM-side regex/"
+    "array expressions, no UDFs.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = token_count(text)
+    n_stop = stop_count(text)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(text).alias("char_len"),
+        n_tok.alias("n_tokens"),
+        token_count(text, BPE_RE).alias("n_bpe_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        (F.length(text).cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "langid_heuristic",
+    f"""
+SELECT doc_id, lang AS lang_label, {langid_pred_sql('text')} AS lang_pred
+FROM documents
+""",
+    tags=("extension", "text", "langid"),
+    doc="Stopword-profile language heuristic (argmax over per-language "
+    "profiles, deterministic tie-break by profile precedence).",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        langid_pred(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id, md5(text) AS content_md5,
+       list_min(list_transform({shingles_sql('text', 5)}, s -> md5(s)))
+         AS min_shingle_md5
+FROM documents
+""",
+    tags=("extension", "text", "fingerprint"),
+    doc="Content fingerprints: whole-document digest + min 5-gram "
+    "shingle digest (winnowing-style rolling fingerprint).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_hex(F.col("text")).alias("content_md5"),
+        F.array_min(
+            F.transform(shingles(F.col("text"), 5), lambda s: F.md5(s.cast("binary")))
+        ).alias("min_shingle_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    EXACT_DEDUP_SQL,
+    tags=("extension", "dedup"),
+    doc="Exact dedup: md5 content digest, canonical id per group, "
+    "duplicate flag. Single shuffle on the digest.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    ngram_jaccard_sql(JACCARD_T),
+    tags=("extension", "dedup"),
+    doc="Exact near-dup pairs by word-3-gram jaccard ≥ 0.8 via a "
+    "shingle-hash inverted-index self-join (only 48-bit longs shuffle).",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_T)
+
+
+@register(
+    "dedup_minhash_lsh",
+    minhash_lsh_sql(JACCARD_T),
+    tags=("extension", "dedup", "lsh"),
+    doc="MinHash(16)+banded LSH(8×2) candidates, verified with exact "
+    "jaccard ≥ 0.8. Deterministic fixed-permutation hashing makes even "
+    "the LSH stage oracle-checkable bit-for-bit.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), JACCARD_T)
+
+
+@register(
+    "dedup_simhash_pairs",
+    simhash_pairs_sql(6),
+    tags=("extension", "dedup", "simhash"),
+    doc="32-bit weighted simhash near-dup pairs (hamming ≤ 6).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), 6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_topk_cosine",
+    brute_force_topk_sql(k=5, n_queries=N_QUERY_VECS),
+    tags=("extension", "similarity"),
+    doc="Brute-force cosine top-5 for the first 10 query vectors — the "
+    "exact ANN baseline; query side broadcast, dot product via "
+    "zip_with/aggregate fold (JVM, no UDF).",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_ann_srp",
+    None,  # approximate by design → rows-only driver check + pytest recall
+    tags=("extension", "similarity", "ann"),
+    doc="Sign-random-projection ANN top-5 (12-plane bucket LSH, exact "
+    "cosine within bucket). Approximate ⇒ no SQL oracle; recall vs "
+    "the brute-force baseline is asserted in tests/test_extensions.py.",
+)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return srp_ann_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_norm_stats",
+    """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       CAST(SUM(CAST(nrm AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM n GROUP BY label
+""",
+    tags=("extension", "similarity", "agg"),
+    doc="Per-label L2-norm statistics over the embedding column — "
+    "vector math (zip_with/aggregate) feeding a grouped aggregate with "
+    "the decimal-exact mean pattern.",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding")).alias("nrm")
+    return (
+        emb.select("label", nrm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            (
+                F.sum(F.col("nrm").cast("decimal(25,12)")).cast("double")
+                / F.count("*")
+            ).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Extension-operator tests: ANN recall vs the exact baseline, LSH vs
+exact jaccard agreement, and the multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.extensions.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    media_stats,
+    sample_frames,
+    synthetic_media,
+)
+from msstreamingstack_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from msstreamingstack_spark.operators.similarity import (
+    brute_force_topk,
+    srp_ann_topk,
+)
+from msstreamingstack_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_correctness):
+    """LSH candidates must recover (nearly) all high-jaccard pairs the
+    exact all-pairs scan finds — at jaccard ≥ 0.8, 8 bands × 2 rows
+    gives pair-catch probability ≥ 1-(1-0.8^2)^8 ≈ 0.9997."""
+    docs = load_table(spark, sf_correctness, "documents")
+    exact = {
+        (r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert exact, "test data should contain planted near-dups"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} below bound"
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+
+
+def test_srp_ann_recall(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    ann = srp_ann_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    # 8 tables × 4 planes measures ≈0.7 on the sf0.01 embeddings
+    # (deterministic planes+data ⇒ stable); chance level is ≈1%
+    assert recall >= 0.5, f"ANN recall {recall:.3f} below bound"
+    assert all(r["rank"] <= 5 for r in ann)
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media).collect()
+    assert len(feats) == 64
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism
+    again = extract_features(synthetic_media(spark, n=64)).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["feature"])) for r in again
+    )
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    assert rows, "video rows must yield sampled frames"
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    for ts_list in per_media.values():
+        assert ts_list == sorted(ts_list)
+        assert ts_list[0] == 0
+
+
+def test_multimodal_stats(spark):
+    st = {r["kind"]: r for r in media_stats(synthetic_media(spark, 64)).collect()}
+    assert set(st) == {"image", "audio", "video"}
+    assert st["image"]["max_width"] is not None
