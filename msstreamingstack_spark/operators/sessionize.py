@@ -70,8 +70,16 @@ def sessionize_oracle_sql(
     gap_sec: int = DEFAULT_GAP_SEC,
     init_pred: str | None = None,
     select_cols: str = "*",
+    strict_gt: bool = True,
 ) -> str:
-    """DuckDB SQL twin of :func:`sessionize` over a CTE named ``e``."""
+    """DuckDB SQL twin of :func:`sessionize` over a CTE named ``e``.
+
+    ``strict_gt=False`` switches the split predicate to ``>=`` — the
+    boundary semantics of Spark's native ``session_window`` (an event
+    landing exactly at ``prev + gap`` opens a new session), vs the
+    reference's strict ``>`` (StructuredStreaming.scala:186).
+    """
+    cmp = ">" if strict_gt else ">="
     init = f" OR ({init_pred})" if init_pred else ""
     return f"""
 WITH e AS ({events_cte}),
@@ -82,7 +90,7 @@ lagged AS (
 ),
 flagged AS (
   SELECT *,
-         CASE WHEN prev_ts IS NULL OR {ts_col} - prev_ts > {gap_sec}{init} THEN 1 ELSE 0 END AS is_new
+         CASE WHEN prev_ts IS NULL OR {ts_col} - prev_ts {cmp} {gap_sec}{init} THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ),
 idx AS (

@@ -206,3 +206,4 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 from msstreamingstack_spark import queries_relational  # noqa: E402,F401
 from msstreamingstack_spark import queries_state  # noqa: E402,F401
 from msstreamingstack_spark import queries_extensions  # noqa: E402,F401
+from msstreamingstack_spark import queries_streaming  # noqa: E402,F401

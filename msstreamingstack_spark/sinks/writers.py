@@ -1,0 +1,111 @@
+"""Sink adapters (SURVEY.md §2.2 K1-K4) for the single-query
+``foreachBatch`` fan-out.
+
+The reference runs FIVE concurrent streaming queries, each re-reading
+Kafka and each writing row-at-a-time through ``ForeachWriter``
+(StructuredStreaming.scala:228-279; RedisForeachWriter.scala:35-38
+does one HSET per field per row). Here one query's ``foreachBatch``
+fans out to all sinks per micro-batch with *bulk* DataFrame writes —
+source read once, sinks written as whole partitions, idempotence via
+the (batchId) key.
+
+External sinks (Redis K2, Cassandra K3/K4) are interface-compatible
+adapters gated behind import-try — the connectors aren't in this
+environment; the parquet/console/collecting sinks are the live paths.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def console_sink(df: DataFrame, batch_id: int) -> None:
+    """K1: console debug sink (update-mode analogue)."""
+    print(f"=== batch {batch_id} ===")
+    df.show(20, truncate=False)
+
+
+def parquet_append_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """K3 analogue: append-only history table. Batch-id subdirs make
+    re-delivered batches overwrite themselves → idempotent at-least-
+    once → effectively exactly-once history."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write
+
+
+class CollectingSink:
+    """Test sink: captures each micro-batch's rows driver-side.
+    (Test-only — a production sink never collects.)"""
+
+    def __init__(self) -> None:
+        self.batches: list[tuple[int, list]] = []
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.batches.append((batch_id, df.collect()))
+
+    @property
+    def rows(self) -> list:
+        return [r for _, rows in self.batches for r in rows]
+
+
+def redis_writer(host: str = "localhost", port: int = 6379, key_prefix: str = "MS"):
+    """K2: per-user state upsert into Redis hashes — pipelined per
+    partition (vs the reference's one HSET per field per row,
+    RedisForeachWriter.scala:35-38). Requires the `redis` client."""
+    try:
+        import redis  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "redis client not available in this environment; "
+            "CollectingSink/parquet_append_writer are the live sinks"
+        ) from e
+
+    def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        def per_partition(rows):
+            import redis as _redis
+
+            r = _redis.Redis(host=host, port=port)
+            pipe = r.pipeline(transaction=False)
+            for row in rows:
+                d = row.asDict()
+                uid = d.pop("user_id", None)
+                if uid in (None, ""):
+                    continue  # reference skips null/empty keys
+                pipe.hset(f"{key_prefix}:{uid}", mapping={
+                    k: "" if v is None else str(v) for k, v in d.items()
+                })
+            pipe.execute()
+
+        df.foreachPartition(per_partition)
+
+    return write
+
+
+def cassandra_writer(keyspace: str, table: str):
+    """K3/K4: bulk write via the Spark-Cassandra connector (whole
+    DataFrame per batch, not per-row CQL inserts). Connector jar not
+    present here — adapter raises until provided."""
+
+    def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        try:
+            (
+                df.write.format("org.apache.spark.sql.cassandra")
+                .options(keyspace=keyspace, table=table)
+                .mode("append")
+                .save()
+            )
+        except Exception as e:
+            raise NotImplementedError(
+                "spark-cassandra-connector jar not on the classpath in "
+                "this environment"
+            ) from e
+
+    return write

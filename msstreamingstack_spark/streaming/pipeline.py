@@ -1,0 +1,100 @@
+"""End-to-end streaming pipeline: ONE query, multi-sink fan-out.
+
+Reference topology (StructuredStreaming.scala:228-279): five
+concurrent ``writeStream.start()`` — console, Redis×2, Cassandra×2 —
+each re-reading Kafka (5× source consumption, double-processing
+races). Rebuild topology: one ``readStream`` → enrichment → stateful
+sessionization → one ``foreachBatch`` that fans out to every sink on
+the same computed micro-batch (source read once; sinks see identical
+data; checkpoint gives exactly-once state + at-least-once sinks with
+idempotent writers).
+
+Sources: file stream over parquet drops (test harness stand-in for
+S1 Kafka, which is config-gated — same pipeline object works with
+``spark.readStream.format("kafka")`` when brokers exist).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from msstreamingstack_spark.schemas import EVENTS_SCHEMA
+from msstreamingstack_spark.session import apply_runtime_confs
+from msstreamingstack_spark.sources.tables import NANOS_PER_SEC
+from msstreamingstack_spark.streaming.stateful import sessionize_stream
+
+SinkFn = Callable[[DataFrame, int], None]
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-drop event stream with the declared schema (streaming
+    sources cannot infer — the reference pre-computed its schema from
+    a sample batch read, StructuredStreaming.scala:70-76; we declare)."""
+    apply_runtime_confs(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts_sec", (F.col("ts") / NANOS_PER_SEC).cast("long"))
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:  # pragma: no cover — no broker in this environment
+    """S1: Kafka source (value JSON → declared schema), kept
+    interface-identical to the file source."""
+    from msstreamingstack_spark.schemas import CLICKSTREAM_SCHEMA
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CLICKSTREAM_SCHEMA).alias("data")
+    ).select("data.*")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    sinks: list[SinkFn],
+    gap_sec: int = 1800,
+    available_now: bool = True,
+):
+    """Launch the single-query pipeline; returns the StreamingQuery.
+
+    ``available_now=True`` drains all pending input then stops —
+    deterministic for tests and backfills; pass False for continuous
+    processing."""
+    events = read_event_stream(spark, source_path).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    sessioned = sessionize_stream(events, gap_sec=gap_sec)
+
+    def fan_out(df: DataFrame, batch_id: int) -> None:
+        df.persist()
+        try:
+            for sink in sinks:
+                sink(df, batch_id)
+        finally:
+            df.unpersist()
+
+    writer = (
+        sessioned.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        .foreachBatch(fan_out)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

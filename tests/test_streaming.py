@@ -1,0 +1,102 @@
+"""Streaming-layer tests: micro-batch state evolution (the thing the
+reference could never test — SURVEY.md §5.3).
+
+Key property: feeding time-ordered micro-batches through the stateful
+streaming sessionizer must reproduce EXACTLY the batch sessionizer's
+(user, event → session_id) assignment on the same data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.operators.sessionize import sessionize
+from msstreamingstack_spark.sinks.writers import CollectingSink
+from msstreamingstack_spark.sources.tables import events_with_time
+from msstreamingstack_spark.streaming.pipeline import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged_stream_dir(tmp_path_factory):
+    """Split sf0.001 events into 3 time-ordered parquet drops."""
+    src = pq.read_table(os.path.join(SF, "events.parquet"))
+    df = src.to_pandas().sort_values("ts").reset_index(drop=True)
+    out = tmp_path_factory.mktemp("stream_in")
+    n = len(df)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = df.iloc[lo : lo + (n + 2) // 3]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            out / f"part-{i:03d}.parquet",
+        )
+    return str(out)
+
+
+def _batch_truth(spark):
+    ev = events_with_time(spark, SF).select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    )
+    out = sessionize(ev, init_col=(F.col("event_type") == "signup"))
+    return {r["event_id"]: r["session_id"] for r in out.collect()}
+
+
+def test_stream_matches_batch_sessionizer(spark, staged_stream_dir, tmp_path):
+    sink = CollectingSink()
+    q = run_pipeline(
+        spark,
+        staged_stream_dir,
+        checkpoint_dir=str(tmp_path / "cp1"),
+        sinks=[sink],
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {r["event_id"]: r["session_id"] for r in sink.rows}
+    want = _batch_truth(spark)
+    assert len(got) == len(want) == 1000
+    diffs = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} session-id mismatches, e.g. {list(diffs.items())[:3]}"
+
+
+def test_stream_processes_multiple_batches_with_state(spark, staged_stream_dir, tmp_path):
+    sink = CollectingSink()
+    q = run_pipeline(
+        spark,
+        staged_stream_dir,
+        checkpoint_dir=str(tmp_path / "cp2"),
+        sinks=[sink],
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    nonempty = [b for b, rows in sink.batches if rows]
+    assert len(nonempty) >= 2, "maxFilesPerTrigger=1 should yield multiple batches"
+    # a session continuing across batch boundaries keeps its id: find a
+    # user whose events span two batches with a small gap
+    by_batch = {b: {r["user_id"] for r in rows} for b, rows in sink.batches}
+    bs = sorted(by_batch)
+    spanning = by_batch[bs[0]] & by_batch[bs[-1]]
+    assert spanning, "test data should have users spanning batches"
+
+
+def test_new_user_flag_once_per_user(spark, staged_stream_dir, tmp_path):
+    sink = CollectingSink()
+    q = run_pipeline(
+        spark,
+        staged_stream_dir,
+        checkpoint_dir=str(tmp_path / "cp3"),
+        sinks=[sink],
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    new_flags = {}
+    for r in sink.rows:
+        new_flags.setdefault(r["user_id"], 0)
+        new_flags[r["user_id"]] += int(r["is_new_user"])
+    assert all(v == 1 for v in new_flags.values()), new_flags
