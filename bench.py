@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline engine queries at sf0.1 on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` datasource sink (full pipeline
+runs JVM-side; nothing is collected to the driver), matching how the
+engine would be deployed — write-out, not toPandas.
+
+Env knobs (driver contract):
+  SPARK_GRAFT_SF_DIR  data dir, default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS    local[] threads, default 32
+  BENCH_QUERIES       comma-separated subset override
+  BENCH_REPEAT        timed repetitions per query (default 1; best-of)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from msstreamingstack_spark.queries import REGISTRY  # noqa: E402
+from msstreamingstack_spark.session import get_spark  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Headline set = every registered query. Keep the bench honest: if an
+# operator is in queries(), it is benched. Pathologically quadratic
+# demos would be excluded here explicitly (none currently).
+EXCLUDE: set[str] = set()
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    subset = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()]
+        if subset
+        else [n for n in REGISTRY if n not in EXCLUDE]
+    )
+
+    spark = get_spark(app_name="msstreamingstack-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the query, not first-touch session setup
+    REGISTRY[names[0]].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
