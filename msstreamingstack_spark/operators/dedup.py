@@ -126,15 +126,28 @@ def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 # 2. Exact n-gram jaccard (all pairs sharing ≥1 shingle)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Direct-intersection form: one shingle self-join feeds the
+    (d1, d2) count aggregate straight away — no materialized candidate
+    set, no second pass over the shingle table. |∩| from the join,
+    |∪| = n1 + n2 − |∩| from per-doc sizes."""
     sh = doc_shingle_hashes(docs)
-    cand = (
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
         sh.select(F.col("doc_id").alias("d1"), "h")
         .join(sh.select(F.col("doc_id").alias("d2"), "h"), "h")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
     )
-    out = _jaccard_on_pairs(sh, cand)
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+    )
     return out.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 

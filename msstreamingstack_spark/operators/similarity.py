@@ -134,21 +134,45 @@ def _plane(p: int) -> list[float]:
     return vals
 
 
+def _plane_matrix():
+    """DIM × (N_TABLES·PLANES_PER_TABLE) plane matrix, built once per
+    executor (closure-captured, broadcast with the UDF)."""
+    import numpy as np
+
+    n_planes = N_TABLES * PLANES_PER_TABLE
+    return np.array([_plane(p) for p in range(n_planes)], dtype="float64").T
+
+
 def srp_buckets(vec_col: Column) -> Column:
     """Array of N_TABLES bucket ids (sign bits of each table's planes
     packed into a long). Explode + equi-join on (table, bucket) is the
-    scalable candidate generation: shuffle keys only, no pair scan."""
-    buckets = []
-    for t in range(N_TABLES):
-        bucket = None
-        for j in range(PLANES_PER_TABLE):
-            plane = F.array(*[F.lit(v) for v in _plane(t * PLANES_PER_TABLE + j)])
-            bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket"))
+    scalable candidate generation: shuffle keys only, no pair scan.
+
+    Implemented as an Arrow-batched pandas UDF doing ONE numpy matmul
+    per batch: inlining 32 planes × 64 literal doubles as codegen
+    expressions compiles for seconds and still evaluates per-plane
+    per-row; X @ P is the vectorized form of the same sign test.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # no inner type hints: module-level `from __future__ import
+    # annotations` stringifies them and pandas_udf can't resolve the
+    # locally-imported pd — pass the eval type explicitly instead
+    def _buckets(vecs):
+        planes = _plane_matrix()
+        x = np.stack(vecs.to_numpy()).astype("float64")  # N × DIM
+        bits = (x @ planes) > 0  # N × (tables·planes)
+        weights = np.array(
+            [1 << j for j in range(PLANES_PER_TABLE)], dtype="int64"
         )
-    return F.array(*buckets)
+        packed = (
+            bits.reshape(-1, N_TABLES, PLANES_PER_TABLE) * weights
+        ).sum(axis=2)  # N × N_TABLES
+        return pd.Series(list(packed))
+
+    return pandas_udf(_buckets, "array<long>")(vec_col)
 
 
 def srp_ann_topk(
@@ -163,23 +187,38 @@ def srp_ann_topk(
     the trade); recall is asserted in tests against brute_force_topk."""
     from pyspark.sql import Window
 
-    def bucketed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idc),
-            F.col(vec_col).alias(vc),
-            F.explode(srp_buckets(F.col(vec_col))).alias("bk"),
-        ).select(idc, vc, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+            F.posexplode(srp_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
 
-    qb = F.broadcast(bucketed(queries, "query_id", "qv"))
-    cb = bucketed(corpus, "neighbor_id", "cv")
+    qb = F.broadcast(bucketed(queries, "query_id"))
+    cb = bucketed(corpus, "neighbor_id")
+    # dedup candidates on the (query, neighbor) id pair ONLY — grouping
+    # on the raw vectors would shuffle and compare 64-float arrays
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND)
+    scored = (
+        cand.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

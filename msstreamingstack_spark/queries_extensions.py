@@ -40,7 +40,7 @@ from msstreamingstack_spark.operators.similarity import (
     srp_ann_topk,
 )
 from msstreamingstack_spark.queries import register
-from msstreamingstack_spark.sources.tables import load_table
+from msstreamingstack_spark.sources.tables import load_table, spread
 
 JACCARD_T = 0.8
 N_QUERY_VECS = 10
@@ -69,7 +69,7 @@ FROM documents
     "array expressions, no UDFs.",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     n_tok = token_count(text)
     n_stop = stop_count(text)
@@ -97,7 +97,7 @@ FROM documents
     "profiles, deterministic tie-break by profile precedence).",
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
@@ -118,7 +118,7 @@ FROM documents
     "shingle digest (winnowing-style rolling fingerprint).",
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         md5_hex(F.col("text")).alias("content_md5"),
@@ -139,7 +139,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate flag. Single shuffle on the digest.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(spread(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -150,7 +150,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shingle-hash inverted-index self-join (only 48-bit longs shuffle).",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_T)
+    return ngram_jaccard_pairs(spread(load_table(spark, sf_dir, "documents")), JACCARD_T)
 
 
 @register(
@@ -162,7 +162,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the LSH stage oracle-checkable bit-for-bit.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), JACCARD_T)
+    return minhash_lsh_pairs(spread(load_table(spark, sf_dir, "documents")), JACCARD_T)
 
 
 @register(
@@ -172,7 +172,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="32-bit weighted simhash near-dup pairs (hamming ≤ 6).",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), 6)
+    return simhash_pairs(spread(load_table(spark, sf_dir, "documents")), 6)
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +187,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zip_with/aggregate fold (JVM, no UDF).",
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return brute_force_topk(emb, queries, k=5)
 
@@ -201,7 +201,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the brute-force baseline is asserted in tests/test_extensions.py.",
 )
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return srp_ann_topk(emb, queries, k=5)
 
@@ -228,7 +228,7 @@ FROM n GROUP BY label
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.similarity import norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     nrm = norm(F.col("embedding")).alias("nrm")
     return (
         emb.select("label", nrm)

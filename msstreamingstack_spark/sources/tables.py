@@ -37,6 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen tiny scans so compute-bound per-row stages (shingling,
+    hashing, dot products) use every core.
+
+    At 100 TB the parquet scan already yields thousands of splits and
+    this is a no-op — the guard keeps us from ever *reducing*
+    parallelism or adding a shuffle to a big scan. Locally, a
+    few-hundred-KB file arrives as ONE split and would otherwise pin
+    the whole pipeline to a single core.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` plus ``ts_sec`` (epoch seconds, long).
 
