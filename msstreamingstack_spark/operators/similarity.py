@@ -123,11 +123,28 @@ def embedding_neardup_pairs(
     pattern as minhash→jaccard verification in operators/dedup.py);
     the threshold filter is applied before any wide columns survive.
     """
-    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    # norms computed ONCE per vector, not per pair — the pair loop then
+    # pays a single dot-product fold instead of three
+    withn = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    a = withn.select(
+        F.col("_id").alias("d1"), F.col("_v").alias("v1"), F.col("_n").alias("n1")
+    )
+    b = withn.select(
+        F.col("_id").alias("d2"), F.col("_v").alias("v2"), F.col("_n").alias("n2")
+    )
     return (
         a.join(b, F.col("d1") < F.col("d2"))
-        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), COS_ROUND))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                COS_ROUND,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("d1", "d2", "cos")
     )

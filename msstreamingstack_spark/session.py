@@ -66,7 +66,9 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # one JVM hosts all 32 executor threads in local mode — size the
+        # heap so shuffle/broadcast buffers don't turn into GC churn
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
