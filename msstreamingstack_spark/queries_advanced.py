@@ -504,3 +504,59 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_from_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (salting) — result-identical to unsalted forms,
+# so the oracle is the PLAIN SQL equivalent
+# ---------------------------------------------------------------------------
+@register(
+    "salted_agg_user_values",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL})
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_rows
+FROM ev GROUP BY user_id
+""",
+    tags=("advanced", "skew", "agg"),
+    doc="Two-stage salted aggregation (operators/skew.py): hot keys "
+    "spread across 8 reducers in stage 1, recombined in stage 2. "
+    "Oracle is the plain GROUP BY — salting must be value-invisible.",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.skew import salted_sum_count
+
+    ev = events_with_time(spark, sf_dir)
+    return salted_sum_count(
+        ev, key="user_id", value_col="value", spread_col="event_id"
+    )
+
+
+@register(
+    "salted_join_events_customer",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL})
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("advanced", "skew", "join"),
+    doc="Salted equi-join (left salted 8x, right replicated 8x) "
+    "rolled up per market segment; oracle is the plain join — the "
+    "salt must never change the result.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.skew import salted_join
+    from msstreamingstack_spark.queries import _dec_sum
+
+    ev = events_with_time(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(
+        ev, c, left_key="user_id", right_key="c_custkey", spread_col="event_id"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )

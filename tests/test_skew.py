@@ -1,0 +1,72 @@
+"""Salting operators: result-invariance on skewed data and actual
+spread of the hot key across salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.operators.skew import (
+    _salt_col,
+    salted_join,
+    salted_sum_count,
+)
+
+
+def _skewed_df(spark, n=10_000, hot_share=0.9):
+    """90% of rows on key 0, the rest spread over 100 keys."""
+    hot = int(n * hot_share)
+    return spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_equals_plain_agg_on_skew(spark):
+    df = _skewed_df(spark)
+    got = {
+        r.k: (r.sum_value, r.n_rows)
+        for r in salted_sum_count(df, key="k", value_col="v", spread_col="row_id").collect()
+    }
+    want = {
+        r.k: (float(r.s), r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(25,6)")).alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hot_key_spreads_over_salt_buckets(spark):
+    df = _skewed_df(spark).withColumn("_salt", _salt_col("row_id", 8))
+    n_buckets = (
+        df.filter(F.col("k") == 0).select("_salt").distinct().count()
+    )
+    assert n_buckets == 8  # the hot key occupies every salt bucket
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = _skewed_df(spark, n=2_000)
+    right = spark.range(100).select(
+        F.col("id").alias("rk"), F.concat(F.lit("g"), F.col("id") % 5).alias("grp")
+    )
+    got = (
+        salted_join(left, right, "k", "rk", spread_col="row_id")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    want = (
+        left.join(right, left.k == right.rk)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salt_is_deterministic(spark):
+    df = _skewed_df(spark, n=500).withColumn("_salt", _salt_col("row_id", 8))
+    a = {r.row_id: r._salt for r in df.collect()}
+    b = {r.row_id: r._salt for r in df.collect()}
+    assert a == b

@@ -1,0 +1,132 @@
+"""Watermark / late-data tests: the policy the reference never had
+(SURVEY.md §2.6 T7 — processing-time only, late events processed as if
+on time). Here: event-time aggregation under ``withWatermark`` must
+drop rows later than the bound and still emit closed windows."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from msstreamingstack_spark.sinks.writers import CollectingSink
+from msstreamingstack_spark.streaming.pipeline import read_event_stream
+from msstreamingstack_spark.streaming.watermark import (
+    watermarked_session_agg,
+    windowed_event_counts,
+)
+
+NS = 1_000_000_000
+
+
+def _write_events(path: str, rows: list[tuple[int, int]]) -> None:
+    """rows = [(event_id, ts_sec)]"""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * NS for r in rows], pa.int64()),
+                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+
+
+def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
+    """Batch 2 carries an event 300 s older than the watermark bound —
+    it must NOT count toward its (already-closed) window."""
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 0: three on-time events in window [0,300) + one at t=1000
+    # (advances max event time; watermark after batch 0 = 1000-600=400)
+    _write_events(str(src / "f1.parquet"), [(1, 10), (2, 20), (3, 30), (4, 1000)])
+    # batch 1: advances time further. NOTE Spark's late-event filter
+    # lags eviction by one batch (filterWM(N) = evictionWM(N-1)), so
+    # the late row goes in batch 2, when the 400 s watermark is active
+    # for filtering too.
+    _write_events(str(src / "f2.parquet"), [(5, 5000)])
+    # batch 2: late event t=100 < wm 400 → dropped; t=20000 pushes the
+    # watermark far past every earlier window so they all emit
+    _write_events(str(src / "f3.parquet"), [(6, 100), (7, 20000)])
+
+    events = read_event_stream(spark, str(src)).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    agg = windowed_event_counts(events, watermark="10 minutes", window="5 minutes")
+    sink = CollectingSink()
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    first_window = [r.n_events for r in sink.rows if r.win_start_sec == 0]
+    # the [0,300) window emitted ONCE, with the 3 on-time rows only —
+    # the late row (t=100, arriving after the watermark passed 400)
+    # was dropped and never re-opened the closed window
+    assert first_window == [3], sorted(
+        (r.win_start_sec, r.n_events) for r in sink.rows
+    )
+    by_window = {r.win_start_sec: r.n_events for r in sink.rows}
+    # the t=1000 window also closed and emitted
+    assert by_window.get(900) == 1, by_window
+
+
+def test_watermarked_session_agg_emits_closed_sessions(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    # one user: events 0,60,120 (one session, gap 30 min), then a jump
+    # past gap+watermark so the session closes and emits
+    _write_events(str(src / "f1.parquet"), [(1, 0), (2, 60), (3, 120)])
+    _write_events(str(src / "f2.parquet"), [(4, 10_000)])
+    _write_events(str(src / "f3.parquet"), [(5, 50_000)])
+
+    events = read_event_stream(spark, str(src)).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    agg = watermarked_session_agg(events, watermark="10 minutes", gap="30 minutes")
+    sink = CollectingSink()
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sessions = {(r.start_sec, r.n_events) for r in sink.rows}
+    assert (0, 3) in sessions, sessions  # first session: 3 events from t=0
+
+
+def test_windowed_counts_batch_mode_matches_manual(spark, sf_smoke):
+    """Same operator over a batch frame (no watermark path) — sanity
+    vs a hand-computed floor-window aggregation."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    ev = events_with_time(spark, sf_smoke).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    got = {
+        (r.win_start_sec, r.event_type): r.n_events
+        for r in windowed_event_counts(ev, window="5 minutes").collect()
+    }
+    want = {
+        (r.w, r.event_type): r.n
+        for r in ev.groupBy(
+            (F.floor(F.col("ts_sec") / 300) * 300).alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
