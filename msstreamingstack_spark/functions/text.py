@@ -155,3 +155,65 @@ def shingles_sql(text_sql: str, n: int = 3) -> str:
         f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
         f"i -> {parts}))"
     ).replace("t[", f"{toks}[")
+
+
+# ---------------------------------------------------------------------------
+# Quality signals: repetition + cleaning
+# ---------------------------------------------------------------------------
+HTML_TAG_RE = "<[^>]+>"
+MULTISPACE_RE = "\\s+"
+
+
+def clean_text(text: Column) -> Column:
+    """Normalization pass for scraped corpora: strip markup tags,
+    collapse whitespace runs, trim. Pure JVM regex — runs inside the
+    scan's codegen stage at 100 TB."""
+    stripped = F.regexp_replace(text, HTML_TAG_RE, " ")
+    collapsed = F.regexp_replace(stripped, MULTISPACE_RE, " ")
+    return F.trim(collapsed)
+
+
+def clean_text_sql(text_sql: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({text_sql}, '{HTML_TAG_RE}', "
+        f"' ', 'g'), '{MULTISPACE_RE}', ' ', 'g'))"
+    )
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """|unique tokens| / |tokens| — low values flag degenerate
+    repetition (gopher-style quality signal)."""
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+
+
+def distinct_token_ratio_sql(text_sql: str) -> str:
+    t = tokens_sql(text_sql)
+    return (
+        f"CAST(len(list_distinct({t})) AS DOUBLE) / CAST(len({t}) AS DOUBLE)"
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """1 − |distinct n-grams| / |n-grams| — fraction of repeated word
+    n-grams (0 when fewer than n tokens). Entirely per-row expressions:
+    no explode, no shuffle."""
+    toks = tokens(text)
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(shingles(text, n))
+    return F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction_sql(text_sql: str, n: int = 3) -> str:
+    t = tokens_sql(text_sql)
+    total = f"(len({t}) - {n - 1})"
+    distinct = f"len({shingles_sql(text_sql, n)})"
+    return (
+        f"CASE WHEN {total} > 0 THEN 1.0 - CAST({distinct} AS DOUBLE) / "
+        f"CAST({total} AS DOUBLE) ELSE 0.0 END"
+    )

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from msstreamingstack_spark.functions.text import (
     BPE_RE,
+    clean_text_sql,
+    distinct_token_ratio_sql,
+    dup_ngram_fraction_sql,
     langid_pred,
     langid_pred_sql,
     md5_hex,
@@ -242,4 +245,66 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("avg_norm"),
         )
+    )
+
+
+@register(
+    "repetition_quality",
+    f"""
+SELECT doc_id,
+       {distinct_token_ratio_sql('text')} AS distinct_tok_ratio,
+       {dup_ngram_fraction_sql('text', 2)} AS dup_bigram_frac,
+       {dup_ngram_fraction_sql('text', 3)} AS dup_trigram_frac,
+       {distinct_token_ratio_sql('text')} >= 0.3
+         AND {dup_ngram_fraction_sql('text', 3)} <= 0.5 AS passes_quality
+FROM documents
+""",
+    tags=("extension", "text", "quality"),
+    doc="Gopher-style repetition signals: distinct-token ratio and "
+    "duplicate bi/tri-gram fractions with a composite quality gate — "
+    "all per-row expressions inside the scan stage, no shuffle.",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import (
+        distinct_token_ratio,
+        dup_ngram_fraction,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    dtr = distinct_token_ratio(text)
+    tri = dup_ngram_fraction(text, 3)
+    return d.select(
+        "doc_id",
+        dtr.alias("distinct_tok_ratio"),
+        dup_ngram_fraction(text, 2).alias("dup_bigram_frac"),
+        tri.alias("dup_trigram_frac"),
+        ((dtr >= 0.3) & (tri <= 0.5)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_cleaning",
+    f"""
+SELECT doc_id,
+       {clean_text_sql('text')} AS cleaned,
+       length({clean_text_sql('text')}) AS cleaned_len,
+       length(text) AS raw_len
+FROM documents
+""",
+    tags=("extension", "text", "cleaning"),
+    doc="Markup-strip + whitespace-collapse normalization (the "
+    "ingest-side cleaning pass of a training-data pipeline); JVM "
+    "regex only.",
+)
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import clean_text
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cleaned = clean_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).alias("cleaned_len"),
+        F.length("text").alias("raw_len"),
     )
