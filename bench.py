@@ -74,6 +74,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop the previous query's shuffle/broadcast refs between
+        # measurements — accumulated heap inflates later queries 2-4x
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

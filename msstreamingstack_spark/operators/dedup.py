@@ -106,8 +106,14 @@ def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "h")
     b = sh.select(F.col("doc_id").alias("d2"), "h")
+    # shuffle_hash pins: at small SF AQE broadcasts the shingle table
+    # (legitimately <10MB there), but the pair-generation stage then
+    # can't be skew-split and plan latency is erratic; shuffled hash on
+    # the key keeps pair generation partitioned — the only plan shape
+    # that exists at 100 TB, and the stable one locally.
     inter = (
-        pairs.join(a, "d1").join(b, ["d2", "h"])
+        pairs.join(a.hint("shuffle_hash"), "d1")
+        .join(b.hint("shuffle_hash"), ["d2", "h"])
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -132,9 +138,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     |∪| = n1 + n2 − |∩| from per-doc sizes."""
     sh = doc_shingle_hashes(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # shuffle_hash: see _jaccard_on_pairs — keep pair generation
+    # partitioned by h (broadcast pair-gen can't skew-split and does
+    # not exist as an option at scale)
     inter = (
         sh.select(F.col("doc_id").alias("d1"), "h")
-        .join(sh.select(F.col("doc_id").alias("d2"), "h"), "h")
+        .join(sh.select(F.col("doc_id").alias("d2"), "h").hint("shuffle_hash"), "h")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_inter"))
@@ -202,7 +211,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
     cand = (
         buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "key"])
+        .join(buckets.alias("y").hint("shuffle_hash"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
