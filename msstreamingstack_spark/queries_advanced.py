@@ -560,3 +560,62 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         _dec_sum(F.col("value"), "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+def _cc_oracle_sql(threshold: float) -> str:
+    """Recursive-CTE oracle: component = min reachable id. The Spark
+    side computes the same fixpoint iteratively (operators/
+    components.py) — both are checked equal."""
+    from msstreamingstack_spark.operators.dedup import doc_shingle_hashes_sql
+
+    return f"""
+WITH RECURSIVE sh AS ({doc_shingle_hashes_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+        >= {threshold}
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+),
+walk(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.node
+),
+comps AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+"""
+
+
+@register(
+    "dedup_clusters",
+    _cc_oracle_sql(0.8),
+    tags=("extension", "dedup", "iterative"),
+    doc="Cluster resolution over ngram-jaccard near-dup pairs: "
+    "iterative min-label connected components (one join + one agg per "
+    "iteration, localCheckpoint lineage truncation, driver sees only "
+    "a convergence scalar), then keep = cluster-min doc. Oracle is a "
+    "recursive-CTE reachability fixpoint.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.components import dedup_keep_list
+    from msstreamingstack_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
+    return dedup_keep_list(docs, pairs)
