@@ -619,3 +619,71 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
     return dedup_keep_list(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style hierarchical time rollup (continuous aggregates)
+# ---------------------------------------------------------------------------
+@register(
+    "hypertable_rollup",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+minutely AS (
+  SELECT (ts_sec // 60) * 60 AS min_bucket, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(25,6))) AS sv
+  FROM ev GROUP BY 1, 2
+)
+SELECT (min_bucket // 3600) * 3600 AS hour_bucket, event_type,
+       SUM(n) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_minutes_active
+FROM minutely GROUP BY 1, 2
+""",
+    tags=("advanced", "rollup", "timeseries"),
+    doc="Hierarchical time-bucket rollup: hourly aggregates computed "
+    "FROM minutely partials (sum-of-sums), never rescanning raw "
+    "events — the continuous-aggregate pattern that makes multi-"
+    "resolution dashboards O(buckets), not O(raw), at 100 TB. "
+    "Decimal partials keep re-aggregation exact.",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    minutely = (
+        ev.groupBy(
+            ((F.col("ts_sec") / 60).cast("long") * 60).alias("min_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sv"),
+        )
+    )
+    return (
+        minutely.groupBy(
+            ((F.col("min_bucket") / 3600).cast("long") * 3600).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.count("*").alias("n_minutes_active"),
+        )
+    )
+
+
+@register(
+    "similarity_ann_ivf",
+    None,  # approximate (probe-limited) → rows-only; recall bound in tests
+    tags=("extension", "similarity", "ann", "ivf"),
+    doc="IVF ANN top-5: deterministic k-means coarse quantizer "
+    "(Lloyd x3, Arrow-matmul assignment, only KxDIM centroids reach "
+    "the driver), queries probe the 4 nearest of 16 cells — the "
+    "inverted-file scale path beside SRP-LSH. Recall vs brute force "
+    "asserted in tests/test_advanced.py.",
+)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5)

@@ -144,3 +144,24 @@ def test_dedup_keep_list_unpaired_docs_kept(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (3, True), 4: (1, False), 5: (1, False),
     }
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_correctness):
+    from msstreamingstack_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall  # nprobe=4/16 cells on random vectors
+    assert all(len([g for g in got if g[0] == q]) <= 5 for q in range(10))

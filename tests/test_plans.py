@@ -64,7 +64,7 @@ def test_no_python_eval_in_relational_paths(spark):
     Python appears only in explicitly-Python operators (multimodal
     features, SRP bucket UDF)."""
     for name, spec in REGISTRY.items():
-        if name in ("multimodal_features", "similarity_ann_srp"):
+        if name in ("multimodal_features", "similarity_ann_srp", "similarity_ann_ivf"):
             continue
         if "streaming" in spec.tags:
             continue
