@@ -687,3 +687,32 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelation surface)
+# ---------------------------------------------------------------------------
+@register(
+    "correlated_max_acctbal",
+    """
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    tags=("relational", "subquery"),
+    doc="Correlated scalar subquery (per-nation max): Catalyst "
+    "decorrelates it into an aggregate + join — the TPC-H Q2/Q17 "
+    "shape; no per-row re-execution ever happens.",
+)
+def q_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_corr_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+        FROM _corr_customer c
+        WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM _corr_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

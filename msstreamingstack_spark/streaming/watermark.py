@@ -80,3 +80,21 @@ def watermarked_session_agg(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it — at-least-once sources (Kafka
+    redelivery, file re-drops) become effectively exactly-once without
+    unbounded state. Batch frames fall back to plain dropDuplicates
+    (same semantics, no state concern)."""
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    ev = with_event_time(events).withWatermark("event_time", watermark)
+    return ev.dropDuplicatesWithinWatermark(keys).drop("event_time")

@@ -130,3 +130,32 @@ def test_windowed_counts_batch_mode_matches_manual(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """The same event_id redelivered in a later micro-batch (within
+    the watermark) is emitted exactly once."""
+    from msstreamingstack_spark.streaming.watermark import dedup_stream
+
+    src = tmp_path / "in3"
+    src.mkdir()
+    _write_events(str(src / "f1.parquet"), [(1, 100), (2, 150)])
+    # f2 redelivers event 1 (same ts) and adds event 3
+    _write_events(str(src / "f2.parquet"), [(1, 100), (3, 200)])
+
+    events = read_event_stream(spark, str(src)).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    out = dedup_stream(events, keys=["event_id"], watermark="1 hour")
+    sink = CollectingSink()
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ids = [r.event_id for r in sink.rows]
+    assert sorted(ids) == [1, 2, 3], ids  # no duplicate emission of id 1
+    assert len(sink.batches) >= 2
