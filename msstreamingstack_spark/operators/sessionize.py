@@ -74,10 +74,11 @@ def sessionize_oracle_sql(
 ) -> str:
     """DuckDB SQL twin of :func:`sessionize` over a CTE named ``e``.
 
-    ``strict_gt=False`` switches the split predicate to ``>=`` — the
-    boundary semantics of Spark's native ``session_window`` (an event
-    landing exactly at ``prev + gap`` opens a new session), vs the
-    reference's strict ``>`` (StructuredStreaming.scala:186).
+    ``strict_gt`` selects the split predicate. The default strict
+    ``>`` matches BOTH the reference (StructuredStreaming.scala:186)
+    AND Spark's native ``session_window`` (its merge-overlap rule is
+    inclusive, so an event exactly at ``prev + gap`` merges). ``>=``
+    is kept for engines/specs that close sessions at the boundary.
     """
     cmp = ">" if strict_gt else ">="
     init = f" OR ({init_pred})" if init_pred else ""

@@ -19,7 +19,11 @@ from msstreamingstack_spark.streaming.stateful import session_window_agg
 _SESS_CTE = sessionize_oracle_sql(
     EVENTS_TS_SQL,
     select_cols="event_id, user_id, value, ts_sec, session_idx",
-    strict_gt=False,  # native session_window splits at gap boundary
+    # native session_window MERGES an event landing exactly at
+    # prev + gap (inclusive overlap in Spark's merge rule), i.e. it
+    # splits only on gap > 30 min — the same strict-> rule as the
+    # reference. Verified against the one exact-1800 s pair at sf0.1.
+    strict_gt=True,
 )
 
 
@@ -35,10 +39,9 @@ FROM sess GROUP BY user_id, session_idx
     tags=("reference", "T2", "streaming", "session_window"),
     doc="Native Spark session_window(gap=30min) aggregation — the "
     "built-in streaming sessionizer run in batch mode (same operator "
-    "works under readStream+watermark). Boundary note: session_window "
-    "splits at gap ≥ 30min, the reference's hand-rolled rule at "
-    "> 30min; both semantics ship (operators/sessionize.py is the "
-    "reference-exact one).",
+    "works under readStream+watermark). Boundary note: an event exactly "
+    "at prev + 30 min MERGES (Spark's session-merge overlap rule is "
+    "inclusive) — identical to the reference's strict-> split.",
 )
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir).select(

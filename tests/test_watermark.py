@@ -159,3 +159,72 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     ids = [r.event_id for r in sink.rows]
     assert sorted(ids) == [1, 2, 3], ids  # no duplicate emission of id 1
     assert len(sink.batches) >= 2
+
+
+def test_session_rollup_timeout_closes_idle_sessions(spark, tmp_path):
+    """Sessions closed by a later event emit inline; the final session
+    of an idle user emits via EventTimeTimeout once the watermark
+    passes, and its state is removed."""
+    from msstreamingstack_spark.streaming.stateful import session_rollup_stream
+
+    src = tmp_path / "in4"
+    src.mkdir()
+    # NOTE times are offset from epoch 0: the initial watermark is
+    # 1970-01-01T00:00:00 and the stateful-op late filter drops rows
+    # with event_time <= watermark — a t=0 event is "late" at birth.
+    B = 1_000_000
+    # user 7: two-event session, then a second session much later
+    _write_events(str(src / "f1.parquet"), [(1, B + 0), (2, B + 60)])
+    _write_events(str(src / "f2.parquet"), [(3, B + 10_000)])
+    # another user's far-future events push the watermark past
+    # user 7's (10_000 + gap) timeout in two successive batches
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([4], pa.int64()),
+                "ts": pa.array([(B + 90_000) * NS], pa.int64()),
+                "user_id": pa.array([8], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        str(src / "f3.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([5], pa.int64()),
+                "ts": pa.array([(B + 95_000) * NS], pa.int64()),
+                "user_id": pa.array([8], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        str(src / "f4.parquet"),
+    )
+
+    events = read_event_stream(spark, str(src)).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    out = session_rollup_stream(events, gap_sec=1800, watermark="10 minutes")
+    sink = CollectingSink()
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp4"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rollups = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.closed_by_timeout)
+        for r in sink.rows
+    }
+    # session A (t=B..B+60) closed inline by the later event
+    assert rollups[(7, B)] == (B + 60, 2, False), rollups
+    # session B (t=B+10000) closed by TIMEOUT after watermark advanced
+    end, n, by_timeout = rollups[(7, B + 10_000)]
+    assert (end, n, by_timeout) == (B + 10_000, 1, True), rollups
