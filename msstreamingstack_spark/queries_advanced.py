@@ -716,3 +716,70 @@ def q_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF + pandas-UDAF surface (reference has neither — §2.7)
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents_udtf",
+    None,  # oracle attached below via chunk_documents_sql at import
+    tags=("extension", "udtf", "chunking"),
+    doc="Python UDTF (TokenChunker) in a LATERAL join: fixed 32-token "
+    "context-window chunking of documents — one doc fans out to "
+    "ceil(n/32) chunk rows, Arrow-batched, partition-local. Oracle is "
+    "the slice+unnest SQL twin.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.udtf_chunking import chunk_documents
+
+    return chunk_documents(spread(load_table(spark, sf_dir, "documents")))
+
+
+# attach the oracle (computed lazily to keep the import graph clean)
+def _attach_chunk_oracle() -> None:
+    from msstreamingstack_spark.functions.udtf_chunking import chunk_documents_sql
+    from msstreamingstack_spark.queries import REGISTRY
+
+    REGISTRY["chunk_documents_udtf"].oracle = chunk_documents_sql()
+
+
+_attach_chunk_oracle()
+
+
+@register(
+    "pandas_udaf_value_moments",
+    """
+WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events)
+SELECT event_type,
+       SUM(cents * cents) AS sq_cents,
+       COUNT(*) AS n
+FROM ev GROUP BY event_type
+""",
+    tags=("extension", "udaf", "agg"),
+    doc="Grouped-aggregate pandas UDF (Arrow-batched numpy reduction) "
+    "— the UDAF surface the reference lacks. Integer cents arithmetic "
+    "keeps the custom aggregate bit-exact vs the SQL oracle.",
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def sq_cents_fn(v):
+        cents = np.rint(v.to_numpy() * 100).astype("int64")
+        return int((cents * cents).sum())
+
+    def n_fn(v):
+        return len(v)
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() — the count is a (trivial) pandas UDAF too
+    sq_cents = pandas_udf(sq_cents_fn, "long", F.PandasUDFType.GROUPED_AGG)
+    n_rows = pandas_udf(n_fn, "long", F.PandasUDFType.GROUPED_AGG)
+    ev = events_with_time(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        sq_cents(F.col("value")).alias("sq_cents"),
+        n_rows(F.col("value")).alias("n"),
+    )

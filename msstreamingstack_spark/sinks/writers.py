@@ -109,3 +109,21 @@ def cassandra_writer(keyspace: str, table: str):
             ) from e
 
     return write
+
+
+def kafka_writer(bootstrap: str, topic: str):
+    """K5: Kafka producer sink (GetProducerAPI.scala:82-105's async
+    producer, as a foreachBatch writer). Config-gated — no broker in
+    this environment; the delivery-semantics knobs
+    (acks/max.in.flight) are Kafka client config, not engine code."""
+
+    def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        (
+            df.selectExpr("CAST(event_id AS STRING) AS key", "to_json(struct(*)) AS value")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+
+    return write

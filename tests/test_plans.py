@@ -64,7 +64,13 @@ def test_no_python_eval_in_relational_paths(spark):
     Python appears only in explicitly-Python operators (multimodal
     features, SRP bucket UDF)."""
     for name, spec in REGISTRY.items():
-        if name in ("multimodal_features", "similarity_ann_srp", "similarity_ann_ivf"):
+        if name in (
+            "multimodal_features",
+            "similarity_ann_srp",
+            "similarity_ann_ivf",
+            "chunk_documents_udtf",
+            "pandas_udaf_value_moments",
+        ):
             continue
         if "streaming" in spec.tags:
             continue

@@ -33,10 +33,12 @@ def staged_stream_dir(tmp_path_factory):
     n = len(df)
     for i, lo in enumerate(range(0, n, (n + 2) // 3)):
         chunk = df.iloc[lo : lo + (n + 2) // 3]
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False),
-            out / f"part-{i:03d}.parquet",
-        )
+        path = out / f"part-{i:03d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        # strictly increasing mtimes: the file source breaks same-mtime
+        # ties nondeterministically and these drops must stream in order
+        mt = 1_700_000_000 + i * 10
+        os.utime(path, (mt, mt))
     return str(out)
 
 

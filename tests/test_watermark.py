@@ -20,14 +20,19 @@ from msstreamingstack_spark.streaming.watermark import (
 NS = 1_000_000_000
 
 
-def _write_events(path: str, rows: list[tuple[int, int]]) -> None:
-    """rows = [(event_id, ts_sec)]"""
+_MTIME_SEQ = [1_700_000_000]
+
+
+def _write_events(path: str, rows: list[tuple[int, int]], user_id: int = 7) -> None:
+    """rows = [(event_id, ts_sec)]. Each file gets a strictly
+    increasing mtime: the file source orders same-mtime files
+    NONDETERMINISTICALLY, and these tests depend on drop order."""
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
                 "ts": pa.array([r[1] * NS for r in rows], pa.int64()),
-                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "user_id": pa.array([user_id] * len(rows), pa.int64()),
                 "event_type": pa.array(["view"] * len(rows)),
                 "value": pa.array([1.0] * len(rows), pa.float64()),
                 "props": pa.array(["{}"] * len(rows)),
@@ -35,6 +40,8 @@ def _write_events(path: str, rows: list[tuple[int, int]]) -> None:
         ),
         path,
     )
+    _MTIME_SEQ[0] += 10
+    os.utime(path, (_MTIME_SEQ[0], _MTIME_SEQ[0]))
 
 
 def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
@@ -178,32 +185,8 @@ def test_session_rollup_timeout_closes_idle_sessions(spark, tmp_path):
     _write_events(str(src / "f2.parquet"), [(3, B + 10_000)])
     # another user's far-future events push the watermark past
     # user 7's (10_000 + gap) timeout in two successive batches
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([4], pa.int64()),
-                "ts": pa.array([(B + 90_000) * NS], pa.int64()),
-                "user_id": pa.array([8], pa.int64()),
-                "event_type": pa.array(["view"]),
-                "value": pa.array([1.0], pa.float64()),
-                "props": pa.array(["{}"]),
-            }
-        ),
-        str(src / "f3.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([5], pa.int64()),
-                "ts": pa.array([(B + 95_000) * NS], pa.int64()),
-                "user_id": pa.array([8], pa.int64()),
-                "event_type": pa.array(["view"]),
-                "value": pa.array([1.0], pa.float64()),
-                "props": pa.array(["{}"]),
-            }
-        ),
-        str(src / "f4.parquet"),
-    )
+    _write_events(str(src / "f3.parquet"), [(4, B + 90_000)], user_id=8)
+    _write_events(str(src / "f4.parquet"), [(5, B + 95_000)], user_id=8)
 
     events = read_event_stream(spark, str(src)).select(
         "event_id", "user_id", "ts_sec", "event_type", "value"
