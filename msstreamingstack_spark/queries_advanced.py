@@ -783,3 +783,27 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_cents(F.col("value")).alias("sq_cents"),
         n_rows(F.col("value")).alias("n"),
     )
+
+
+@register(
+    "set_ops_all_lineitem",
+    """
+WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+b AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+SELECT 'intersect_all' AS op, l_orderkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all' AS op, l_orderkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+""",
+    tags=("setop", "multiset"),
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving "
+    "bag semantics) over overlapping lineitem key bags — the set-op "
+    "surface the distinct variants can't express.",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "l_orderkey")  # noqa: E731
+    return tag(a.intersectAll(b), "intersect_all").unionAll(
+        tag(a.exceptAll(b), "except_all")
+    )
