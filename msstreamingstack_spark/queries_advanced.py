@@ -807,3 +807,110 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(a.intersectAll(b), "intersect_all").unionAll(
         tag(a.exceptAll(b), "except_all")
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_dec_sum_sql('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("relational", "tpch", "multi-join"),
+    doc="TPC-H Q7 shape: bidirectional nation-pair volume — a 6-way "
+    "join with a cross-side disjunctive filter and year extraction; "
+    "both nation dims broadcast.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1k"))
+        .join(n2, F.col("c_nationkey") == F.col("n2k"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+            | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+SELECT n_name AS nation, l_year,
+       {_dec_sum_sql('amount', 'sum_profit')}
+FROM (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - p.p_retailprice * 0.6 * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, l_year
+""",
+    tags=("relational", "tpch", "multi-join"),
+    doc="TPC-H Q9 shape: product-line profit per nation-year — 5-way "
+    "join with a LIKE filter on the part dim and a computed profit "
+    "expression (retailprice*0.6 standing in for ps_supplycost, which "
+    "the schema lacks).",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("l_year"),
+        )
+        .agg(_dec_sum(amount, "sum_profit"))
+    )
