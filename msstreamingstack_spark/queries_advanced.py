@@ -914,3 +914,327 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_dec_sum(amount, "sum_profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H wave 3: q8, q12 (adapted), q13, q15, q17, q22 (adapted)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8_market_share",
+    f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 AS DECIMAL(25,6)) AS DOUBLE)
+       / CAST(CAST(SUM(volume) AS DECIMAL(25,6)) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+""",
+    tags=("relational", "tpch", "multi-join"),
+    doc="TPC-H Q8 shape: national market share inside a region-year — "
+    "an 8-way join (the widest plan in the registry) with a "
+    "conditional-numerator / total-denominator ratio. All four dims "
+    "(part-filtered, nation x2, region) broadcast; only "
+    "lineitem-orders shuffles. Ratio computed in DOUBLE after "
+    "DECIMAL(25,6) partial sums so Spark and DuckDB agree bit-exactly.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("n1k"), F.col("n_regionkey").alias("n1r"))
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("nation"))
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1k"))
+        .join(r, F.col("n1r") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2k"))
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_1", volume).otherwise(F.lit(0.0))
+    ).cast("decimal(25,6)").cast("double")
+    den = F.sum(volume).cast("decimal(25,6)").cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((num / den).alias("mkt_share"))
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    tags=("relational", "tpch"),
+    doc="TPC-H Q12 shape: priority-class line counts per shipping "
+    "class (l_linestatus standing in for l_shipmode, which the schema "
+    "lacks; commit/receipt-date predicates dropped likewise). "
+    "Conditional-count aggregation pushed map-side; the shipdate "
+    "filter reaches the parquet scan.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    tags=("relational", "tpch", "outer-join"),
+    doc="TPC-H Q13 shape: distribution of per-customer order counts "
+    "including zero-order customers — LEFT OUTER join with an ON-side "
+    "(not WHERE-side) filter so unmatched customers survive with "
+    "COUNT(o_orderkey)=0, then a second aggregation over the counts. "
+    "The o_orderpriority predicate stands in for the o_comment NOT "
+    "LIKE filter the schema lacks.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("relational", "tpch", "subquery"),
+    doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly "
+    "revenue — a derived revenue view consumed twice (argmax join + "
+    "scalar-max subquery). Spark evaluates the scalar subquery as a "
+    "broadcast single-row join; the revenue view computes once per "
+    "branch off one parquet scan with the shipdate filter pushed down.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+SELECT CAST(CAST(SUM(l.l_extendedprice) AS DECIMAL(25,6)) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(CAST(l2.l_quantity AS DOUBLE))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    tags=("relational", "tpch", "subquery"),
+    doc="TPC-H Q17 shape: revenue lost to small-quantity orders — a "
+    "correlated scalar subquery (per-part 20%%-of-average quantity "
+    "threshold) expressed as an explicit per-part aggregate + "
+    "self-join, the decorrelation Catalyst would produce. Brand dim "
+    "filter broadcasts; the per-part average computes only over parts "
+    "that survive the broadcast join, not all of lineitem.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(p, li.l_partkey == p.p_partkey)
+    thresholds = branded.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_threshold")
+    )
+    small = branded.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        (
+            F.sum("l_extendedprice").cast("decimal(25,6)").cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    f"""
+SELECT cntrycode, COUNT(*) AS numcust,
+       {_dec_sum_sql('c_acctbal', 'totacctbal')}
+FROM (
+  SELECT c.c_nationkey AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (
+      SELECT AVG(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
+      WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+""",
+    tags=("relational", "tpch", "subquery", "anti-join"),
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "urgent orders, grouped per country (c_nationkey standing in for "
+    "the phone-prefix cntrycode the schema lacks; the no-orders "
+    "predicate narrowed to no-URGENT-orders because the synthetic "
+    "data gives every customer at least one order). The scalar "
+    "average broadcasts as a single-row cross join — no driver-side "
+    "collect — and NOT EXISTS runs as a LEFT ANTI hash join.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, checked in batch mode (streaming/joins.py)
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_attribution",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+v AS (SELECT event_id AS view_id, user_id, ts_sec AS view_ts
+      FROM ev WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts_sec AS purchase_ts,
+             value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.view_id, v.user_id, v.view_ts,
+         p.purchase_id, p.purchase_ts, p.purchase_value
+  FROM v JOIN p ON v.user_id = p.user_id
+    AND p.purchase_ts > v.view_ts
+    AND p.purchase_ts <= v.view_ts + 1800
+)
+SELECT view_id, user_id, view_ts, purchase_id, purchase_ts, purchase_value
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY view_id ORDER BY purchase_ts, purchase_id) AS rn
+      FROM j)
+WHERE rn = 1
+""",
+    tags=("streaming", "interval-join"),
+    doc="Conversion attribution: each view matched to its first "
+    "following same-user purchase within 30 min. Batch face of the "
+    "watermark-bounded stream-stream interval join "
+    "(streaming/joins.py) — the streaming variant buffers each side "
+    "only watermark+bound deep, so join state stays bounded on an "
+    "unbounded feed. Argmin via min(struct) = one shuffle, no "
+    "row_number re-sort.",
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.streaming.joins import first_conversion_per_view
+
+    ev = events_with_time(spark, sf_dir)
+    return first_conversion_per_view(ev)

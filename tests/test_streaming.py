@@ -170,3 +170,35 @@ def test_parquet_sink_idempotent_on_redelivery(spark, tmp_path):
     write(df, batch_id=7)  # redelivery of the same epoch
     got = spark.read.parquet(out + "/batch_id=7")
     assert got.count() == 5
+
+
+def test_stream_stream_interval_join(spark, staged_stream_dir, tmp_path):
+    """Stream-stream interval join (streaming/joins.py): the
+    watermarked view⋈purchase join over micro-batched drops must emit
+    exactly the pairs the identical batch expression produces.
+
+    Watermark is set far enough (1 day) that no test pair is evicted;
+    eviction behavior itself is Spark engine semantics, not ours."""
+    from msstreamingstack_spark.streaming.joins import view_purchase_interval_join
+    from msstreamingstack_spark.streaming.pipeline import read_event_stream
+
+    stream = read_event_stream(spark, staged_stream_dir)
+    joined = view_purchase_interval_join(stream, watermark="1 day")
+
+    sink = CollectingSink()
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ssj"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r.view_id, r.purchase_id) for r in sink.rows}
+    batch = view_purchase_interval_join(
+        events_with_time(spark, SF)
+    ).collect()
+    want = {(r.view_id, r.purchase_id) for r in batch}
+    assert want, "fixture produced no view→purchase pairs"
+    assert got == want
