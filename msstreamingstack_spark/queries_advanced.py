@@ -1238,3 +1238,240 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_with_time(spark, sf_dir)
     return first_conversion_per_view(ev)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order functions, lateral explode, and window-frame extras
+# ---------------------------------------------------------------------------
+@register(
+    "hof_component_means",
+    """
+SELECT idx, CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+         / COUNT(*) AS mean_comp,
+       COUNT(*) AS n
+FROM (
+  SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS idx,
+         unnest(embedding) AS comp
+  FROM embeddings
+)
+WHERE idx < 8
+GROUP BY idx
+""",
+    tags=("extension", "higher-order", "lateral"),
+    doc="Lateral array explode: posexplode over the 64-dim embedding "
+    "column, per-component mean of the first 8 dimensions. Floats "
+    "widen exactly to DOUBLE then sum through DECIMAL(25,6) so the "
+    "parallel aggregation is order-independent and bit-matches the "
+    "oracle. At scale the explode is map-side (no shuffle before the "
+    "8-key agg) and column pruning reads only the embedding column.",
+)
+def q_hof_component_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("idx", "comp")
+    ).filter(F.col("idx") < 8)
+    dec = F.col("comp").cast("double").cast("decimal(25,6)")
+    return (
+        exploded.groupBy("idx")
+        .agg(
+            (F.sum(dec).cast("double") / F.count("*")).alias("mean_comp"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("idx").cast("int").alias("idx"), "mean_comp", "n")
+    )
+
+
+@register(
+    "hof_array_pipeline",
+    """
+SELECT vec_id,
+       len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> x > 0.0)) AS n_positive,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6)) AS DOUBLE)))
+         AS DOUBLE) AS comp_sum
+FROM embeddings
+""",
+    tags=("extension", "higher-order"),
+    doc="Higher-order array functions entirely JVM-side: "
+    "transform -> filter -> size for the positive-component count and "
+    "aggregate for the component sum — no explode, no shuffle, no "
+    "Python; one narrow map stage over the vector column. Elements "
+    "round through DECIMAL(25,6) inside the fold so the left-to-right "
+    "lambda sum is bit-stable against the oracle.",
+)
+def q_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_pos = F.size(F.filter(as_double, lambda x: x > 0.0)).cast("bigint")
+    comp_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double").cast("decimal(25,6)").cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        n_pos.alias("n_positive"),
+        comp_sum.alias("comp_sum"),
+    )
+
+
+@register(
+    "wordcount_frequent",
+    """
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT u.word AS word
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(word)
+)
+WHERE word <> ''
+GROUP BY word
+HAVING COUNT(*) >= 50
+""",
+    tags=("extension", "lateral", "text"),
+    doc="The canonical lateral-view wordcount: split+explode over the "
+    "corpus, frequency filter instead of top-k LIMIT so the result "
+    "set is deterministic under ties. Split and explode are map-side; "
+    "the single shuffle is the word agg — partial (map-side combine) "
+    "counts make the shuffle O(distinct words), not O(tokens), which "
+    "is what keeps this viable on a 100 TB corpus.",
+)
+def q_wordcount_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+    )
+
+
+@register(
+    "window_rank_family",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+per_user AS (
+  SELECT user_id,
+         {_dec_sum_sql('value', 'total_value')},
+         COUNT(*) AS n_events
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, total_value,
+       NTILE(4) OVER w AS quartile,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS dense_rnk
+FROM per_user
+WINDOW w AS (ORDER BY total_value, user_id)
+""",
+    tags=("relational", "window"),
+    doc="Ranking-family window functions (ntile / percent_rank / "
+    "cume_dist / rank / dense_rank) over per-user value totals. "
+    "user_id tie-break makes every rank deterministic. Single global "
+    "window = single-partition sort: acceptable because the input is "
+    "one row per user AFTER aggregation; at 100 TB the pre-agg "
+    "shuffle dominates and the ranked set is small.",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_with_time(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        _dec_sum(F.col("value"), "total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy("total_value", "user_id")
+    return per_user.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+    )
+
+
+@register(
+    "range_frame_rolling_sum",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL})
+SELECT event_id, user_id, ts_sec,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+         PARTITION BY user_id ORDER BY ts_sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_1h_value,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts_sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS rolling_1h_events
+FROM ev
+""",
+    tags=("relational", "window", "range-frame"),
+    doc="RANGE-frame sliding window: per-user 1-hour trailing value "
+    "sum/count keyed on event-time seconds — the time-based frame "
+    "semantics ROWS frames cannot express (simultaneous and gapped "
+    "events handled correctly). One shuffle on user_id, sorted once, "
+    "both frames computed in the same window pass.",
+)
+def q_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_with_time(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("relational", "grouping-sets"),
+    doc="Explicit GROUPING SETS (detail, per-flag, grand total) with "
+    "GROUPING() disambiguation of produced NULLs vs data NULLs — the "
+    "general form behind ROLLUP/CUBE (both also registered). Spark "
+    "expands the sets in one Expand+Aggregate pass: one shuffle, not "
+    "one scan per set.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS grp_id,
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
