@@ -328,3 +328,93 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
 FROM st a JOIN st b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# 2b. df-capped jaccard: boilerplate-skew hardening for pair generation
+# ---------------------------------------------------------------------------
+DEFAULT_DF_CAP = 100
+
+
+def dfcapped_shingle_hashes(
+    docs: DataFrame, df_cap: int = DEFAULT_DF_CAP
+) -> DataFrame:
+    """Shingle table with mega-shingles removed: any shingle occurring
+    in more than ``df_cap`` documents (header/footer boilerplate,
+    license blocks) is dropped from the similarity universe.
+
+    This is THE skew fix for shingle-join dedup at corpus scale: the
+    pair-join on ``h`` emits O(df²) rows per shingle, so one shingle
+    shared by 1M boilerplate pages alone produces 10^12 candidate
+    pairs. Capping df bounds every shingle's contribution at df_cap²
+    while barely touching recall — a shingle present in >df_cap docs
+    carries ~no similarity signal (its IDF is ~0). The df aggregate
+    and the filter-join are both partitioned on ``h``, the same key
+    the pair join shuffles on, so AQE reuses the exchange.
+    """
+    sh = doc_shingle_hashes(docs)
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("h")
+    )
+    return sh.join(keep.hint("shuffle_hash"), "h").select("doc_id", "h")
+
+
+def dfcapped_shingle_hashes_sql(
+    df_cap: int = DEFAULT_DF_CAP, doc_rel: str = "documents"
+) -> str:
+    return f"""
+SELECT doc_id, h FROM ({doc_shingle_hashes_sql(doc_rel)})
+WHERE h IN (SELECT h FROM ({doc_shingle_hashes_sql(doc_rel)})
+            GROUP BY h HAVING COUNT(*) <= {df_cap})
+"""
+
+
+def dfcapped_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """ngram_jaccard_pairs over the df-capped shingle universe —
+    identical downstream algebra (|∩| from the h-join, |∪| from
+    per-doc kept-shingle counts), with jaccard defined over
+    informative shingles only."""
+    sh = dfcapped_shingle_hashes(docs, df_cap)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("d1"), "h")
+        .join(sh.select(F.col("doc_id").alias("d2"), "h").hint("shuffle_hash"), "h")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
+def dfcapped_jaccard_sql(
+    threshold: float = 0.8, df_cap: int = DEFAULT_DF_CAP
+) -> str:
+    return f"""
+WITH sh AS ({dfcapped_shingle_hashes_sql(df_cap)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
+"""

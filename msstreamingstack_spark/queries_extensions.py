@@ -308,3 +308,25 @@ def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).alias("cleaned_len"),
         F.length("text").alias("raw_len"),
     )
+
+
+from msstreamingstack_spark.operators.dedup import dfcapped_jaccard_sql  # noqa: E402
+
+
+@register(
+    "dedup_jaccard_dfcapped",
+    dfcapped_jaccard_sql(JACCARD_T, df_cap=5),
+    tags=("extension", "dedup", "skew"),
+    doc="ngram-jaccard dedup over a df-capped shingle universe: "
+    "shingles in more than df_cap docs (boilerplate) are dropped "
+    "before pair generation, bounding every shingle's join fan-out at "
+    "df_cap^2 — the mitigation that keeps shingle-join dedup feasible "
+    "on corpora where one license header appears on millions of "
+    "pages. Cap=5 here so the cap provably bites at sf0.01 (max df 7).",
+)
+def q_dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import dfcapped_jaccard_pairs
+
+    return dfcapped_jaccard_pairs(
+        spread(load_table(spark, sf_dir, "documents")), JACCARD_T, df_cap=5
+    )

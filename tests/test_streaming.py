@@ -272,3 +272,70 @@ def test_transactional_sink_exactly_once(spark, staged_stream_dir, tmp_path):
         str(tmp_path / "txn" / "data" / f"batch_id={torn}")
     )
     assert sink.read_committed(spark).count() == n_before
+
+
+def test_transform_with_state_user_table(spark, staged_stream_dir, tmp_path):
+    """transformWithStateInPandas (streaming/tws.py): the typed
+    per-user state machine over micro-batched drops converges to the
+    batch per-user aggregate — last event, conditional purchase
+    carry, decimal-exact running total.
+
+    Requires RocksDB state store AND a working google.protobuf (the
+    TWS Python runner's wire protocol); skipped where absent."""
+    from msstreamingstack_spark.streaming.pipeline import (
+        read_event_stream,
+        use_rocksdb_state,
+    )
+    from msstreamingstack_spark.streaming.tws import tws_available, user_state_tws
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+    use_rocksdb_state(spark)
+
+    stream = read_event_stream(spark, staged_stream_dir).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    sink = CollectingSink()
+    q = (
+        user_state_tws(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_tws"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # last emission per user across batches = final state
+    final = {}
+    for batch_id, rows in sink.batches:
+        for r in rows:
+            final[r.user_id] = r
+
+    ev = events_with_time(spark, SF)
+    w_last = (
+        F.struct("ts_sec", "event_id", "event_type", "value")
+    )
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(w_last).alias("last"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", w_last)
+            ).alias("last_p"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        got = final[r.user_id]
+        assert got.last_ts == r.last.ts_sec, r.user_id
+        assert got.last_event_type == r.last.event_type, r.user_id
+        want_pv = r.last_p.value if r.last_p else None
+        assert got.last_purchase_value == want_pv, r.user_id
+        assert got.total_value == r.total_value, r.user_id
+        assert got.n_events == r.n_events, r.user_id
