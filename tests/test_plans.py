@@ -98,3 +98,68 @@ def test_aggregates_are_partial_then_final(spark, name):
     f = plan_facts(REGISTRY[name].builder(spark, SF))
     assert f.text.count("HashAggregate") >= 2
     assert "partial_" in f.text
+
+
+def test_q8_dims_broadcast_no_python(spark):
+    """8-way q8: every dim (part, nation x2, region) broadcasts — the
+    only shuffles left are the lineitem-orders-customer fact joins —
+    and the ratio math stays JVM-side."""
+    f = plan_facts(REGISTRY["tpch_q8_market_share"].builder(spark, SF))
+    assert f.broadcast_joins >= 4, f.text
+    assert f.python_evals == 0
+    assert f.pushes_filter("EqualTo(p_type,ECONOMY)")
+    assert f.pushes_filter("GreaterThanOrEqual(o_orderdate")
+
+
+def test_q17_threshold_join_broadcasts_part_dim(spark):
+    f = plan_facts(REGISTRY["tpch_q17_small_qty_revenue"].builder(spark, SF))
+    assert f.broadcast_joins >= 1, f.text
+    assert f.pushes_filter("EqualTo(p_brand,Brand#1)")
+
+
+def test_hof_pipeline_is_pure_jvm_map(spark):
+    """Higher-order array ops must not explode, shuffle, or leave the
+    JVM: no exchange except the scan, no Python eval."""
+    f = plan_facts(REGISTRY["hof_array_pipeline"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "Generate" not in f.text  # no explode
+    assert "Exchange" not in f.text  # narrow map over the scan
+
+
+def test_wordcount_partial_aggregation(spark):
+    """The word agg must map-side combine (partial_count before the
+    exchange) — the O(distinct-words) shuffle property."""
+    f = plan_facts(REGISTRY["wordcount_frequent"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "partial_count" in f.text, f.text
+
+
+def test_range_frame_single_window_pass(spark):
+    """Both RANGE-frame aggs share one Window operator: one shuffle on
+    user_id, one sort, no second exchange."""
+    import re
+
+    f = plan_facts(REGISTRY["range_frame_rolling_sum"].builder(spark, SF))
+    assert f.python_evals == 0
+    # formatted explain lists each op twice (tree + detail): count nodes
+    assert len(re.findall(r"\(\d+\) Window", f.text)) == 1, f.text
+    assert len(re.findall(r"\(\d+\) Exchange", f.text)) == 1, f.text
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS compiles to Expand + one aggregate pair — not one
+    scan per grouping set."""
+    import re
+
+    f = plan_facts(REGISTRY["grouping_sets_revenue"].builder(spark, SF))
+    assert "Expand" in f.text
+    assert len(re.findall(r"\(\d+\) Scan parquet", f.text)) == 1, f.text
+
+
+def test_interval_join_no_cartesian(spark):
+    """The batch face of the stream-stream interval join must run as
+    an equi-join on user with the time bound as residual predicate —
+    never a cartesian/nested-loop."""
+    f = plan_facts(REGISTRY["interval_join_attribution"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
