@@ -1475,3 +1475,339 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Final TPC-H shapes: q2 / q11 / q16 / q20 / q21 adapted to the harness
+# schema. The testdata has no partsupp table (TESTDATA.md), so the
+# part<->supplier relation is derived from lineitem (l_partkey,
+# l_suppkey) with supplycost := MIN(l_extendedprice / l_quantity); no
+# l_commitdate/l_receiptdate, so "late" := shipped >60 days after the
+# order date. Each adaptation preserves the query's structural
+# character (correlated scalar min, HAVING vs global scalar, NOT IN,
+# nested IN + HAVING, double-correlated EXISTS/NOT EXISTS) — that
+# shape, not the literal predicate constants, is what exercises the
+# engine. Reference parity note: the reference has no relational
+# query surface at all (SURVEY.md §2.5); these extend it.
+# ---------------------------------------------------------------------------
+PSUPP_SQL = (
+    "SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
+    "MIN(l_extendedprice / l_quantity) AS ps_supplycost "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey"
+)
+
+
+def _psupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem-derived stand-in for TPC-H partsupp (doubles: the
+    division and MIN are IEEE-exact on both engines)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+WITH psupp AS ({PSUPP_SQL}),
+eur AS (
+  SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       ps.ps_supplycost
+FROM part p
+JOIN psupp ps ON p.p_partkey = ps.ps_partkey
+JOIN eur e ON ps.ps_suppkey = e.s_suppkey
+WHERE p.p_size = 10 AND p.p_type = 'SMALL'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM psupp ps2 JOIN eur e2 ON ps2.ps_suppkey = e2.s_suppkey
+    WHERE ps2.ps_partkey = p.p_partkey
+  )
+""",
+    tags=("relational", "tpch", "subquery"),
+    doc="TPC-H Q2 shape: cheapest EUROPE supplier per SMALL size-10 "
+    "part — correlated scalar MIN decorrelated into a per-part "
+    "min-cost aggregate joined back on (partkey, cost). Region/"
+    "nation/supplier dims broadcast; the only shuffles are the two "
+    "partkey aggregations. partsupp derived from lineitem (no "
+    "partsupp in testdata).",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps_eur = _psupp(spark, sf_dir).join(
+        F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_eur.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 10) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        ps_eur.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost"
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+WITH natline AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+)
+SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM natline
+GROUP BY l_partkey
+HAVING CAST(SUM(val) AS DOUBLE) > 1.5 * (
+  SELECT CAST(SUM(val) AS DOUBLE) / COUNT(DISTINCT l_partkey) FROM natline
+)
+""",
+    tags=("relational", "tpch", "subquery", "having"),
+    doc="TPC-H Q11 shape: parts holding an outsized share of one "
+    "nation's supply value — per-part aggregate HAVING-compared to a "
+    "global scalar aggregate over the same relation. The scalar "
+    "total broadcasts as a single-row cross join (no driver "
+    "collect); supplier/nation dims broadcast; one partkey shuffle. "
+    "Decimal accumulators keep the Spark/DuckDB sums bit-identical.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    natline = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(25,6)")
+            .alias("val"),
+        )
+    )
+    per_part = natline.groupBy("l_partkey").agg(
+        F.sum("val").cast("double").alias("part_value")
+    )
+    total = natline.agg(
+        F.sum("val").cast("double").alias("total_value"),
+        F.countDistinct("l_partkey").alias("nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.5) * (F.col("total_value") / F.col("nparts"))
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("relational", "tpch", "anti-join", "distinct-agg"),
+    doc="TPC-H Q16 shape: distinct-supplier count per part attribute "
+    "triple, excluding a NOT IN supplier blacklist (negative account "
+    "balance standing in for the comment-pattern predicate the "
+    "schema lacks). NOT IN runs as a broadcast LEFT ANTI join "
+    "(s_suppkey is non-null so NOT IN == anti join); part dim "
+    "broadcasts with size/brand/type pushed to the scan; the "
+    "COUNT(DISTINCT) expands to a two-phase aggregate.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    )
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN l.l_quantity ELSE 0 END)
+         > 0.5 * SUM(l.l_quantity)
+  )
+""",
+    tags=("relational", "tpch", "subquery", "semi-join"),
+    doc="TPC-H Q20 shape: suppliers in one nation that shipped more "
+    "than half of their all-time volume of some red part during 1998 "
+    "— the nested IN-subquery + correlated-HAVING pattern, "
+    "decorrelated to conditional-vs-total aggregation per (supplier, "
+    "part) then a LEFT SEMI join. Part-name filter broadcasts into "
+    "the lineitem scan; quantities are integral doubles so the 2x "
+    "comparison is exact.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        red, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    excess = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.lit("1998-01-01 00:00:00").cast("timestamp"),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            ).alias("qty_1998"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1998") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_5'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+    tags=("relational", "tpch", "subquery", "anti-join"),
+    doc="TPC-H Q21 shape: suppliers solely responsible for a late "
+    "multi-supplier order ('late' := shipped >60 days after the "
+    "order date, standing in for receipt>commit which the schema "
+    "lacks). The EXISTS/NOT-EXISTS pair decorrelates into one "
+    "per-order aggregate — distinct suppliers and distinct LATE "
+    "suppliers — reused for both predicates (ns > 1 AND nlate = 1): "
+    "one orderkey shuffle instead of two correlated re-scans. "
+    "Nation and per-order stats joins are key-partitioned; nation "
+    "dim broadcasts.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    sole_late = (
+        li.filter(F.col("is_late"))
+        .join(
+            ordstats.filter((F.col("ns") > 1) & (F.col("nlate") == 1)),
+            "l_orderkey",
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

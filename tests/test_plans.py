@@ -163,3 +163,43 @@ def test_interval_join_no_cartesian(spark):
     f = plan_facts(REGISTRY["interval_join_attribution"].builder(spark, SF))
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_q2_min_cost_broadcasts_dims(spark):
+    """q2: region/nation/supplier and the filtered part dim all
+    broadcast; the only shuffles are the per-(part,supp) cost and
+    per-part min aggregations."""
+    f = plan_facts(REGISTRY["tpch_q2_min_cost_supplier"].builder(spark, SF))
+    assert f.broadcast_joins >= 3, f.text
+    assert f.python_evals == 0
+    assert f.pushes_filter("EqualTo(p_type,SMALL)")
+    assert f.pushes_filter("EqualTo(p_size,10)")
+    assert f.pushes_filter("EqualTo(r_name,EUROPE)")
+
+
+def test_q16_not_in_runs_as_broadcast_anti_join(spark):
+    f = plan_facts(REGISTRY["tpch_q16_supplier_cnt"].builder(spark, SF))
+    assert "LeftAnti" in f.text, f.text
+    assert f.broadcast_joins >= 2  # blacklist + part dim
+    assert f.pushes_filter("LessThan(s_acctbal,0.0)")
+    assert f.pushes_filter("In(p_size")
+
+
+def test_q20_nested_in_runs_as_semi_joins(spark):
+    f = plan_facts(REGISTRY["tpch_q20_excess_shippers"].builder(spark, SF))
+    assert f.text.count("LeftSemi") >= 2, f.text
+    assert f.pushes_filter("StringStartsWith(p_name,red)")
+    assert "CartesianProduct" not in f.text
+
+
+def test_q21_exists_pair_single_order_aggregate(spark):
+    """The EXISTS/NOT-EXISTS pair must decorrelate to ONE per-order
+    aggregate joined back on orderkey — no nested-loop re-scans —
+    and Catalyst pushes the late predicate into the sole-late branch's
+    join condition while the stats branch stays unfiltered."""
+    f = plan_facts(REGISTRY["tpch_q21_waiting_suppliers"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.python_evals == 0
+    assert f.pushes_filter("EqualTo(o_orderstatus,F)")
+    assert f.pushes_filter("EqualTo(n_name,NATION_5)")
