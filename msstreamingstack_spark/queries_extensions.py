@@ -330,3 +330,114 @@ def q_dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfcapped_jaccard_pairs(
         spread(load_table(spark, sf_dir, "documents")), JACCARD_T, df_cap=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits & corpus mixing — the two bookkeeping operators
+# every training-data pipeline needs around the cleaning/dedup stages.
+# Both are pure JVM expression maps (md5 -> bucket) + one small
+# aggregate: no shuffle on the wide data, no RNG, stable under
+# retries/speculation and across runs — which is exactly why hash
+# splits beat rand() splits at 100 TB (a re-run or a late retry must
+# not reassign rows). Beyond-reference extension (SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+SPLIT_BUCKET_SQL = (
+    "TRY_CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 10000"
+)
+
+
+@register(
+    "hash_split_assign",
+    f"""
+WITH b AS (
+  SELECT doc_id, n_chars, {SPLIT_BUCKET_SQL} AS bucket FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM b
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) AS total_chars
+FROM s GROUP BY split
+""",
+    tags=("extension", "pipeline", "split"),
+    doc="Deterministic 90/5/5 train/val/test assignment from an md5 "
+    "bucket of the document id (Spark conv(hex,16,10) == DuckDB "
+    "0x-cast, checked bit-exact). One narrow map + a 3-group "
+    "aggregate; assignment is a pure function of the id, so adding "
+    "data never reshuffles existing rows between splits.",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "mix_weighted_sources",
+    f"""
+WITH b AS (
+  SELECT doc_id, source, {SPLIT_BUCKET_SQL} AS bucket FROM documents
+),
+w AS (
+  SELECT source, bucket,
+         CASE WHEN source IN ('src0','src1','src2') THEN 10000
+              WHEN source IN ('src3','src4','src5','src6') THEN 5000
+              ELSE 2000 END AS keep_below
+  FROM b
+)
+SELECT source, COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE bucket < keep_below) AS n_kept
+FROM w GROUP BY source
+""",
+    tags=("extension", "pipeline", "sampling"),
+    doc="Weighted corpus mixing by deterministic hash thresholding: "
+    "high-quality sources kept at 100%%, mid at 50%%, the tail at "
+    "20%% — the down-sampling step that hits a target pretraining "
+    "mixture without materializing an intermediate shuffle or RNG "
+    "state. Kept-set membership is stable across runs and "
+    "incremental loads; per-source keep rates are data, not code "
+    "(join a rates dim in production).",
+)
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    keep_below = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 10000)
+        .when(F.col("source").isin("src3", "src4", "src5", "src6"), 5000)
+        .otherwise(2000)
+    )
+    return (
+        d.select("source", bucket.alias("bucket"), keep_below.alias("keep_below"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("keep_below"), 1)).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -203,3 +203,15 @@ def test_q21_exists_pair_single_order_aggregate(spark):
     assert f.python_evals == 0
     assert f.pushes_filter("EqualTo(o_orderstatus,F)")
     assert f.pushes_filter("EqualTo(n_name,NATION_5)")
+
+
+def test_hash_split_is_narrow_map_plus_one_agg(spark):
+    """Split assignment must stay a pure JVM expression map: no
+    Python, no join, exactly the one exchange of the tiny 3-group
+    aggregate."""
+    import re
+
+    f = plan_facts(REGISTRY["hash_split_assign"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "Join" not in f.text
+    assert len(re.findall(r"\(\d+\) Exchange", f.text)) == 1, f.text
