@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Streaming throughput benchmark: events/sec through the full
+single-query pipeline (file source → enrichment → stateful
+applyInPandasWithState sessionization → foreachBatch sink).
+
+Prints ONE JSON line:
+  {"metric": "streaming_sessionize_throughput", "value": <rows/sec>,
+   "unit": "rows/sec", "rows": N, "wall_sec": S, "batches": B,
+   "sf": 0.1}
+
+Comparison point (BASELINE.md): the reference's topology is
+producer-limited to ~0.6 rec/s (3 records per 5 s sleep,
+App.scala:40-48) with five concurrent queries each re-reading Kafka;
+this pipeline drains the same event volume through ONE query with
+Spark-managed state. The measured number is single-node local[N];
+state partitioning (one shuffle on user_id into the state store) is
+the same layout a 1000-executor cluster would use.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  data dir, default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS    local[] threads, default 32
+  BENCH_STREAM_FILES  input file splits (default 8 — multiple
+                      micro-batch triggers with maxFilesPerTrigger=4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from msstreamingstack_spark.session import apply_runtime_confs, get_spark  # noqa: E402
+from msstreamingstack_spark.sources.tables import load_table  # noqa: E402
+from msstreamingstack_spark.streaming.pipeline import (  # noqa: E402
+    read_event_stream,
+    use_rocksdb_state,
+)
+from msstreamingstack_spark.streaming.stateful import sessionize_stream  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_files = int(os.environ.get("BENCH_STREAM_FILES", "8"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="msstreamingstack-bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    apply_runtime_confs(spark)
+    use_rocksdb_state(spark)
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    src = os.path.join(work, "events")
+    try:
+        # split the events table into n_files drops so the run
+        # exercises real micro-batch sequencing, not one giant batch
+        ev = load_table(spark, sf_dir, "events")
+        n_rows = ev.count()
+        ev.repartition(n_files).write.mode("overwrite").parquet(src)
+
+        counted = {"rows": 0, "batches": 0}
+
+        def count_sink(df, batch_id: int) -> None:
+            counted["rows"] += df.count()
+            counted["batches"] += 1
+
+        events = read_event_stream(
+            spark, src, max_files_per_trigger=max(n_files // 2, 1)
+        ).select("event_id", "user_id", "ts_sec", "event_type", "value")
+        sessioned = sessionize_stream(events)
+
+        t0 = time.perf_counter()
+        q = (
+            sessioned.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "cp"))
+            .foreachBatch(count_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        assert counted["rows"] == n_rows, (counted, n_rows)
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_sessionize_throughput",
+                    "value": round(n_rows / wall, 1),
+                    "unit": "rows/sec",
+                    "rows": n_rows,
+                    "wall_sec": round(wall, 2),
+                    "batches": counted["batches"],
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
