@@ -1,0 +1,142 @@
+"""CLI — the user-facing surface of the engine, mirroring the
+reference's two runnable apps plus a query runner:
+
+  produce   the producer (reference App.scala:29-50): paced
+            deterministic event batches dropped as parquet files
+            (Kafka-less stand-in; identical batching semantics)
+  consume   the consumer (reference StructuredStreaming.scala main):
+            single streaming query, enrichment + stateful
+            sessionization, fan-out sinks
+  query     run any registered named query and print its result
+
+Examples:
+  python -m msstreamingstack_spark produce --out /tmp/drops \\
+      --batches 10 --batch-size 3
+  python -m msstreamingstack_spark consume --source /tmp/drops \\
+      --checkpoint /tmp/cp --parquet-out /tmp/history --once
+  python -m msstreamingstack_spark query tpch_q1 \\
+      --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_produce(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.sources.generator import drop_batches
+
+    if args.sleep > 0:
+        # paced mode: one drop per sleep interval (the reference's
+        # counter+Thread.sleep loop, App.scala:40-48)
+        for b in range(args.batches):
+            drop_batches(
+                args.out,
+                n_batches=1,
+                batch_size=args.batch_size,
+                t0_sec=b * args.gap_sec,
+            )
+            print(f"dropped batch {b + 1}/{args.batches}", file=sys.stderr)
+            if b < args.batches - 1:
+                time.sleep(args.sleep)
+    else:
+        drop_batches(
+            args.out,
+            n_batches=args.batches,
+            batch_size=args.batch_size,
+            gap_sec=args.gap_sec,
+        )
+    print(f"wrote {args.batches} drops to {args.out}")
+    return 0
+
+
+def _cmd_consume(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.sinks.writers import (
+        console_sink,
+        parquet_append_writer,
+    )
+    from msstreamingstack_spark.streaming.pipeline import (
+        run_pipeline,
+        use_rocksdb_state,
+    )
+
+    spark = get_spark(app_name="msstreamingstack-consume")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.rocksdb:
+        use_rocksdb_state(spark)
+    sinks = []
+    if args.console:
+        sinks.append(console_sink)
+    if args.parquet_out:
+        sinks.append(parquet_append_writer(args.parquet_out))
+    if not sinks:
+        sinks = [console_sink]
+    q = run_pipeline(
+        spark,
+        source_path=args.source,
+        checkpoint_dir=args.checkpoint,
+        sinks=sinks,
+        gap_sec=args.gap_sec,
+        available_now=args.once,
+    )
+    q.awaitTermination()
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.session import get_spark
+
+    if args.name not in REGISTRY:
+        known = ", ".join(sorted(REGISTRY))
+        print(f"unknown query {args.name!r}; known: {known}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"msstreamingstack-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.name].builder(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("produce", help="drop paced event batches (producer)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batches", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=3)
+    p.add_argument("--gap-sec", type=int, default=300)
+    p.add_argument("--sleep", type=float, default=0.0,
+                   help="seconds between drops (0 = write all at once)")
+    p.set_defaults(fn=_cmd_produce)
+
+    c = sub.add_parser("consume", help="run the streaming pipeline (consumer)")
+    c.add_argument("--source", required=True, help="event drop directory")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--parquet-out", help="append history sink directory")
+    c.add_argument("--console", action="store_true", help="console sink")
+    c.add_argument("--gap-sec", type=int, default=1800)
+    c.add_argument("--once", action="store_true",
+                   help="Trigger.AvailableNow: drain pending input, then stop")
+    c.add_argument("--rocksdb", action="store_true", help="RocksDB state store")
+    c.set_defaults(fn=_cmd_consume)
+
+    q = sub.add_parser("query", help="run a registered named query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--rows", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=_cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
