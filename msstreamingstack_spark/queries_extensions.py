@@ -441,3 +441,103 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: the end-to-end pretraining-corpus pipeline in ONE plan.
+# clean -> language gate -> quality gate -> exact dedup -> split ->
+# per-split stats; every stage is the registered operator's exact
+# expression (shared constants/SQL twins), so the composition is
+# oracle-checkable end to end. At scale this whole chain is one scan,
+# one window shuffle (dedup digest), one split aggregate — filters
+# run inside the scan stage BEFORE the shuffle, so the dedup window
+# only pays for surviving rows.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {langid_pred_sql('text')} AS lang_pred,
+         {token_count_sql('text')} AS n_tokens,
+         {distinct_token_ratio_sql('text')} AS dtr,
+         {dup_ngram_fraction_sql('text', 3)} AS tri_frac
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE lang_pred = 'en' AND n_tokens BETWEEN 10 AND 10000
+    AND dtr >= 0.3 AND tri_frac <= 0.5
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM gated
+  ) WHERE doc_id = keep_id
+),
+split AS (
+  SELECT CASE WHEN {SPLIT_BUCKET_SQL} < 9000 THEN 'train'
+              WHEN {SPLIT_BUCKET_SQL} < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM deduped
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE) AS total_tokens
+FROM split GROUP BY split
+""",
+    tags=("extension", "pipeline", "composite"),
+    doc="The full training-data pipeline as one declarative plan: "
+    "language-ID gate + Gopher-style quality gate + token-length "
+    "bounds (all per-row expressions, fused into the scan stage), "
+    "exact content dedup (one digest-window shuffle over survivors "
+    "only), deterministic hash split, per-split token accounting. "
+    "Composes the registered operators' exact expressions, so the "
+    "whole chain hash-matches the DuckDB oracle.",
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.functions.text import (
+        distinct_token_ratio,
+        dup_ngram_fraction,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        langid_pred(text).alias("lang_pred"),
+        token_count(text).alias("n_tokens"),
+        distinct_token_ratio(text).alias("dtr"),
+        dup_ngram_fraction(text, 3).alias("tri_frac"),
+    )
+    gated = scored.filter(
+        (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(10, 10000)
+        & (F.col("dtr") >= 0.3)
+        & (F.col("tri_frac") <= 0.5)
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    deduped = gated.withColumn("keep_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_tokens"),
+        )
+    )
