@@ -80,6 +80,7 @@ def run_pipeline(
     events = read_event_stream(spark, source_path).select(
         "event_id", "user_id", "ts_sec", "event_type", "value"
     )
+    events = with_quality_metrics(events)
     sessioned = sessionize_stream(events, gap_sec=gap_sec)
 
     def fan_out(df: DataFrame, batch_id: int) -> None:
@@ -128,4 +129,36 @@ def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true" if changelog else "false",
+    )
+
+
+# --- in-flight data-quality metrics --------------------------------------
+def with_quality_metrics(df: DataFrame, name: str = "quality") -> DataFrame:
+    """Attach ``observe()`` data-quality metrics to a (streaming or
+    batch) events DataFrame: row count, null/blank user ids, and the
+    event-time high-water mark.
+
+    ``observe`` computes the aggregates inside the existing plan — at
+    100 TB a monitoring pass that re-scans the input is its own
+    full-size job, so piggybacking on the stage that's already
+    running is the only affordable shape. Metrics surface per
+    micro-batch in ``StreamingQueryProgress.observedMetrics[name]``
+    (hook a listener / the CLI) and on ``df.collect()``'s query
+    execution in batch mode.
+
+    The reference has no monitoring at all — its null/empty user_id
+    handling is a silent per-row skip inside the Redis sink
+    (RedisForeachWriter.scala:26-34); here the same condition is a
+    counted, alertable metric instead of a silent drop.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("user_id").isNull() | (F.trim(F.col("user_id").cast("string")) == ""),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_user"),
+        F.max("ts_sec").alias("max_ts_sec"),
     )

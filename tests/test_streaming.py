@@ -339,3 +339,27 @@ def test_transform_with_state_user_table(spark, staged_stream_dir, tmp_path):
         assert got.last_purchase_value == want_pv, r.user_id
         assert got.total_value == r.total_value, r.user_id
         assert got.n_events == r.n_events, r.user_id
+
+
+def test_observed_quality_metrics_in_progress(spark, staged_stream_dir, tmp_path):
+    """observe() metrics ride the existing plan: every micro-batch's
+    progress reports row count / bad-user count / event-time HWM
+    without a second scan of the input."""
+    sink = CollectingSink()
+    q = run_pipeline(
+        spark,
+        staged_stream_dir,
+        checkpoint_dir=str(tmp_path / "cp_obs"),
+        sinks=[sink],
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    observed = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if "quality" in p.get("observedMetrics", {})
+    ]
+    assert observed, "no quality metrics in any progress event"
+    assert sum(m["n_rows"] for m in observed) == 1000
+    assert all(m["n_bad_user"] == 0 for m in observed)
+    assert max(m["max_ts_sec"] for m in observed) > 0
