@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def console_sink(df: DataFrame, batch_id: int) -> None:
@@ -181,3 +181,24 @@ class TransactionalParquetSink:
             os.path.join(self.data_dir, f"batch_id={b}") for b in ids
         ]
         return spark.read.parquet(*paths)
+
+
+def partitioned_history_writer(
+    out_dir: str, partition_cols: tuple[str, ...] = ("event_date",)
+) -> Callable[[DataFrame, int], None]:
+    """K3 analogue with production layout: append the history table
+    hive-partitioned (default by event date derived from ts_sec) so
+    downstream reads prune by day (sinks/layout.py). Plain append is
+    at-least-once under batch re-delivery — compose with the
+    commit-log sink for exactly-once, or rely on idempotent readers.
+    The date derivation stays JVM-side in the sink's own plan."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        out = df
+        if "event_date" in partition_cols and "event_date" not in df.columns:
+            out = df.withColumn(
+                "event_date", F.to_date(F.timestamp_seconds(F.col("ts_sec")))
+            )
+        out.write.mode("append").partitionBy(*partition_cols).parquet(out_dir)
+
+    return write
