@@ -541,3 +541,67 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget training
+# chunks. Packing is per-source shard (PARTITION BY source) — a global
+# cumulative sum would funnel every row through one partition, which
+# is exactly the shape that cannot exist at 100 TB; per-shard packing
+# keeps the window parallel across sources and matches how training
+# shards are actually built. Greedy boundary rule: a doc starts a new
+# chunk when the running total before it crosses a capacity multiple.
+# ---------------------------------------------------------------------------
+PACK_CAPACITY = 2048
+
+
+@register(
+    "pack_sequences_greedy",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {token_count_sql('text')} AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS chunk_idx
+  FROM toks
+)
+SELECT source, chunk_idx, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS chunk_tokens
+FROM packed
+GROUP BY source, chunk_idx
+""",
+    tags=("extension", "pipeline", "packing"),
+    doc=f"Greedy sequence packing into {PACK_CAPACITY}-token training "
+    "chunks: running token total per source shard (deterministic "
+    "doc_id order), chunk index = pre-document total div capacity, "
+    "then per-chunk fill stats. One window shuffle on source, "
+    "parallel across shards — never a global single-partition "
+    "cumsum. The per-chunk token sum may overshoot capacity by at "
+    "most one document (greedy semantics, documents not split).",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "chunk_idx",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAPACITY
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "chunk_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
