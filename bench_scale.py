@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Scaling sanity check: run headline operators at sf0.1 and at a
+synthetically scaled multiple (default 4x) and report the runtime
+ratio per query.
+
+A healthy distributed plan scales ~linearly in rows (ratio ≈ scale,
+plus fixed overheads that push small-query ratios BELOW scale); a
+ratio well above the scale factor flags a super-linear kernel
+(exploding join fan-out, quadratic pair generation, single-partition
+window) that would not survive 100 TB.
+
+The scaled dataset is derived from sf0.1 with shifted keys and
+perturbed text (so dedup/similarity kernels see real entropy, not
+k identical copies of every document — k-fold literal duplication
+would quadratically inflate every duplicate group and measure the
+data, not the plan). Written under /tmp; cleaned up afterwards.
+
+Usage: python bench_scale.py [--scale 4] [--keep]
+Prints one JSON line:
+  {"metric": "scale_ratio", "scale": k,
+   "queries": {name: {"base_s":..., "scaled_s":..., "ratio":...}}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from msstreamingstack_spark.queries import REGISTRY  # noqa: E402
+from msstreamingstack_spark.session import get_spark  # noqa: E402
+from msstreamingstack_spark.sources.tables import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+
+# one representative per plan family: window-sessionize, hash-agg,
+# shuffle join + agg, window-pack, digest-window dedup, shingle-join
+# dedup, composite pipeline, embedding kernel
+QUERIES = (
+    "sessionize_events",
+    "tpch_q1",
+    "tpch_q3_building",
+    "pack_sequences_greedy",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "pipeline_pretrain_corpus",
+    "similarity_topk_cosine",
+)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_scaled(spark, out_dir: str, k: int) -> None:
+    """k-fold scale-up with disjoint keys per replica."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, BASE_SF, t)
+        if t in ("region", "nation"):  # dims stay fixed
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+            continue
+        parts = []
+        for i in range(k):
+            p = df
+            shift = {
+                "customer": [("c_custkey", 1_000_000)],
+                "supplier": [("s_suppkey", 1_000_000)],
+                "part": [("p_partkey", 1_000_000)],
+                "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+                "lineitem": [
+                    ("l_orderkey", 10_000_000),
+                    ("l_partkey", 1_000_000),
+                    ("l_suppkey", 1_000_000),
+                ],
+                "events": [("event_id", 10_000_000), ("user_id", 100_000)],
+                "documents": [("doc_id", 10_000_000)],
+                "embeddings": [("vec_id", 10_000_000)],
+            }.get(t, [])
+            for col, stride in shift:
+                p = p.withColumn(col, F.col(col) + F.lit(i * stride))
+            if t == "documents" and "text" in p.columns:
+                # perturb text per replica so content hashes differ
+                p = p.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
+def timed(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+        spark.sparkContext._jvm.System.gc()
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="msstreamingstack-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = f"/tmp/msstream_scale_{args.scale}x"
+    build_scaled(spark, scaled_dir, args.scale)
+    try:
+        results = {}
+        for name in QUERIES:
+            base = timed(spark, name, BASE_SF)
+            scaled = timed(spark, name, scaled_dir)
+            results[name] = {
+                "base_s": round(base, 3),
+                "scaled_s": round(scaled, 3),
+                "ratio": round(scaled / base, 2),
+            }
+            print(f"# {name}: {results[name]}", file=sys.stderr)
+        print(
+            json.dumps(
+                {"metric": "scale_ratio", "scale": args.scale, "queries": results}
+            )
+        )
+    finally:
+        if not args.keep:
+            shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
