@@ -82,14 +82,33 @@ FROM documents
 # ---------------------------------------------------------------------------
 # Shared shingle explode
 # ---------------------------------------------------------------------------
-def doc_shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
     """(doc_id, h) — distinct 48-bit shingle hashes. Only longs leave
-    the scan stage; the text column is pruned immediately after."""
-    return (
+    the scan stage; the text column is pruned immediately after.
+
+    Persisted by default (MEMORY_AND_DISK): every dedup kernel reads
+    this table 3-6× per action (signatures, sizes, both verify-join
+    sides) and without a persist each read re-runs the shingle
+    explosion over the full text — the single most expensive subtree
+    in the dedup family. The cached form is two longs per shingle,
+    orders of magnitude smaller than the text it came from; at
+    cluster scale MEMORY_AND_DISK spills, which still beats
+    re-shingling 100 TB several times. Callers doing a single pass
+    can opt out with ``persist=False``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
         docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("sh"))
         .select(id_col, hash48(F.col("sh")).alias("h"))
         .distinct()
     )
+    return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
 
 
 def doc_shingle_hashes_sql(doc_rel: str = "documents") -> str:
