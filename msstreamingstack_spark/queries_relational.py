@@ -471,3 +471,112 @@ def q_filter_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("value") > 50)
         & F.col("props").isNotNull()
     ).select("event_id", "user_id", "event_type", "value", "ts_sec")
+
+
+@register(
+    "unpivot_event_counts",
+    f"""
+WITH e AS ({EVENTS_TS_SQL}),
+piv AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+  FROM e GROUP BY user_id
+)
+SELECT user_id, kind, n FROM piv
+UNPIVOT (n FOR kind IN (n_click AS 'click', n_view AS 'view',
+                        n_purchase AS 'purchase'))
+WHERE n > 0
+""",
+    tags=("pivot", "unpivot"),
+    doc="Unpivot (melt): wide per-user count columns back to long "
+    "(user, kind, n) form — Spark's unpivot()/stack is a narrow "
+    "per-row expansion, no shuffle beyond the source aggregation. "
+    "Zero counts dropped to match UNPIVOT's dense-output convention "
+    "across engines.",
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    kinds = ["click", "view", "purchase"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    wide = piv.select(
+        "user_id", *[F.col(k).alias(f"n_{k}") for k in kinds]
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{k}" for k in kinds],
+        variableColumnName="kind",
+        valueColumnName="n",
+    ).withColumn("kind", F.expr("substring(kind, 3)"))
+    return long.filter(F.col("n") > 0)
+
+
+@register(
+    "timeseries_gapfill",
+    f"""
+WITH e AS ({EVENTS_TS_SQL}),
+b AS (  -- per-user per-10-min bucket last value
+  SELECT user_id, ts_sec // 600 AS bucket, MAX_BY(value, ts_sec) AS v
+  FROM e WHERE user_id < 50 GROUP BY user_id, ts_sec // 600
+),
+spine AS (  -- dense bucket spine per user over their active range
+  SELECT user_id, UNNEST(range(min_b, max_b + 1)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS min_b, MAX(bucket) AS max_b
+        FROM b GROUP BY user_id)
+),
+joined AS (
+  SELECT s.user_id, s.bucket, b.v,
+         COUNT(b.v) OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS grp
+  FROM spine s LEFT JOIN b ON b.user_id = s.user_id AND b.bucket = s.bucket
+)
+SELECT user_id, bucket,
+       COALESCE(FIRST_VALUE(v) OVER (
+         PARTITION BY user_id, grp ORDER BY bucket), -1.0) AS v_filled,
+       v IS NULL AS was_gap
+FROM joined
+""",
+    tags=("timeseries", "gapfill", "window"),
+    doc="Time-series gap filling with forward-fill: bucket each "
+    "user's events to 10-minute points (MAX_BY = last value in "
+    "bucket), generate the dense bucket spine per user with "
+    "sequence()+explode (no driver-side loop, spine generation is "
+    "per-row), left-join, then carry the last non-null value forward "
+    "via the count-over-nulls grouping trick — one user-partitioned "
+    "window, parallel across users. The hypertable-rollup companion "
+    "for dashboards that need a point per interval.",
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_with_time(spark, sf_dir).filter(F.col("user_id") < 50)
+    b = (
+        ev.withColumn("bucket", (F.col("ts_sec") / 600).cast("bigint"))
+        .groupBy("user_id", "bucket")
+        .agg(F.max_by("value", "ts_sec").alias("v"))
+    )
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("min_b"), F.max("bucket").alias("max_b"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("min_b", "max_b")).alias("bucket"),
+        )
+    )
+    joined = spine.join(b, ["user_id", "bucket"], "left").withColumn(
+        "grp",
+        F.count("v").over(
+            Window.partitionBy("user_id")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_fill = Window.partitionBy("user_id", "grp").orderBy("bucket")
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.first("v", ignorenulls=True).over(w_fill), F.lit(-1.0)).alias(
+            "v_filled"
+        ),
+        F.col("v").isNull().alias("was_gap"),
+    )
