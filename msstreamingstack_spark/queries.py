@@ -208,3 +208,4 @@ from msstreamingstack_spark import queries_state  # noqa: E402,F401
 from msstreamingstack_spark import queries_extensions  # noqa: E402,F401
 from msstreamingstack_spark import queries_streaming  # noqa: E402,F401
 from msstreamingstack_spark import queries_advanced  # noqa: E402,F401
+from msstreamingstack_spark import queries_layout  # noqa: E402,F401
