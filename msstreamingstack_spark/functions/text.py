@@ -85,17 +85,53 @@ def profile_score_sql(text_sql: str, words: tuple[str, ...]) -> str:
     )
 
 
+def _bind(value: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE per
+    row and reference it as a lambda variable inside ``body``.
+
+    Why this exists: higher-order functions and when-chains duplicate
+    outer subtrees (every occurrence gets fresh lambda exprIds, so
+    neither codegen CSE nor interpreted subexpression elimination can
+    merge them) — a fold over K alternatives that mentions a
+    ``split(text)`` K² times really splits the text K² times per row.
+    ``transform(array(value), v -> body(v))[1]`` makes the engine
+    evaluate ``value`` once and share it, the expression-level
+    equivalent of a WITH clause."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def langid_pred(text: Column) -> Column:
     """Argmax of profile scores; ties resolved by profile order (the
-    greatest-so-far comparison is strict, so earlier profiles win)."""
-    best_lang = F.lit(LANG_PROFILES[0][0])
-    best_score = profile_score(text, LANG_PROFILES[0][1])
-    for lang, words in LANG_PROFILES[1:]:
-        s = profile_score(text, words)
-        better = s > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, s).otherwise(best_score)
-    return best_lang
+    greatest-so-far comparison is strict, so earlier profiles win).
+
+    The token array and the score vector are let-bound (`_bind`) so
+    the text is split exactly once per row and each profile score is
+    computed exactly once — the naive when-fold re-derived both
+    O(profiles²) times."""
+
+    def _contains(words: tuple[str, ...]):
+        prof = F.array(*[F.lit(s) for s in words])
+        return lambda x: F.array_contains(prof, x)
+
+    def scores_from(toks: Column) -> Column:
+        return F.array(
+            *[
+                F.size(F.filter(toks, _contains(words)))
+                for _, words in LANG_PROFILES
+            ]
+        )
+
+    def argmax(s: Column) -> Column:
+        best_lang = F.lit(LANG_PROFILES[0][0])
+        best_score = F.element_at(s, 1)
+        for i, (lang, _) in enumerate(LANG_PROFILES[1:], start=2):
+            si = F.element_at(s, i)
+            better = si > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, si).otherwise(best_score)
+        return best_lang
+
+    return _bind(tokens(text), lambda toks: _bind(scores_from(toks), argmax))
 
 
 def langid_pred_sql(text_sql: str) -> str:
@@ -134,18 +170,28 @@ def hash48_sql(col_sql: str) -> str:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Empty array when fewer than n
-    tokens (guards Spark's descending-sequence pitfall)."""
-    toks = tokens(text)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    tokens (guards Spark's descending-sequence pitfall).
+
+    The token array is let-bound (`_bind`): referencing ``toks``
+    directly inside the per-gram lambda would re-run ``split(text)``
+    n times PER GRAM (HOF bodies re-evaluate captured subtrees each
+    element) — ~600 splits/row on a 200-token doc. Bound, it is one
+    split/row; this subtree sits under every dedup kernel's shingle
+    explode, so the whole family inherits the fix."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(k >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(tokens(text), build)
 
 
 def shingles_sql(text_sql: str, n: int = 3) -> str:
