@@ -17,6 +17,7 @@ from msstreamingstack_spark.functions.text import (
     clean_text_sql,
     distinct_token_ratio_sql,
     dup_ngram_fraction_sql,
+    hash48_sql,
     langid_pred,
     langid_pred_sql,
     md5_hex,
@@ -604,4 +605,199 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "chunk_idx").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, stratified sampling, shard assignment — the remaining
+# bookkeeping operators a pretraining corpus build needs between
+# cleaning and shard write-out. All three are pure narrow expression
+# maps plus at most one keyed window shuffle, so they compose into the
+# scan stage of a larger pipeline at 100 TB.
+# ---------------------------------------------------------------------------
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL_RE = "https?://[A-Za-z0-9./_-]+"
+PII_PHONE_RE = "\\+\\d[\\d-]{6,}\\d"
+
+# The synthetic corpus is PII-free word salad, so the query first
+# injects deterministic synthetic PII (a pure function of doc_id) into
+# ~3/7 of the rows; the scrub regexes are then genuinely exercised and
+# the oracle checks both the counts and the redacted text bit-exactly.
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text || CASE
+         WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com for info'
+         WHEN doc_id % 7 = 3 THEN ' see https://data.example.org/doc/'
+              || CAST(doc_id AS VARCHAR) || ' online'
+         WHEN doc_id % 7 = 5 THEN ' call +1-555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' soon'
+         ELSE '' END AS text
+FROM documents
+"""
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_URL_RE}', '<URL>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM aug
+""",
+    tags=("extension", "pipeline", "text"),
+    doc="PII redaction pass: email/URL/phone detection counts plus "
+    "redacted text, as three chained JVM-side regexp_replace calls "
+    "(RE2-compatible patterns, identical semantics in DuckDB with "
+    "the 'g' flag). A narrow per-row map — fuses into the scan, no "
+    "shuffle, no UDF. Synthetic PII is injected deterministically "
+    "because the fixture corpus contains none.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com for info"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(
+                    F.lit(" see https://data.example.org/doc/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" online"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 5,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+                    F.lit(" soon"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE,
+            "<URL>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+RESERVOIR_K = 50
+RESERVOIR_PREFILTER = 40  # keep hash%100 < 40 before the exact window
+
+
+@register(
+    "sample_reservoir_stratified",
+    f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         {hash48_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+  WHERE {hash48_sql("CAST(doc_id AS VARCHAR)")} % 100 < {RESERVOIR_PREFILTER}
+),
+r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= {RESERVOIR_K}
+""",
+    tags=("extension", "pipeline", "sampling"),
+    doc=f"Deterministic reservoir-style sample of {RESERVOIR_K} docs "
+    "per language stratum: rank by a 48-bit id hash inside each "
+    "stratum, keep the lowest-hash k — equivalent to a uniform "
+    "without-replacement sample that is stable across runs, retries "
+    "and incremental loads (a new row only enters the reservoir by "
+    "displacing the current max hash). The hash prefilter discards "
+    f"~{100 - RESERVOIR_PREFILTER}%% of rows BEFORE the per-stratum "
+    "window shuffle, so the exact top-k ranks a bounded candidate "
+    "set instead of the full table.",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.functions.text import hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash48(F.col("doc_id").cast("string"))
+    cand = d.select("lang", "doc_id", h.alias("h")).filter(
+        (F.col("h") % 100) < RESERVOIR_PREFILTER
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("lang", "doc_id", "sample_rank")
+    )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "shuffle_shard_assign",
+    f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {hash48_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id,
+       h % {N_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id)
+         AS pos
+FROM h
+""",
+    tags=("extension", "pipeline", "sharding"),
+    doc=f"Deterministic global shuffle into {N_SHARDS} training "
+    "shards: shard = id-hash mod N, within-shard position = rank by "
+    "the same hash — a seedless Fisher-Yates stand-in whose order is "
+    "a pure function of the ids, so retries/speculative tasks and "
+    "re-runs produce byte-identical shards. At scale this is "
+    "repartition(N, shard) + sortWithinPartitions(h): one shuffle, "
+    "then a streaming write of ordered shard files.",
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.functions.text import hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash48(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.col("h") % N_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
     )
