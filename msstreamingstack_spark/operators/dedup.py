@@ -88,8 +88,16 @@ def doc_shingle_hashes(
     id_col: str = "doc_id",
     persist: bool = True,
 ) -> DataFrame:
-    """(doc_id, h) — distinct 48-bit shingle hashes. Only longs leave
-    the scan stage; the text column is pruned immediately after.
+    """(doc_id, h) — 48-bit shingle hashes, unique per doc WITHOUT a
+    distinct shuffle: ``shingles()`` already applies ``array_distinct``
+    per document, so (doc_id, h) can only repeat via a 48-bit collision
+    between two distinct shingles of the SAME doc (~n²/2⁴⁹ ≈ 1e-10 per
+    doc). The DuckDB oracle twin drops its DISTINCT too and both
+    engines share the md5-derived hash, so even a collision stays
+    bit-identical cross-engine. Dropping the explicit distinct removes
+    a full shuffle of the exploded table — the largest intermediate in
+    the dedup family. Only longs leave the scan stage; the text column
+    is pruned immediately after.
 
     Persisted by default (MEMORY_AND_DISK): every dedup kernel reads
     this table 3-6× per action (signatures, sizes, both verify-join
@@ -103,17 +111,17 @@ def doc_shingle_hashes(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = (
-        docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("sh"))
-        .select(id_col, hash48(F.col("sh")).alias("h"))
-        .distinct()
-    )
+    sh = docs.select(
+        id_col, F.explode(shingles(F.col(text_col))).alias("sh")
+    ).select(id_col, hash48(F.col("sh")).alias("h"))
     return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
 
 
 def doc_shingle_hashes_sql(doc_rel: str = "documents") -> str:
+    # no DISTINCT: mirrors doc_shingle_hashes — per-doc uniqueness comes
+    # from the array_distinct inside shingles_sql
     return f"""
-SELECT DISTINCT doc_id, {hash48_sql('sh')} AS h
+SELECT doc_id, {hash48_sql('sh')} AS h
 FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS sh FROM {doc_rel})
 """
 
