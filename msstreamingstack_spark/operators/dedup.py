@@ -445,3 +445,97 @@ SELECT d1, d2,
 FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# 6. Benchmark decontamination (train-vs-eval n-gram overlap)
+# ---------------------------------------------------------------------------
+# Standard pretraining hygiene (reference has no analogue; extension
+# like §2.5's aggregates): flag training documents whose shingle sets
+# overlap an evaluation/benchmark set. Overlap is computed on the
+# 48-bit shingle hashes, so the eval side collapses to a distinct-hash
+# set — at 100 TB the eval set is a handful of benchmarks (tiny) and is
+# BROADCAST; the train side pays one broadcast semi-join plus a
+# per-doc count, both map-side-combinable. No all-pairs stage at all.
+DECONTAM_FRAC_T = 0.30
+
+
+def eval_overlap_stats(
+    docs: DataFrame,
+    eval_pred: Column,
+    frac_threshold: float = DECONTAM_FRAC_T,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-TRAIN-doc overlap with the eval shingle universe.
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_frac, contaminated)
+    for every doc NOT matching ``eval_pred``; docs too short to shingle
+    get (0, 0, 0.0, 0).
+    """
+    sh = doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
+    eval_ids = docs.filter(eval_pred).select(id_col)
+    eval_h = (
+        sh.join(F.broadcast(eval_ids), id_col).select("h").distinct()
+    )
+    train_sh = sh.join(F.broadcast(eval_ids), id_col, "left_anti")
+    n_sh = train_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        train_sh.join(F.broadcast(eval_h), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 9
+    )
+    return (
+        docs.filter(~eval_pred)
+        .select(id_col)
+        .join(n_sh, id_col, "left")
+        .join(overlap, id_col, "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn(
+            "overlap_frac",
+            F.when(F.col("n_shingles") > 0, frac).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("overlap_frac") >= frac_threshold).cast("long"),
+        )
+    )
+
+
+def eval_overlap_sql(
+    eval_pred_sql: str,
+    frac_threshold: float = DECONTAM_FRAC_T,
+    doc_rel: str = "documents",
+) -> str:
+    """DuckDB twin of eval_overlap_stats; ``eval_pred_sql`` is a
+    boolean expression over the document row (alias ``d``)."""
+    return f"""
+WITH sh AS ({doc_shingle_hashes_sql(doc_rel)}),
+ev_ids AS (SELECT doc_id FROM {doc_rel} d WHERE {eval_pred_sql}),
+ev_h AS (SELECT DISTINCT h FROM sh WHERE doc_id IN (SELECT doc_id FROM ev_ids)),
+train_sh AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)),
+n_sh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM train_sh WHERE h IN (SELECT h FROM ev_h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_sh.n_shingles, 0) AS n_shingles,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CASE WHEN COALESCE(n_sh.n_shingles, 0) > 0
+            THEN round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                       / CAST(n_sh.n_shingles AS DOUBLE), 9)
+            ELSE 0.0 END AS overlap_frac,
+       CAST(CASE WHEN COALESCE(n_sh.n_shingles, 0) > 0
+            THEN round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                       / CAST(n_sh.n_shingles AS DOUBLE), 9)
+            ELSE 0.0 END >= {frac_threshold} AS BIGINT) AS contaminated
+FROM {doc_rel} d
+LEFT JOIN n_sh ON n_sh.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE NOT ({eval_pred_sql})
+"""

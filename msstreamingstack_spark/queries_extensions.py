@@ -30,6 +30,7 @@ from msstreamingstack_spark.functions.text import (
 )
 from msstreamingstack_spark.operators.dedup import (
     EXACT_DEDUP_SQL,
+    eval_overlap_sql,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_sql,
@@ -801,3 +802,27 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "shard", "pos")
     )
+
+
+# Every 50th doc stands in for the held-out benchmark set (the eval
+# side is an input in production; here it must be a deterministic
+# function of the fixture so the oracle agrees).
+EVAL_EVERY = 50
+
+
+@register(
+    "decontaminate_eval_overlap",
+    eval_overlap_sql(f"d.doc_id % {EVAL_EVERY} = 0"),
+    tags=("extension", "pipeline", "decontamination"),
+    doc="Benchmark decontamination: per-train-doc shingle-hash overlap "
+    "with the eval set's shingle universe. The eval side collapses to "
+    "a distinct-hash set and is broadcast (benchmarks are tiny next "
+    "to a 100 TB corpus); the train side is one broadcast hash-join "
+    "plus a per-doc count — no all-pairs stage, unlike the dedup "
+    "kernels this shares its shingle table with.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import eval_overlap_stats
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return eval_overlap_stats(d, F.col("doc_id") % EVAL_EVERY == 0)

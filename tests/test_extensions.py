@@ -83,3 +83,33 @@ def test_multimodal_stats(spark):
     st = {r["kind"]: r for r in media_stats(synthetic_media(spark, 64)).collect()}
     assert set(st) == {"image", "audio", "video"}
     assert st["image"]["max_width"] is not None
+
+
+def test_decontamination_planted(spark):
+    """A train doc identical to an eval doc → overlap_frac 1.0 and
+    flagged; a disjoint-vocabulary doc → 0 overlap; a doc shorter than
+    the shingle width → all-zero stats; eval docs never appear."""
+    from msstreamingstack_spark.operators.dedup import eval_overlap_stats
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),  # eval
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # clone
+        (2, "iota kappa llambda mu nu xi omicron pi rho"),     # disjoint
+        (3, "too short"),                                      # < n tokens
+        (4, "alpha beta gamma delta iota kappa llambda mu"),   # partial
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in eval_overlap_stats(
+            docs, F.col("doc_id") == 0, frac_threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}, "eval doc must be excluded"
+    assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"] == 1
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_frac"] == 0.0
+    # doc 4: shingles are 3-grams; only 'alpha beta gamma' and
+    # 'beta gamma delta' exist in the eval universe → 2 of 6
+    assert out[4]["n_shingles"] == 6 and out[4]["n_overlap"] == 2
+    assert out[4]["contaminated"] == 0
