@@ -42,6 +42,7 @@ from msstreamingstack_spark.operators.dedup import (
 from msstreamingstack_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_sql,
+    quantize_int8_sql,
     srp_ann_topk,
 )
 from msstreamingstack_spark.queries import register
@@ -826,3 +827,67 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     return eval_overlap_stats(d, F.col("doc_id") % EVAL_EVERY == 0)
+
+
+@register(
+    "embedding_quantize_int8",
+    quantize_int8_sql(),
+    tags=("extension", "embedding", "quantization"),
+    doc="Per-vector int8 min-max quantization with reconstruction "
+    "error (max |err|, MSE). Scale rationale: int8 codes are 4× "
+    "smaller than float32 — the ANN candidate scan over a 100 TB "
+    "embedding corpus runs on codes in memory, exact re-rank reads "
+    "only the shortlist's floats. Pure per-row array expressions: "
+    "narrow, no shuffle, codegen inside the scan stage.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import quantize_int8_stats
+
+    return quantize_int8_stats(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+TOKEN_BUDGET_PER_SOURCE = 2000
+
+
+@register(
+    "token_budget_sample",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, {token_count_sql('text')} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+""",
+    tags=("extension", "pipeline", "sampling"),
+    doc=f"Token-budget subsampling: per source, keep the largest docs "
+    f"(ties by id) until a {TOKEN_BUDGET_PER_SOURCE}-token budget is "
+    "hit — the deterministic form of 'mix K tokens per domain' corpus "
+    "curation. One shuffle (window by source); the running sum stops "
+    "the scan's output early, everything else is per-row. Integer "
+    "sort keys only, so ordering is exact cross-engine.",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -113,3 +113,38 @@ def test_decontamination_planted(spark):
     # 'beta gamma delta' exist in the eval universe → 2 of 6
     assert out[4]["n_shingles"] == 6 and out[4]["n_overlap"] == 2
     assert out[4]["contaminated"] == 0
+
+
+def test_quantize_int8_error_bound(spark, sf_correctness):
+    """Min-max int8 reconstruction error is bounded by scale/2 =
+    (mx-mn)/510 per element; MSE ≤ (scale/2)²."""
+    from msstreamingstack_spark.operators.similarity import quantize_int8_stats
+    from msstreamingstack_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    for r in quantize_int8_stats(emb).collect():
+        half_step = (r["mx"] - r["mn"]) / 510.0
+        assert r["max_abs_err"] <= half_step + 1e-9
+        assert r["mse"] <= half_step**2 + 1e-9
+
+
+def test_token_budget_sample_tight(spark, sf_correctness):
+    """Kept docs per source sum within budget, and the largest
+    excluded doc would not have fit after the kept prefix."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import (
+        TOKEN_BUDGET_PER_SOURCE,
+    )
+
+    rows = REGISTRY["token_budget_sample"].builder(
+        spark, sf_correctness
+    ).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, kept in per_src.items():
+        assert max(r["cum_tokens"] for r in kept) <= TOKEN_BUDGET_PER_SOURCE
+        ordered = sorted(kept, key=lambda r: (-r["n_tokens"], r["doc_id"]))
+        assert [r["doc_id"] for r in kept] != [] and ordered[-1][
+            "cum_tokens"
+        ] == max(r["cum_tokens"] for r in kept)
