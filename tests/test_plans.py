@@ -215,3 +215,37 @@ def test_hash_split_is_narrow_map_plus_one_agg(spark):
     assert f.python_evals == 0
     assert "Join" not in f.text
     assert len(re.findall(r"\(\d+\) Exchange", f.text)) == 1, f.text
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-id and eval-hash sets must be broadcast (benchmarks
+    are tiny next to the corpus); the train side must never be the
+    build side of a cartesian/nested-loop."""
+    f = plan_facts(REGISTRY["decontaminate_eval_overlap"].builder(spark, SF))
+    assert f.broadcast_joins >= 3, f.text  # eval ids ×2 + eval hash set
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0
+
+
+def test_quantize_int8_is_narrow_map(spark):
+    """Quantization is per-row array math: no join, no key shuffle, no
+    Python — the only exchange is spread()'s round-robin parallelism
+    fix for the 1-split local parquet, which a real multi-split scan
+    wouldn't need."""
+    f = plan_facts(REGISTRY["embedding_quantize_int8"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "Join" not in f.text
+    assert "hashpartitioning" not in f.text, f.text
+
+
+def test_token_budget_single_shuffle(spark):
+    """Budget sampling = exactly one hash partition (by source, for
+    the window); token counting must stay a JVM expression map."""
+    import re
+
+    f = plan_facts(REGISTRY["token_budget_sample"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "Join" not in f.text
+    hash_ex = re.findall(r"hashpartitioning\(source", f.text)
+    assert len(hash_ex) >= 1, f.text
+    assert len(set(re.findall(r"hashpartitioning\(\w+", f.text))) == 1, f.text
