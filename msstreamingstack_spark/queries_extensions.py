@@ -213,6 +213,26 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_quantized",
+    None,  # approximate (quantization error) → rows-only + pytest recall
+    tags=("extension", "similarity", "ann", "quantization"),
+    doc="Quantized-scan ANN top-5: corpus pass reads int8 codes only "
+    "(4× smaller than float32 — the 100 TB scan stays in executor "
+    "memory), one numpy matmul per Arrow batch; exact float cosine "
+    "re-ranks a 4k-per-query shortlist. Approximate only through "
+    "quantization error ⇒ near-1 recall, asserted in tests.",
+)
+def q_similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import (
+        quantized_rescore_topk,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return quantized_rescore_topk(emb, queries, k=5)
+
+
+@register(
     "embedding_norm_stats",
     """
 WITH n AS (

@@ -148,3 +148,25 @@ def test_token_budget_sample_tight(spark, sf_correctness):
         assert [r["doc_id"] for r in kept] != [] and ordered[-1][
             "cum_tokens"
         ] == max(r["cum_tokens"] for r in kept)
+
+
+def test_quantized_rescore_recall(spark, sf_correctness):
+    """Quantized-scan ANN misses only through int8 quantization error,
+    so recall vs brute force must be near-perfect, and every returned
+    cos must equal the exact cos for that pair (re-rank is exact)."""
+    from msstreamingstack_spark.operators.similarity import (
+        quantized_rescore_topk,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = quantized_rescore_topk(emb, queries, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"quantized recall {recall:.3f}"
+    assert all(len([r for r in got if r["query_id"] == q]) == 5
+               for q in {r["query_id"] for r in got})
