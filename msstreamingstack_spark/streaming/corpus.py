@@ -1,0 +1,169 @@
+"""Streaming corpus ingestion — the training-data pipeline as a
+Structured Streaming job: file-drop document stream → stateless
+quality gates → cross-batch exact dedup → decontamination → split
+accept/reject parquet sinks from ONE ``foreachBatch``.
+
+Reference analogue: none (the reference streams clickstream events,
+SURVEY.md §2.6); this is the extension surface applied to the
+streaming arrival pattern every large corpus actually has — crawl
+drops land continuously, and waiting for "the whole corpus" before
+cleaning means cleaning never starts.
+
+Stage order is the scale argument:
+1. Quality gates FIRST and stateless — junk must die before it can
+   occupy dedup state (at 100 TB the state store is the scarce
+   resource, not CPU).
+2. ``dropDuplicatesWithinWatermark`` on the content hash — exact
+   cross-batch dedup whose state is bounded by the ingest-time
+   watermark delay instead of growing with the corpus. Duplicates
+   arriving within the delay window are dropped exactly; re-crawls
+   outside it are caught downstream by the batch dedup kernels
+   (operators/dedup.py) over the accepted store.
+3. Decontamination per micro-batch inside ``foreachBatch`` (batch
+   DataFrame ops there): overlap against the BROADCAST eval shingle
+   set, same kernel shape as the batch ``eval_overlap_stats``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from msstreamingstack_spark.functions.text import (
+    distinct_token_ratio,
+    token_count,
+)
+from msstreamingstack_spark.operators.dedup import (
+    DECONTAM_FRAC_T,
+    doc_shingle_hashes,
+)
+from msstreamingstack_spark.schemas import DOCUMENTS_SCHEMA
+from msstreamingstack_spark.session import apply_runtime_confs
+
+MIN_TOKENS = 5
+MIN_DISTINCT_RATIO = 0.3
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-drop document stream with the declared corpus schema."""
+    apply_runtime_confs(spark)
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Stateless per-row gates (token floor, repetition ceiling) —
+    pure JVM expressions, evaluated inside the scan stage. Rows keep
+    a ``gate_fail`` reason column (null = passed) so the reject sink
+    can attribute drops; only passing rows continue to the stateful
+    stages."""
+    n_tok = token_count(F.col("text"))
+    ratio = distinct_token_ratio(F.col("text"))
+    reason = (
+        F.when(n_tok < MIN_TOKENS, F.lit("too_short"))
+        .when(ratio < MIN_DISTINCT_RATIO, F.lit("too_repetitive"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.withColumn("gate_fail", reason)
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    source_path: str,
+    eval_docs: DataFrame,
+    accept_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    dedup_delay: str = "10 minutes",
+    frac_threshold: float = DECONTAM_FRAC_T,
+    available_now: bool = True,
+):
+    """Launch the ingest query; returns the StreamingQuery.
+
+    ``eval_docs`` is the static benchmark set; its distinct shingle
+    hashes are computed ONCE here (not per batch) and broadcast into
+    every micro-batch's overlap join.
+    """
+    # static side, computed once and persisted across micro-batches
+    eval_h = (
+        doc_shingle_hashes(eval_docs, persist=False)
+        .select("h")
+        .distinct()
+        .persist()
+    )
+    eval_h.count()  # materialize before the stream starts
+
+    gated = quality_gate(read_document_stream(spark, source_path))
+    passed = (
+        gated.filter(F.col("gate_fail").isNull())
+        .withColumn("content_md5", F.md5(F.col("text").cast("binary")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_delay)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+        .drop("ingest_ts")
+    )
+    rejected_gate = gated.filter(F.col("gate_fail").isNotNull())
+    # one stream, two branches unioned so a single query/checkpoint
+    # feeds both sinks (reference anti-pattern: one query per sink)
+    unioned = passed.select(
+        "doc_id", "text", "lang", "source", "n_chars", "gate_fail"
+    ).unionByName(
+        rejected_gate.select(
+            "doc_id", "text", "lang", "source", "n_chars", "gate_fail"
+        )
+    )
+
+    def fan_out(df: DataFrame, batch_id: int) -> None:
+        df.persist()
+        try:
+            bad = df.filter(F.col("gate_fail").isNotNull()).withColumn(
+                "reject_reason", F.col("gate_fail")
+            )
+            ok = df.filter(F.col("gate_fail").isNull())
+            sh = doc_shingle_hashes(ok, persist=False)
+            n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+            ov = (
+                sh.join(F.broadcast(eval_h), "h")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_overlap"))
+            )
+            scored = (
+                ok.join(n_sh, "doc_id", "left")
+                .join(ov, "doc_id", "left")
+                .withColumn(
+                    "overlap_frac",
+                    F.when(
+                        F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                        / F.col("n_shingles").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+            )
+            cols = ["doc_id", "text", "lang", "source", "n_chars"]
+            accepted = scored.filter(
+                F.col("overlap_frac") < frac_threshold
+            ).select(*cols)
+            contaminated = scored.filter(
+                F.col("overlap_frac") >= frac_threshold
+            ).select(*cols, F.lit("contaminated").alias("reject_reason"))
+            accepted.write.mode("append").parquet(accept_dir)
+            bad.select(*cols, "reject_reason").unionByName(
+                contaminated
+            ).write.mode("append").parquet(reject_dir)
+        finally:
+            df.unpersist()
+
+    writer = (
+        unioned.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        .foreachBatch(fan_out)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""Streaming corpus-ingestion tests: quality gates, cross-batch
+exact dedup, and decontamination all happen in ONE query, and every
+document lands in exactly one of accept / reject / silently-deduped."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NORMAL_A = "alpha beta gamma delta epsilon zeta eta theta iota"
+NORMAL_B = "kappa mu nu xi omicron rho sigma tau upsilon"
+EVAL_TEXT = "zebra yak xylophone walrus vulture tiger snake quail"
+
+
+def _write_drop(path, rows, mtime):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["crawl"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture()
+def corpus_drops(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_drop(
+        d / "b0.parquet",
+        [
+            (1, NORMAL_A),
+            (2, "a a a a a a"),        # too_repetitive (ratio 1/6)
+            (3, "tiny doc"),           # too_short (< 5 tokens)
+            (4, EVAL_TEXT),            # exact eval copy → contaminated
+        ],
+        1_700_000_000,
+    )
+    _write_drop(
+        d / "b1.parquet",
+        [
+            (5, NORMAL_A),             # cross-batch duplicate of doc 1
+            (6, NORMAL_B),
+        ],
+        1_700_000_010,
+    )
+    return str(d)
+
+
+def test_corpus_ingest_end_to_end(spark, corpus_drops, tmp_path):
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    reject_dir = str(tmp_path / "reject")
+    q = run_corpus_ingest(
+        spark,
+        corpus_drops,
+        eval_docs,
+        accept_dir,
+        reject_dir,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
+    rejected = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(reject_dir).collect()
+    }
+    assert accepted == {1, 6}
+    assert rejected == {
+        2: "too_repetitive",
+        3: "too_short",
+        4: "contaminated",
+    }
+    # the cross-batch duplicate is dropped by state, not routed anywhere
+    assert 5 not in accepted and 5 not in rejected
+
+
+def test_quality_gate_reasons(spark):
+    from msstreamingstack_spark.streaming.corpus import quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, NORMAL_A),
+            (2, "x x x x x x x x"),
+            (3, "one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["gate_fail"] for r in quality_gate(docs).collect()}
+    assert out == {1: None, 2: "too_repetitive", 3: "too_short"}
