@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Streaming throughput benchmark: events/sec through the full
 single-query pipeline (file source → enrichment → stateful
-applyInPandasWithState sessionization → foreachBatch sink).
+applyInPandasWithState sessionization → foreachBatch sink), plus
+docs/sec through the corpus-ingest query (quality gates → watermarked
+exact dedup → decontamination → accept/reject sinks).
 
-Prints ONE JSON line:
+Prints TWO JSON lines:
   {"metric": "streaming_sessionize_throughput", "value": <rows/sec>,
    "unit": "rows/sec", "rows": N, "wall_sec": S, "batches": B,
    "sf": 0.1}
+  {"metric": "streaming_corpus_ingest_throughput", ...}
 
 Comparison point (BASELINE.md): the reference's topology is
 producer-limited to ~0.6 rec/s (3 records per 5 s sleep,
@@ -42,6 +45,75 @@ from msstreamingstack_spark.streaming.pipeline import (  # noqa: E402
     use_rocksdb_state,
 )
 from msstreamingstack_spark.streaming.stateful import sessionize_stream  # noqa: E402
+
+
+def bench_corpus_ingest(spark, sf_dir: str, sf: float, replicate: int = 10) -> None:
+    """docs/sec through the full ingest query. The documents table is
+    replicated with disjoint ids and per-replica token salting so
+    dedup state sees entropy (plus the original as a planted
+    duplicate wave); eval set = every 50th base doc."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.sources.tables import spread
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    work = tempfile.mkdtemp(prefix="bench_corpus_")
+    src = os.path.join(work, "docs")
+    try:
+        base = spread(load_table(spark, sf_dir, "documents"))
+        n_base = base.count()
+        reps = []
+        for i in range(replicate):
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + i * n_base * 10).alias("doc_id"),
+                    # salt text per replica so content hashes differ
+                    F.concat_ws(" ", F.lit(f"rep{i}"), F.col("text")).alias(
+                        "text"
+                    ),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionByName(r)
+        n_rows = n_base * replicate
+        docs.repartition(8).write.mode("overwrite").parquet(src)
+
+        eval_docs = base.filter(F.col("doc_id") % 50 == 0)
+        t0 = time.perf_counter()
+        q = run_corpus_ingest(
+            spark,
+            src,
+            eval_docs,
+            accept_dir=os.path.join(work, "accept"),
+            reject_dir=os.path.join(work, "reject"),
+            checkpoint_dir=os.path.join(work, "cp"),
+            available_now=True,
+            max_files_per_trigger=4,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_out = spark.read.parquet(os.path.join(work, "accept")).count()
+        n_rej = spark.read.parquet(os.path.join(work, "reject")).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_corpus_ingest_throughput",
+                    "value": round(n_rows / wall, 1),
+                    "unit": "rows/sec",
+                    "rows": n_rows,
+                    "accepted": n_out,
+                    "rejected": n_rej,
+                    "wall_sec": round(wall, 2),
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -102,6 +174,8 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+    bench_corpus_ingest(spark, sf_dir, sf)
 
 
 if __name__ == "__main__":

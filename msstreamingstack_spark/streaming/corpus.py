@@ -83,6 +83,7 @@ def run_corpus_ingest(
     dedup_delay: str = "10 minutes",
     frac_threshold: float = DECONTAM_FRAC_T,
     available_now: bool = True,
+    max_files_per_trigger: int = 1,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -99,7 +100,9 @@ def run_corpus_ingest(
     )
     eval_h.count()  # materialize before the stream starts
 
-    gated = quality_gate(read_document_stream(spark, source_path))
+    gated = quality_gate(
+        read_document_stream(spark, source_path, max_files_per_trigger)
+    )
     passed = (
         gated.filter(F.col("gate_fail").isNull())
         .withColumn("content_md5", F.md5(F.col("text").cast("binary")))

@@ -68,6 +68,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "multimodal_features",
             "similarity_ann_srp",
             "similarity_ann_ivf",
+            "similarity_ann_quantized",  # Arrow matmul code scan
             "chunk_documents_udtf",
             "pandas_udaf_value_moments",
         ):
