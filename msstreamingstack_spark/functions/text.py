@@ -203,6 +203,26 @@ def shingles_sql(text_sql: str, n: int = 3) -> str:
     ).replace("t[", f"{toks}[")
 
 
+def char_trigrams(text: Column) -> Column:
+    """All character 3-grams (with repeats — frequency-weighted, unlike
+    the distinct word shingles). Empty array below 3 chars."""
+    return F.when(
+        F.length(text) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 2),
+            lambda i: text.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_trigrams_sql(text_sql: str) -> str:
+    # DuckDB range(a, b) is empty when b <= a — the <3-char guard is free
+    return (
+        f"list_transform(range(1, length({text_sql}) - 1), "
+        f"i -> substr({text_sql}, CAST(i AS INTEGER), 3))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality signals: repetition + cleaning
 # ---------------------------------------------------------------------------

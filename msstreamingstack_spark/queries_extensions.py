@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from msstreamingstack_spark.functions.text import (
     BPE_RE,
+    char_trigrams_sql,
     clean_text_sql,
     distinct_token_ratio_sql,
     dup_ngram_fraction_sql,
@@ -847,6 +848,88 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     return eval_overlap_stats(d, F.col("doc_id") % EVAL_EVERY == 0)
+
+
+@register(
+    "quality_chartrigram_df",
+    f"""
+WITH tri AS (
+  SELECT doc_id, unnest({char_trigrams_sql('text')}) AS t FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tri GROUP BY t)
+SELECT tri.doc_id,
+       COUNT(*) AS n_trigrams,
+       round(CAST(SUM(freq.cnt) AS DOUBLE) / COUNT(*), 9) AS avg_tri_df
+FROM tri JOIN freq ON tri.t = freq.t
+GROUP BY tri.doc_id
+""",
+    tags=("extension", "text", "quality"),
+    doc="CCNet-style statistical quality score without a language "
+    "model: per-doc mean corpus frequency of its char trigrams "
+    "(garbled/rare text scores low, fluent text high). All-integer "
+    "aggregation until one final division ⇒ exact cross-engine. Two "
+    "shuffles (corpus freq table, per-doc agg); the freq table is a "
+    "post-aggregation intermediate AQE may broadcast.",
+)
+def q_quality_chartrigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import char_trigrams
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tri = d.select(
+        "doc_id", F.explode(char_trigrams(F.col("text"))).alias("t")
+    )
+    freq = tri.groupBy("t").agg(F.count("*").alias("cnt"))
+    return (
+        tri.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count("*"), 9
+            ).alias("avg_tri_df"),
+        )
+    )
+
+
+TOP_NGRAMS_K = 5
+
+
+@register(
+    "top_ngrams_per_lang",
+    f"""
+WITH g AS (
+  SELECT lang, unnest({shingles_sql('text')}) AS gram FROM documents
+),
+c AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram),
+r AS (
+  SELECT lang, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, gram ASC) AS rnk
+  FROM c
+)
+SELECT lang, gram, cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOP_NGRAMS_K}
+""",
+    tags=("extension", "text", "analytics"),
+    doc=f"Top-{TOP_NGRAMS_K} word trigrams per language — corpus "
+    "inspection surface (boilerplate and template text shows up as "
+    "dominant n-grams). Partial-aggregated count then a tiny "
+    "per-lang top-k window; ties broken by gram for determinism.",
+)
+def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = d.select("lang", F.explode(shingles(F.col("text"))).alias("gram"))
+    c = g.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_NGRAMS_K)
+        .select("lang", "gram", "cnt", "rnk")
+    )
 
 
 @register(

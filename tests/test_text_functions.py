@@ -60,3 +60,15 @@ def test_hash48_deterministic_and_48bit(spark):
     h2 = _one(spark, "some shingle", hash48(F.col("t")))
     assert h1 == h2
     assert 0 <= h1 < (1 << 48)
+
+
+def test_char_trigrams_edges(spark):
+    from msstreamingstack_spark.functions.text import char_trigrams
+
+    assert _one(spark, "abcd", char_trigrams(F.col("t"))) == ["abc", "bcd"]
+    assert _one(spark, "ab", char_trigrams(F.col("t"))) == []
+    assert _one(spark, "xyz", char_trigrams(F.col("t"))) == ["xyz"]
+    # unicode positions are character-based, not byte-based
+    assert _one(spark, "héllo", char_trigrams(F.col("t"))) == [
+        "hél", "éll", "llo",
+    ]
