@@ -42,7 +42,8 @@ BASE_SF = "/root/testdata/sf0.1"
 
 # one representative per plan family: window-sessionize, hash-agg,
 # shuffle join + agg, window-pack, digest-window dedup, shingle-join
-# dedup, composite pipeline, embedding kernel
+# dedup, composite pipeline, embedding kernel, broadcast-semi-join
+# decontamination, corpus-freq self-join quality score
 QUERIES = (
     "sessionize_events",
     "tpch_q1",
@@ -52,6 +53,8 @@ QUERIES = (
     "dedup_minhash_lsh",
     "pipeline_pretrain_corpus",
     "similarity_topk_cosine",
+    "decontaminate_eval_overlap",
+    "quality_chartrigram_df",
 )
 
 TABLES = (
