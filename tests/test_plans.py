@@ -250,3 +250,21 @@ def test_token_budget_single_shuffle(spark):
     hash_ex = re.findall(r"hashpartitioning\(source", f.text)
     assert len(hash_ex) >= 1, f.text
     assert len(set(re.findall(r"hashpartitioning\(\w+", f.text))) == 1, f.text
+
+
+def test_chartrigram_quality_no_python_no_nested_loop(spark):
+    """Corpus-frequency quality score: the trigram/freq self-join must
+    be a key join (never nested-loop), all expression work JVM-side."""
+    f = plan_facts(REGISTRY["quality_chartrigram_df"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_top_ngrams_partial_agg_no_join(spark):
+    """Per-lang n-gram counts: partial-then-final aggregation over the
+    explode, a window for top-k, and nothing else."""
+    f = plan_facts(REGISTRY["top_ngrams_per_lang"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert "Join" not in f.text
+    assert "partial_count" in f.text or "HashAggregate" in f.text, f.text
