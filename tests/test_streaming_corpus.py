@@ -101,3 +101,40 @@ def test_quality_gate_reasons(spark):
     )
     out = {r["doc_id"]: r["gate_fail"] for r in quality_gate(docs).collect()}
     assert out == {1: None, 2: "too_repetitive", 3: "too_short"}
+
+
+def test_corpus_ingest_dedup_state_survives_restart(spark, tmp_path):
+    """Stop after batch 0, restart on the same checkpoint with a new
+    drop containing a duplicate of a batch-0 doc: the content-hash
+    state must persist across the restart and still drop it."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kwargs = dict(
+        eval_docs=eval_docs,
+        accept_dir=str(tmp_path / "accept"),
+        reject_dir=str(tmp_path / "reject"),
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+
+    _write_drop(drops / "b0.parquet", [(1, NORMAL_A)], 1_700_000_000)
+    q = run_corpus_ingest(spark, str(drops), **kwargs)
+    q.awaitTermination(120)
+
+    _write_drop(
+        drops / "b1.parquet",
+        [(2, NORMAL_A), (3, NORMAL_B)],  # 2 duplicates batch-0 doc 1
+        1_700_000_010,
+    )
+    q = run_corpus_ingest(spark, str(drops), **kwargs)
+    q.awaitTermination(120)
+
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(kwargs["accept_dir"]).collect()
+    }
+    assert accepted == {1, 3}, "restart must keep doc 2 deduped"
