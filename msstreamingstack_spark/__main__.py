@@ -8,6 +8,9 @@ reference's two runnable apps plus a query runner:
             single streaming query, enrichment + stateful
             sessionization, fan-out sinks
   query     run any registered named query and print its result
+  ingest    streaming corpus ingestion (extension surface): document
+            file-drops -> quality gates -> watermarked exact dedup ->
+            decontamination vs an eval set -> accept/reject stores
 
 Examples:
   python -m msstreamingstack_spark produce --out /tmp/drops \\
@@ -16,6 +19,9 @@ Examples:
       --checkpoint /tmp/cp --parquet-out /tmp/history --once
   python -m msstreamingstack_spark query tpch_q1 \\
       --sf-dir /root/testdata/sf0.01
+  python -m msstreamingstack_spark ingest --source /tmp/doc_drops \\
+      --eval-parquet /root/testdata/sf0.01/documents.parquet \\
+      --accept /tmp/corpus --reject /tmp/rejects --checkpoint /tmp/icp --once
 """
 
 from __future__ import annotations
@@ -103,6 +109,32 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    spark = get_spark(app_name="msstreamingstack-ingest")
+    spark.sparkContext.setLogLevel("WARN")
+    eval_docs = spark.read.parquet(args.eval_parquet)
+    if args.eval_every > 1:
+        eval_docs = eval_docs.filter(F.col("doc_id") % args.eval_every == 0)
+    q = run_corpus_ingest(
+        spark,
+        source_path=args.source,
+        eval_docs=eval_docs,
+        accept_dir=args.accept,
+        reject_dir=args.reject,
+        checkpoint_dir=args.checkpoint,
+        frac_threshold=args.threshold,
+        available_now=args.once,
+        max_files_per_trigger=args.files_per_trigger,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -133,6 +165,22 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--rows", type=int, default=20)
     q.add_argument("--explain", action="store_true")
     q.set_defaults(fn=_cmd_query)
+
+    i = sub.add_parser("ingest", help="run the streaming corpus ingester")
+    i.add_argument("--source", required=True, help="document drop directory")
+    i.add_argument("--eval-parquet", required=True,
+                   help="parquet of benchmark/eval documents")
+    i.add_argument("--eval-every", type=int, default=1,
+                   help="keep every Nth eval doc (doc_id %% N == 0)")
+    i.add_argument("--accept", required=True, help="accepted-corpus directory")
+    i.add_argument("--reject", required=True, help="rejected-docs directory")
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--threshold", type=float, default=0.30,
+                   help="contamination overlap-fraction threshold")
+    i.add_argument("--files-per-trigger", type=int, default=1)
+    i.add_argument("--once", action="store_true",
+                   help="Trigger.AvailableNow: drain pending input, then stop")
+    i.set_defaults(fn=_cmd_ingest)
 
     args = ap.parse_args(argv)
     return args.fn(args)

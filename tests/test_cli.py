@@ -42,3 +42,54 @@ def test_query_subcommand_runs_and_unknown_rejected(spark, capsys):
     assert rc == 0
     rc = main(["query", "no_such_query_xyz"])
     assert rc == 2
+
+
+def test_ingest_subcommand_end_to_end(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drops = str(tmp_path / "doc_drops")
+    os.makedirs(drops)
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "zebra yak xylophone walrus vulture tiger snake",  # = eval doc
+        3: "a a a a a a",                                      # repetitive
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["crawl"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(drops, "b0.parquet"))
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array([texts[2]], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["bench"], pa.string()),
+                "n_chars": pa.array([len(texts[2])], pa.int64()),
+            }
+        ),
+        ev,
+    )
+    accept, reject = str(tmp_path / "acc"), str(tmp_path / "rej")
+    rc = main(
+        [
+            "ingest", "--source", drops, "--eval-parquet", ev,
+            "--accept", accept, "--reject", reject,
+            "--checkpoint", str(tmp_path / "icp"), "--once",
+        ]
+    )
+    assert rc == 0
+    assert {r["doc_id"] for r in spark.read.parquet(accept).collect()} == {1}
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(reject).collect()
+    }
+    assert rej == {2: "contaminated", 3: "too_repetitive"}
