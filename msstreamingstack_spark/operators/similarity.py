@@ -253,11 +253,18 @@ def quantized_rescore_topk(
     shortlist of ``shortlist_factor × k`` candidates.
 
     The code scan is one numpy matmul per Arrow batch (reconstruct
-    x̂ = mn + code·scale, then X̂norm @ Qnormᵀ); only (query, neighbor,
-    approx_cos) longs/doubles leave it. Approximate by quantization
-    error only (no bucketing misses), so recall is near-1 and is
-    asserted against brute_force_topk in tests; registered rows-only
-    like the other ANN variants.
+    x̂ = mn + code·scale, then X̂norm @ Qnormᵀ) that keeps a RUNNING
+    per-query top-M (M = k·shortlist_factor) inside each partition —
+    only M × Q rows per partition ever leave the scan, so the global
+    per-query shortlist window ranks ~M × partitions rows instead of
+    N × Q. That bound is what survives a 100× corpus: the shuffle into
+    the window stage is O(partitions), not O(corpus).
+
+    Deterministic end to end (quantization is exact integer/double
+    arithmetic; approx scores are rounded to COS_ROUND before ranking
+    with an id tiebreak), so the whole operator is SQL-expressible —
+    ``quantized_rescore_sql`` is the DuckDB oracle; the recall bound vs
+    brute force is additionally asserted in tests.
     """
     import numpy as np
     import pandas as pd
@@ -267,17 +274,22 @@ def quantized_rescore_topk(
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n_short = k * shortlist_factor
 
-    # mn/scale bound once per row (columns, not re-derived per element)
+    # mn/scale bound once per row, in DOUBLE from the first subtraction
+    # (a float32 max-min would round differently from the SQL oracle's
+    # double arithmetic — same discipline as quantize_int8_stats)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_v"),
-        F.array_min(F.col(vec_col)).cast("double").alias("mn"),
-        (
-            (F.array_max(F.col(vec_col)) - F.array_min(F.col(vec_col)))
-            .cast("double")
-            / F.lit(255.0)
-        ).alias("scale"),
+        dv.alias("_v"),
+    ).select(
+        "neighbor_id",
+        "_v",
+        F.array_min(F.col("_v")).alias("mn"),
+        ((F.array_max(F.col("_v")) - F.array_min(F.col("_v"))) / F.lit(255.0)).alias(
+            "scale"
+        ),
     )
     codes = base.select(
         "neighbor_id",
@@ -287,9 +299,9 @@ def quantized_rescore_topk(
             F.col("scale") > 0,
             F.transform(
                 F.col("_v"),
-                lambda x: F.floor(
-                    (x.cast("double") - F.col("mn")) / F.col("scale") + 0.5
-                ).cast("int"),
+                lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast(
+                    "int"
+                ),
             ),
         )
         .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
@@ -297,6 +309,12 @@ def quantized_rescore_topk(
     )
 
     def scan(batches):
+        # running per-query top-M across the partition's batches: keep
+        # (rounded approx_cos, neighbor_id) sorted by the same total
+        # order the global window uses, so the partition cut never
+        # drops a global-top-M candidate
+        best_cos = np.full((len(q_ids), 0), 0.0)
+        best_id = np.full((len(q_ids), 0), 0, dtype="int64")
         for pdf in batches:
             c = np.stack(pdf["codes"].to_numpy()).astype("float64")
             mn = pdf["mn"].to_numpy()[:, None]
@@ -305,29 +323,41 @@ def quantized_rescore_topk(
             xn = x / np.maximum(
                 np.linalg.norm(x, axis=1, keepdims=True), 1e-30
             )
-            cos = xn @ q_norm.T  # batch × Q
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, n),
-                    "neighbor_id": np.repeat(
-                        pdf["neighbor_id"].to_numpy(), len(q_ids)
-                    ),
-                    "approx_cos": cos.ravel(),
-                }
+            cos = np.round(xn @ q_norm.T, COS_ROUND).T  # Q × batch
+            ids = np.broadcast_to(
+                pdf["neighbor_id"].to_numpy("int64"), cos.shape
             )
+            cos = np.where(ids == q_ids[:, None], -np.inf, cos)  # no self
+            all_cos = np.concatenate([best_cos, cos], axis=1)
+            all_id = np.concatenate([best_id, ids], axis=1)
+            # lexsort: last key primary → (-cos asc, id asc) = the
+            # (cos desc, neighbor_id asc) window order
+            keep_cos = np.empty((len(q_ids), min(n_short, all_cos.shape[1])))
+            keep_id = np.empty_like(keep_cos, dtype="int64")
+            for qi in range(len(q_ids)):
+                o = np.lexsort((all_id[qi], -all_cos[qi]))[: n_short]
+                keep_cos[qi] = all_cos[qi][o[: keep_cos.shape[1]]]
+                keep_id[qi] = all_id[qi][o[: keep_cos.shape[1]]]
+            best_cos, best_id = keep_cos, keep_id
+        mask = np.isfinite(best_cos)
+        qq = np.broadcast_to(q_ids[:, None], best_cos.shape)
+        yield pd.DataFrame(
+            {
+                "query_id": qq[mask],
+                "neighbor_id": best_id[mask],
+                "approx_cos": best_cos[mask],
+            }
+        )
 
     approx = codes.mapInPandas(
         scan, "query_id long, neighbor_id long, approx_cos double"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    # at scale: per-partition top-M before this global per-query top —
-    # the window below then sees ~M × partitions rows, not N
+    )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id").asc()
     )
     shortlist = (
         approx.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") <= k * shortlist_factor)
+        .filter(F.col("arank") <= n_short)
         .select("query_id", "neighbor_id")
     )
     scored = (
@@ -355,6 +385,114 @@ def quantized_rescore_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def quantized_rescore_sql(
+    k: int = 5, shortlist_factor: int = 4, n_queries: int = 10
+) -> str:
+    """DuckDB oracle for ``quantized_rescore_topk``. The operator is
+    deterministic end to end — int8 codes are exact integer/double
+    arithmetic (bit-identical across engines), approx scores are
+    rounded to COS_ROUND before the id-tiebroken shortlist cut, and the
+    exact rescore uses the verified sequential-fold cosine — so the
+    whole ANN, not just its exact baseline, is SQL-checkable."""
+    m = k * shortlist_factor
+    cos = cosine_sql("qe.embedding", "ce.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+stats AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM base
+),
+recon AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x ->
+                     mn + floor((x - mn) / scale + 0.5) * scale)
+              ELSE list_transform(v, x -> mn) END AS xhat
+  FROM stats
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(c.xhat, q.v)
+               / (greatest(sqrt(list_dot_product(c.xhat, c.xhat)), 1e-30)
+                  * sqrt(list_dot_product(q.v, q.v))), {COS_ROUND})
+           AS approx_cos
+  FROM recon c JOIN base q ON q.vec_id < {n_queries}
+  WHERE q.vec_id <> c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_cos DESC, neighbor_id ASC) AS arank
+        FROM approx)
+  WHERE arank <= {m}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, round({cos}, {COS_ROUND}) AS cos
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def srp_ann_sql(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB oracle for ``srp_ann_topk``: the md5-derived hyperplanes
+    are inlined as double literals (repr round-trips exactly), the sign
+    test and bucket packing are scalar SQL, and the within-candidate
+    ranking reuses the verified fold cosine — the same bit-exact-LSH
+    discipline as ``minhash_lsh_sql``. The only cross-engine freedom is
+    summation order inside the plane dot products; a sign flip needs
+    |dot| ≲ 1e-13, vanishingly unlikely for random planes."""
+    per_table = []
+    for t in range(N_TABLES):
+        terms = []
+        for j in range(PLANES_PER_TABLE):
+            p = t * PLANES_PER_TABLE + j
+            lit = "[" + ", ".join(repr(x) for x in _plane(p)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        bucket = "\n         + ".join(terms)
+        per_table.append(f"SELECT vec_id, {t} AS tbl,\n           {bucket} AS bucket FROM b")
+    buckets_sql = "\n  UNION ALL\n  ".join(per_table)
+    cos = cosine_sql("qe.embedding", "ce.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round({cos}, {COS_ROUND}) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def embedding_neardup_sql(threshold: float) -> str:
@@ -526,9 +664,17 @@ def ivf_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Lloyd iterations; returns the K x DIM centroid ndarray. Each
-    iteration: distributed assign (Arrow matmul) + distributed mean
-    per cell; only the K centroids are collected."""
+    """Lloyd iterations; returns the K x DIM centroid ndarray.
+
+    Driver-side data is HARD-BOUNDED by row count, independent of
+    corpus size: init collects exactly ``k`` vectors (``limit(k)``,
+    deterministic first-k-by-id), and each iteration collects exactly
+    the ``k`` per-cell means — K×DIM doubles per round-trip, never a
+    fraction-based sample. Assignment and the mean reduction stay
+    distributed (Arrow matmul + groupBy), so the same fit runs
+    unchanged on a 100 TB corpus; for K beyond a few thousand switch
+    to ``pyspark.ml.clustering.KMeans`` (same contract, tree-reduce
+    updates)."""
     import numpy as np
 
     init = (

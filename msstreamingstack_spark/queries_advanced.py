@@ -453,7 +453,7 @@ def media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH media AS ({MEDIA_FROM_DOCS_SQL})
 SELECT kind, COUNT(*) AS n,
-       SUM(octet_length(payload)) AS total_bytes,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        COALESCE(MAX(width), -1) AS max_width,
        COALESCE(MAX(height), -1) AS max_height
 FROM media GROUP BY kind
@@ -634,7 +634,7 @@ minutely AS (
   FROM ev GROUP BY 1, 2
 )
 SELECT (min_bucket // 3600) * 3600 AS hour_bucket, event_type,
-       SUM(n) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(sv) AS DOUBLE) AS sum_value,
        COUNT(*) AS n_minutes_active
 FROM minutely GROUP BY 1, 2
@@ -753,7 +753,7 @@ _attach_chunk_oracle()
 WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
             FROM events)
 SELECT event_type,
-       SUM(cents * cents) AS sq_cents,
+       CAST(SUM(cents * cents) AS BIGINT) AS sq_cents,
        COUNT(*) AS n
 FROM ev GROUP BY event_type
 """,
@@ -998,10 +998,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_by_linestatus",
     """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -44,6 +44,8 @@ from msstreamingstack_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_sql,
     quantize_int8_sql,
+    quantized_rescore_sql,
+    srp_ann_sql,
     srp_ann_topk,
 )
 from msstreamingstack_spark.queries import register
@@ -201,11 +203,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_srp",
-    None,  # approximate by design → rows-only driver check + pytest recall
+    srp_ann_sql(k=5, n_queries=N_QUERY_VECS),
     tags=("extension", "similarity", "ann"),
-    doc="Sign-random-projection ANN top-5 (12-plane bucket LSH, exact "
-    "cosine within bucket). Approximate ⇒ no SQL oracle; recall vs "
-    "the brute-force baseline is asserted in tests/test_extensions.py.",
+    doc="Sign-random-projection ANN top-5 (8-table × 4-plane bucket "
+    "LSH, exact cosine within candidates). Approximate vs brute force "
+    "(recall asserted in tests/test_extensions.py) yet fully "
+    "deterministic — md5-derived planes inline into the DuckDB oracle, "
+    "so even the LSH stage is hash-checked bit-for-bit, like "
+    "dedup_minhash_lsh.",
 )
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -215,13 +220,14 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_quantized",
-    None,  # approximate (quantization error) → rows-only + pytest recall
+    quantized_rescore_sql(k=5, shortlist_factor=4, n_queries=N_QUERY_VECS),
     tags=("extension", "similarity", "ann", "quantization"),
     doc="Quantized-scan ANN top-5: corpus pass reads int8 codes only "
     "(4× smaller than float32 — the 100 TB scan stays in executor "
-    "memory), one numpy matmul per Arrow batch; exact float cosine "
-    "re-ranks a 4k-per-query shortlist. Approximate only through "
-    "quantization error ⇒ near-1 recall, asserted in tests.",
+    "memory), one numpy matmul per Arrow batch keeping a running "
+    "per-partition top-M; exact float cosine re-ranks the 4k-per-query "
+    "shortlist. Deterministic (rounded scores, id tiebreaks) ⇒ "
+    "SQL-oracle-checked; recall bound additionally asserted in tests.",
 )
 def q_similarity_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.similarity import (
@@ -594,7 +600,7 @@ packed AS (
   FROM toks
 )
 SELECT source, chunk_idx, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS chunk_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM packed
 GROUP BY source, chunk_idx
 """,
@@ -961,9 +967,9 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
                              ORDER BY n_tokens DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, source, n_tokens, cum_tokens

@@ -76,12 +76,15 @@ PROCESSED_SCHEMA = T.StructType(
 
 # ---------------------------------------------------------------------------
 # Driver testdata tables (/root/testdata/sf*/; TESTDATA.md). `events.ts`
-# is parquet TIMESTAMP(NANOS) → read as long nanos (session.py conf).
+# is parquet TIMESTAMP(NANOS) in the driver files (reads back as
+# timestamp_ntz on Spark 4); this declared shape is the paced
+# generator's (int64 nanos). Consumers dispatch on the actual dtype —
+# see sources.tables.events_with_time / streaming.pipeline.
 # ---------------------------------------------------------------------------
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch NANOseconds
+        T.StructField("ts", T.LongType()),  # epoch NANOseconds (generator)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

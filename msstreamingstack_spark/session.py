@@ -18,9 +18,6 @@ from pyspark.sql import SparkSession
 # sessions created by an external harness and handed to us. All of these
 # are runtime-settable SQL confs.
 RUNTIME_CONFS: dict[str, str] = {
-    # driver testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-    # TimestampType (µs) cannot represent; read as long nanos instead.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic wall-clock-free comparisons against the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / applyInPandas / mapInPandas
@@ -33,13 +30,30 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply engine-required runtime confs to an externally-created session."""
+    """Apply engine-required runtime confs to an externally-created session.
+
+    Fails loud: a conf this engine depends on that cannot be set (or
+    reads back different from what we set) raises, instead of leaving a
+    silently-wrong session. Never rely on a conf changing *read
+    behavior* (e.g. the dead ``nanosAsLong`` legacy conf on Spark 4) —
+    code that cares about a read-back dtype must dispatch on the actual
+    schema, as ``sources.tables.events_with_time`` does.
+    """
+    problems: list[str] = []
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # non-settable on this build — leave whatever the session has
-            pass
+            got = spark.conf.get(k, None)
+        except Exception as exc:  # non-settable on this build
+            problems.append(f"{k}={v!r}: {exc}")
+            continue
+        if got != v:
+            problems.append(f"{k}: set {v!r} but session reports {got!r}")
+    if problems:
+        raise RuntimeError(
+            "engine-required Spark confs could not be applied: "
+            + "; ".join(problems)
+        )
     return spark
 
 

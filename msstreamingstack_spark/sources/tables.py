@@ -28,12 +28,15 @@ def sf_dir_default() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    ``events.ts`` arrives as long epoch-nanoseconds (TIMESTAMP(NANOS)
-    parquet read under ``nanosAsLong`` — see session.py).
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; depending
+    on the Spark build it surfaces as ``timestamp_ntz`` (Spark 4 — the
+    ``nanosAsLong`` legacy conf is accepted but ignored there) or as
+    long epoch-nanos. ``events_with_time`` dispatches on the actual
+    dtype rather than trusting any conf.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    apply_runtime_confs(spark)  # harness-created sessions lack nanosAsLong
+    apply_runtime_confs(spark)  # UTC tz / Arrow / AQE on harness sessions
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -60,9 +63,25 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds: exact, timezone-free, and bit-identical to the DuckDB
     oracle's ``epoch_ns(ts)//1e9``. Mirrors the reference treating
     ``message_date`` as epoch seconds (StructuredStreaming.scala:186).
+
+    Type-dispatches on the dtype ``ts`` actually read back as, because
+    Spark builds disagree on TIMESTAMP(NANOS) parquet: Spark 4 yields
+    ``timestamp_ntz`` (and silently ignores
+    ``spark.sql.legacy.parquet.nanosAsLong``), older builds honoring
+    that conf yield ``bigint`` nanos. ``unix_timestamp`` under the
+    UTC-pinned session equals DuckDB's ``epoch_ns//1e9`` exactly.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_sec", (F.col("ts") / NANOS_PER_SEC).cast("long"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_sec = (F.col("ts") / NANOS_PER_SEC).cast("long")
+    elif ts_type.startswith("timestamp"):
+        # timestamp or timestamp_ntz; session tz is pinned UTC so both
+        # floor to the same integer epoch seconds as the oracle.
+        ts_sec = F.unix_timestamp(F.col("ts"))
+    else:  # pragma: no cover - unexpected testdata schema
+        raise TypeError(f"events.ts has unsupported dtype {ts_type!r}")
+    return ev.withColumn("ts_sec", ts_sec)
 
 
 def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:

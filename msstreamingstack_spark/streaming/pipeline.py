@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from msstreamingstack_spark.schemas import EVENTS_SCHEMA
 from msstreamingstack_spark.session import apply_runtime_confs
@@ -29,6 +29,24 @@ from msstreamingstack_spark.streaming.stateful import sessionize_stream
 SinkFn = Callable[[DataFrame, int], None]
 
 
+def _ts_is_parquet_timestamp(path: str) -> bool:
+    """Probe one parquet footer under ``path`` for the physical type of
+    ``ts``. Driver testdata re-staged as drops carries TIMESTAMP(NANOS)
+    (surfaces as timestamp_ntz on Spark 4); the paced generator writes
+    int64 nanos. A streaming source must declare ONE schema, so the
+    dispatch happens here, driver-side, at stream-definition time —
+    a single footer read, no data scan."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return True  # empty dir: assume driver-testdata shape (nanos ts)
+    return pa.types.is_timestamp(pq.read_schema(files[0]).field("ts").type)
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -36,13 +54,28 @@ def read_event_stream(
 ) -> DataFrame:
     """File-drop event stream with the declared schema (streaming
     sources cannot infer — the reference pre-computed its schema from
-    a sample batch read, StructuredStreaming.scala:70-76; we declare)."""
+    a sample batch read, StructuredStreaming.scala:70-76; we declare).
+
+    ``ts_sec`` (integer epoch seconds) matches the batch loader
+    ``sources.tables.events_with_time`` bit-for-bit for either physical
+    ``ts`` encoding (timestamp under UTC session tz, or int64 nanos)."""
     apply_runtime_confs(spark)
+    if _ts_is_parquet_timestamp(path):
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        ts_sec = F.unix_timestamp(F.col("ts"))
+    else:
+        schema = EVENTS_SCHEMA
+        ts_sec = (F.col("ts") / NANOS_PER_SEC).cast("long")
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts_sec", (F.col("ts") / NANOS_PER_SEC).cast("long"))
+        .withColumn("ts_sec", ts_sec)
     )
 
 
