@@ -238,7 +238,7 @@ FROM werr
 """
 
 
-def quantized_rescore_topk(
+def quantized_approx_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -246,29 +246,22 @@ def quantized_rescore_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Quantized-scan + exact-rescore ANN (the IVF-PQ-style memory
-    pattern): the corpus-wide pass reads only int8 codes — 4× smaller
-    than float32, so at 100 TB the scan stage holds codes in executor
-    memory — and the exact float cosine runs only on a per-query
-    shortlist of ``shortlist_factor × k`` candidates.
+    """The quantized code-scan stage of ``quantized_rescore_topk``:
+    (query_id, neighbor_id, approx_cos) candidates, AT MOST
+    ``partitions × |queries| × k·shortlist_factor`` rows total.
 
-    The code scan is one numpy matmul per Arrow batch (reconstruct
-    x̂ = mn + code·scale, then X̂norm @ Qnormᵀ) that keeps a RUNNING
-    per-query top-M (M = k·shortlist_factor) inside each partition —
-    only M × Q rows per partition ever leave the scan, so the global
+    One numpy matmul per Arrow batch (reconstruct x̂ = mn + code·scale,
+    then X̂norm @ Qnormᵀ), keeping a RUNNING per-query top-M
+    (M = k·shortlist_factor) inside each partition — only M × Q rows
+    per partition ever leave the scan, so the downstream global
     per-query shortlist window ranks ~M × partitions rows instead of
     N × Q. That bound is what survives a 100× corpus: the shuffle into
-    the window stage is O(partitions), not O(corpus).
-
-    Deterministic end to end (quantization is exact integer/double
-    arithmetic; approx scores are rounded to COS_ROUND before ranking
-    with an id tiebreak), so the whole operator is SQL-expressible —
-    ``quantized_rescore_sql`` is the DuckDB oracle; the recall bound vs
-    brute force is additionally asserted in tests.
+    the window stage is O(partitions), not O(corpus). Exposed as its
+    own function so the bound is directly testable
+    (tests/test_extensions.py).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
@@ -349,8 +342,38 @@ def quantized_rescore_topk(
             }
         )
 
-    approx = codes.mapInPandas(
+    return codes.mapInPandas(
         scan, "query_id long, neighbor_id long, approx_cos double"
+    )
+
+
+def quantized_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized-scan + exact-rescore ANN (the IVF-PQ-style memory
+    pattern): the corpus-wide pass reads only int8 codes — 4× smaller
+    than float32, so at 100 TB the scan stage holds codes in executor
+    memory (see ``quantized_approx_candidates`` for the scan and its
+    per-partition output bound) — and the exact float cosine runs only
+    on a per-query shortlist of ``shortlist_factor × k`` candidates.
+
+    Deterministic end to end (quantization is exact integer/double
+    arithmetic; approx scores are rounded to COS_ROUND before ranking
+    with an id tiebreak, so the result is invariant to partitioning),
+    which makes the whole operator SQL-expressible —
+    ``quantized_rescore_sql`` is the DuckDB oracle; the recall bound vs
+    brute force is additionally asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    n_short = k * shortlist_factor
+    approx = quantized_approx_candidates(
+        corpus, queries, k, shortlist_factor, id_col, vec_col
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id").asc()

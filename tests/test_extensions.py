@@ -170,3 +170,39 @@ def test_quantized_rescore_recall(spark, sf_correctness):
     assert recall >= 0.95, f"quantized recall {recall:.3f}"
     assert all(len([r for r in got if r["query_id"] == q]) == 5
                for q in {r["query_id"] for r in got})
+
+
+def test_quantized_scan_output_bounded_by_partitions(spark, sf_correctness):
+    """The code-scan stage must emit a RUNNING per-partition top-M, so
+    rows entering the global shortlist window are bounded by
+    partitions × Q × M — never corpus × Q. This is the property that
+    keeps the shortlist shuffle O(partitions) at 100 TB."""
+    from msstreamingstack_spark.operators.similarity import (
+        quantized_approx_candidates,
+        quantized_rescore_topk,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings")  # 500 vectors
+    queries = emb.filter(F.col("vec_id") < 10)
+    k, factor, n_q, parts = 5, 4, 10, 13
+
+    corpus = emb.repartition(parts)
+    approx = quantized_approx_candidates(corpus, queries, k=k,
+                                         shortlist_factor=factor)
+    n_rows = approx.count()
+    bound = parts * n_q * k * factor
+    corpus_scaled = 500 * n_q  # what the unbounded N×Q emission would be
+    assert n_rows <= bound, f"scan emitted {n_rows} > bound {bound}"
+    assert n_rows < corpus_scaled, (
+        f"scan emitted {n_rows} rows — corpus-scaled, not partition-bounded"
+    )
+
+    # and the bound must not change the answer: result is invariant to
+    # partitioning (rounded scores + id tiebreaks make the cut exact)
+    base = sorted(tuple(r) for r in
+                  quantized_rescore_topk(emb, queries, k=k,
+                                         shortlist_factor=factor).collect())
+    repart = sorted(tuple(r) for r in
+                    quantized_rescore_topk(corpus, queries, k=k,
+                                           shortlist_factor=factor).collect())
+    assert base == repart, "quantized ANN result must be partitioning-invariant"
