@@ -104,3 +104,39 @@ def test_purchase_conditional_carry(spark):
     assert by_user[1]["purchase_category"] == "3"
     assert by_user[1]["last_value"] == 77.0  # T1 last-value does move
     assert by_user[2]["purchase_value"] is None  # never purchased
+
+
+def test_events_ts_dispatch_both_encodings(spark, tmp_path, sf_smoke):
+    """events_with_time must produce identical ts_sec whether ts arrives
+    as parquet TIMESTAMP(NANOS) (Spark 4 reads timestamp_ntz; the
+    nanosAsLong legacy conf is silently ignored there) or as int64
+    epoch-nanos (the paced generator's encoding). Guards the round-1
+    killer: trusting a conf to change read behavior."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    want = {
+        r["event_id"]: r["ts_sec"]
+        for r in events_with_time(spark, sf_smoke).collect()
+    }
+    assert want and all(v > 1_500_000_000 for v in want.values())
+
+    # re-encode the same events with ts as int64 epoch-nanos
+    t = pq.read_table(os.path.join(sf_smoke, "events.parquet"))
+    ts_ns = pa.compute.cast(
+        pa.compute.cast(t["ts"], pa.timestamp("ns")), pa.int64()
+    )
+    t2 = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)
+    longdir = tmp_path / "long_events"
+    os.makedirs(longdir)
+    pq.write_table(t2, longdir / "events.parquet")
+
+    got = {
+        r["event_id"]: r["ts_sec"]
+        for r in events_with_time(spark, str(longdir)).collect()
+    }
+    assert got == want
