@@ -46,10 +46,31 @@ MIN_DISTINCT_RATIO = 0.3
 
 
 def read_document_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """File-drop document stream with the declared corpus schema."""
+    """File-drop document stream with the declared corpus schema.
+
+    ``fmt="jsonl"`` reads raw JSONL crawl drops through the permissive
+    reader (sources/files.py) and silently drops corrupt lines here —
+    the batch `split_corrupt` path is for pipelines that must count
+    them; the streaming gate stage already attributes quality drops.
+    """
     apply_runtime_confs(spark)
+    if fmt == "jsonl":
+        from msstreamingstack_spark.sources.files import (
+            split_corrupt,
+            stream_documents_jsonl,
+        )
+
+        clean, _ = split_corrupt(
+            stream_documents_jsonl(spark, path, max_files_per_trigger)
+        )
+        return clean
+    if fmt != "parquet":
+        raise ValueError(f"unsupported stream format {fmt!r}")
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -84,6 +105,7 @@ def run_corpus_ingest(
     frac_threshold: float = DECONTAM_FRAC_T,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -101,7 +123,7 @@ def run_corpus_ingest(
     eval_h.count()  # materialize before the stream starts
 
     gated = quality_gate(
-        read_document_stream(spark, source_path, max_files_per_trigger)
+        read_document_stream(spark, source_path, max_files_per_trigger, fmt=fmt)
     )
     passed = (
         gated.filter(F.col("gate_fail").isNull())

@@ -1,0 +1,143 @@
+"""Text-format corpus sources (JSONL / CSV): declared-schema reads
+must round-trip the parquet documents table exactly, corrupt lines
+must be routed and counted (never fatal, never silently dropped), and
+the streaming JSONL path must feed the corpus-ingest pipeline
+unchanged."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.sources.files import (
+    read_documents_csv,
+    read_documents_jsonl,
+    split_corrupt,
+    write_documents_csv,
+    write_documents_jsonl,
+)
+from msstreamingstack_spark.sources.tables import load_table
+
+
+def _docs_key(rows):
+    return sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in rows
+    )
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+    clean, rejected = split_corrupt(read_documents_jsonl(spark, out))
+    assert rejected.count() == 0
+    assert _docs_key(clean.collect()) == _docs_key(docs.collect())
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "docs_csv")
+    write_documents_csv(docs, out)
+    clean, rejected = split_corrupt(read_documents_csv(spark, out))
+    assert rejected.count() == 0
+    assert _docs_key(clean.collect()) == _docs_key(docs.collect())
+
+
+def test_jsonl_corrupt_lines_routed_not_fatal(spark, tmp_path):
+    p = tmp_path / "drop.jsonl"
+    good = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en",
+         "source": "crawl", "n_chars": 10},
+        {"doc_id": 2, "text": "gamma delta", "lang": "en",
+         "source": "crawl", "n_chars": 11},
+    ]
+    lines = [json.dumps(good[0]), "{not json at all", json.dumps(good[1]),
+             '"just a string"']
+    p.write_text("\n".join(lines) + "\n")
+    clean, rejected = split_corrupt(read_documents_jsonl(spark, str(p)))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    bad = [r["raw_line"] for r in rejected.collect()]
+    assert len(bad) == 2 and "{not json at all" in bad
+
+
+def test_corpus_ingest_from_jsonl_drops(spark, tmp_path):
+    """The full streaming ingest pipeline (gates → watermarked dedup →
+    decontamination → accept/reject sinks) runs unchanged on raw JSONL
+    crawl drops."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    normal_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    normal_b = "kappa mu nu xi omicron rho sigma tau upsilon"
+    drops = tmp_path / "jsonl_drops"
+    drops.mkdir()
+
+    def write_drop(name, rows, mtime):
+        path = drops / name
+        path.write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": i, "text": t, "lang": "en",
+                     "source": "crawl", "n_chars": len(t)}
+                )
+                for i, t in rows
+            )
+            + "\n"
+        )
+        os.utime(path, (mtime, mtime))
+
+    write_drop("b0.jsonl", [(1, normal_a), (2, "a a a a a a"),
+                            (3, "tiny doc")], 1_700_000_000)
+    write_drop("b1.jsonl", [(4, normal_a), (5, normal_b)], 1_700_000_010)
+
+    eval_docs = spark.createDataFrame(
+        [(100, "zebra yak xylophone walrus", "en", "bench", 26)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    reject_dir = str(tmp_path / "reject")
+    q = run_corpus_ingest(
+        spark,
+        str(drops),
+        eval_docs,
+        accept_dir,
+        reject_dir,
+        checkpoint_dir=str(tmp_path / "cp"),
+        fmt="jsonl",
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
+    rejected = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(reject_dir).collect()
+    }
+    assert accepted == {1, 5}
+    assert rejected == {2: "too_repetitive", 3: "too_short"}
+    assert 4 not in accepted and 4 not in rejected  # cross-batch dup
+
+
+def test_jsonl_reader_prunes_columns(spark, sf_smoke, tmp_path):
+    """Column pruning must reach the scan feeding the projection. JSONL
+    is row-oriented, so file-scan pruning saves parse/convert rather
+    than IO; the split_corrupt cache parses each line once for both
+    branches, and the cached-relation scan must then serve a 2-column
+    projection without touching the wide text column."""
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+    clean, _ = split_corrupt(read_documents_jsonl(spark, out))
+    plan = (
+        clean.select("doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_line = next(
+        ln for ln in plan.splitlines() if "InMemoryTableScan" in ln
+    )
+    assert "text" not in scan_line, (
+        f"cached-relation scan did not prune the text column: {scan_line}"
+    )
