@@ -130,6 +130,7 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         frac_threshold=args.threshold,
         available_now=args.once,
         max_files_per_trigger=args.files_per_trigger,
+        fmt=args.fmt,
     )
     q.awaitTermination()
     return 0
@@ -175,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--accept", required=True, help="accepted-corpus directory")
     i.add_argument("--reject", required=True, help="rejected-docs directory")
     i.add_argument("--checkpoint", required=True)
+    i.add_argument("--fmt", choices=("parquet", "jsonl"), default="parquet",
+                   help="drop file format (jsonl = raw crawl lines, "
+                   "corrupt lines dropped at the source gate)")
     i.add_argument("--threshold", type=float, default=0.30,
                    help="contamination overlap-fraction threshold")
     i.add_argument("--files-per-trigger", type=int, default=1)

@@ -65,8 +65,9 @@ def register(
 # Shared SQL fragments (DuckDB side of sources/tables.py helpers)
 # ---------------------------------------------------------------------------
 # events + integer epoch seconds + parsed props (P2). The driver's
-# DuckDB views read `ts` as a nanosecond-precision timestamp;
-# epoch_ns//1e9 == Spark's long-nanos // 1e9 exactly.
+# DuckDB views read `ts` as a timestamp; epoch_ns//1e9 floors to the
+# same integer seconds as Spark's unix_timestamp under the UTC session
+# (and as long-nanos // 1e9 for generator-encoded data).
 EVENTS_TS_SQL = (
     "SELECT event_id, user_id, event_type, value, props, "
     "epoch_ns(ts)//1000000000 AS ts_sec FROM events"

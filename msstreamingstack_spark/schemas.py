@@ -76,7 +76,7 @@ PROCESSED_SCHEMA = T.StructType(
 
 # ---------------------------------------------------------------------------
 # Driver testdata tables (/root/testdata/sf*/; TESTDATA.md). `events.ts`
-# is parquet TIMESTAMP(NANOS) in the driver files (reads back as
+# is parquet TIMESTAMP(MICROS) in the driver files (reads back as
 # timestamp_ntz on Spark 4); this declared shape is the paced
 # generator's (int64 nanos). Consumers dispatch on the actual dtype —
 # see sources.tables.events_with_time / streaming.pipeline.

@@ -28,11 +28,12 @@ def sf_dir_default() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; depending
-    on the Spark build it surfaces as ``timestamp_ntz`` (Spark 4 — the
-    ``nanosAsLong`` legacy conf is accepted but ignored there) or as
-    long epoch-nanos. ``events_with_time`` dispatches on the actual
-    dtype rather than trusting any conf.
+    ``events.ts`` is parquet TIMESTAMP(MICROS) in the driver testdata
+    (measured from the footer — round 1 assumed NANOS, which made the
+    ``nanosAsLong`` conf doubly dead: Spark 4 ignores it AND it only
+    ever applied to nanos). It surfaces as ``timestamp_ntz``;
+    ``events_with_time`` dispatches on the actual read-back dtype
+    rather than trusting any conf or prior documentation.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -64,12 +65,13 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ``epoch_ns(ts)//1e9``. Mirrors the reference treating
     ``message_date`` as epoch seconds (StructuredStreaming.scala:186).
 
-    Type-dispatches on the dtype ``ts`` actually read back as, because
-    Spark builds disagree on TIMESTAMP(NANOS) parquet: Spark 4 yields
-    ``timestamp_ntz`` (and silently ignores
-    ``spark.sql.legacy.parquet.nanosAsLong``), older builds honoring
-    that conf yield ``bigint`` nanos. ``unix_timestamp`` under the
-    UTC-pinned session equals DuckDB's ``epoch_ns//1e9`` exactly.
+    Type-dispatches on the dtype ``ts`` actually read back as:
+    parquet timestamp columns (the driver testdata's TIMESTAMP(MICROS)
+    surfaces as ``timestamp_ntz``) go through ``unix_timestamp``,
+    which under the UTC-pinned session equals DuckDB's
+    ``epoch_ns//1e9`` exactly; ``bigint`` columns (the paced
+    generator's int64 epoch-nanos) divide by 1e9. Both encodings are
+    pinned equal in tests/test_semantics.py.
     """
     ev = load_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]

@@ -31,11 +31,11 @@ SinkFn = Callable[[DataFrame, int], None]
 
 def _ts_is_parquet_timestamp(path: str) -> bool:
     """Probe one parquet footer under ``path`` for the physical type of
-    ``ts``. Driver testdata re-staged as drops carries TIMESTAMP(NANOS)
-    (surfaces as timestamp_ntz on Spark 4); the paced generator writes
-    int64 nanos. A streaming source must declare ONE schema, so the
-    dispatch happens here, driver-side, at stream-definition time —
-    a single footer read, no data scan."""
+    ``ts``. Driver testdata re-staged as drops carries a parquet
+    timestamp (TIMESTAMP(MICROS); surfaces as timestamp_ntz on Spark
+    4); the paced generator writes int64 nanos. A streaming source
+    must declare ONE schema, so the dispatch happens here, driver-side,
+    at stream-definition time — a single footer read, no data scan."""
     import glob
 
     import pyarrow as pa
@@ -43,7 +43,7 @@ def _ts_is_parquet_timestamp(path: str) -> bool:
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if not files:
-        return True  # empty dir: assume driver-testdata shape (nanos ts)
+        return True  # empty dir: assume driver-testdata shape (timestamp ts)
     return pa.types.is_timestamp(pq.read_schema(files[0]).field("ts").type)
 
 

@@ -108,10 +108,10 @@ def test_purchase_conditional_carry(spark):
 
 def test_events_ts_dispatch_both_encodings(spark, tmp_path, sf_smoke):
     """events_with_time must produce identical ts_sec whether ts arrives
-    as parquet TIMESTAMP(NANOS) (Spark 4 reads timestamp_ntz; the
-    nanosAsLong legacy conf is silently ignored there) or as int64
-    epoch-nanos (the paced generator's encoding). Guards the round-1
-    killer: trusting a conf to change read behavior."""
+    as a parquet timestamp (the driver testdata's TIMESTAMP(MICROS),
+    read as timestamp_ntz on Spark 4) or as int64 epoch-nanos (the
+    paced generator's encoding). Guards the round-1 killer: trusting a
+    conf (or a doc claim about the footer) over the read-back dtype."""
     import os
 
     import pyarrow as pa
