@@ -700,31 +700,39 @@ def ivf_fit(
     updates)."""
     import numpy as np
 
-    init = (
-        emb.orderBy(id_col)
-        .limit(k)
-        .select(vec_col)
-        .toPandas()[vec_col]
-    )
-    centroids = np.stack(init.to_numpy()).astype("float64")
-    for _ in range(iters):
-        assigned = emb.select(
-            _assign_udf(centroids)(F.col(vec_col)).alias("cell"), vec_col
+    # the fit makes `iters` passes over the vectors — pin them in
+    # executor memory once instead of re-scanning (and re-decoding)
+    # the parquet every Lloyd iteration; at 100 TB the fit input is a
+    # bounded sample, so the cache is the sample, not the corpus
+    vecs = emb.select(id_col, vec_col).persist()
+    try:
+        init = (
+            vecs.orderBy(id_col)
+            .limit(k)
+            .select(vec_col)
+            .toPandas()[vec_col]
         )
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.element_at(F.col(vec_col), i + 1))
-                        for i in range(DIM)
-                    ]
-                ).alias("c")
+        centroids = np.stack(init.to_numpy()).astype("float64")
+        for _ in range(iters):
+            assigned = vecs.select(
+                _assign_udf(centroids)(F.col(vec_col)).alias("cell"), vec_col
             )
-            .collect()
-        )
-        for r in means:  # empty cells keep their previous centroid
-            centroids[r.cell] = np.array(r.c, dtype="float64")
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.array(
+                        *[
+                            F.avg(F.element_at(F.col(vec_col), i + 1))
+                            for i in range(DIM)
+                        ]
+                    ).alias("c")
+                )
+                .collect()
+            )
+            for r in means:  # empty cells keep their previous centroid
+                centroids[r.cell] = np.array(r.c, dtype="float64")
+    finally:
+        vecs.unpersist()
     return centroids
 
 

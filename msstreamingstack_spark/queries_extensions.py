@@ -897,6 +897,52 @@ def q_quality_chartrigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_char_entropy",
+    """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+freq AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+wp AS (
+  SELECT doc_id,
+         CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE)
+           AS p
+  FROM freq
+)
+SELECT doc_id,
+       CAST(SUM(CAST(round(-p * log2(p), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         AS char_entropy
+FROM wp GROUP BY doc_id
+""",
+    tags=("extension", "text", "quality", "entropy"),
+    doc="Per-document Shannon entropy over the character distribution "
+    "— the cheapest perplexity proxy a corpus filter has: binary "
+    "junk, base64 blobs and key-mash score far from natural text "
+    "(English prose ≈ 4.0-4.4 bits/char). Distributed as "
+    "explode → (doc, char) count → per-doc fold, the token-counting "
+    "shuffle shape. Cross-engine determinism: each -p·log2(p) term is "
+    "rounded to 9 decimals FIRST, then summed exactly in DECIMAL "
+    "(float sum order differs between engines; decimal addition of "
+    "identically-rounded terms is order-free).",
+)
+def q_quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")  # split-by-empty yields a trailing ""
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("doc_id"))
+    term = F.round(-p * F.log2(p), 9).cast("decimal(28,9)")
+    return (
+        freq.select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").cast("double").alias("char_entropy"))
+    )
+
+
 TOP_NGRAMS_K = 5
 
 

@@ -72,3 +72,36 @@ def test_char_trigrams_edges(spark):
     assert _one(spark, "héllo", char_trigrams(F.col("t"))) == [
         "hél", "éll", "llo",
     ]
+
+
+def test_char_entropy_separates_prose_from_junk(spark):
+    """The entropy score must order: uniform junk < English prose <
+    uniform-random alphabet soup; single-char spam is ~0 bits."""
+    from msstreamingstack_spark.queries import REGISTRY
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    rows = {
+        1: "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        2: "the quick brown fox jumps over the lazy dog and keeps running",
+        3: "abcdefghijklmnopqrstuvwxyz0123456789!@#$%^&*()_+-=[]{}",
+    }
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values()), pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(v) for v in rows.values()], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    ent = {
+        r["doc_id"]: r["char_entropy"]
+        for r in REGISTRY["quality_char_entropy"].builder(spark, d).collect()
+    }
+    assert ent[1] == 0.0
+    assert 3.0 < ent[2] < 4.6, ent[2]  # natural-language band
+    assert ent[3] > 5.5, ent[3]        # near-uniform distribution
+    assert ent[1] < ent[2] < ent[3]
