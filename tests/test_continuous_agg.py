@@ -112,3 +112,30 @@ def test_mv_matches_batch_rollup_and_resumes(spark, tmp_path):
         .collect()
     }
     assert mv == raw
+
+
+def test_mv_compaction_preserves_rollup(spark, tmp_path):
+    """A long-running MV accretes one tiny file per touched minute
+    partition per batch; compaction must collapse the file count
+    without changing any rollup result (partition column survives as
+    a data column in the compacted copy)."""
+    drops = str(tmp_path / "drops")
+    _stage_drops(drops, n_chunks=3)
+    mv_dir = str(tmp_path / "mv")
+    q = run_continuous_agg(spark, drops, mv_dir, str(tmp_path / "cp"))
+    q.awaitTermination(180)
+
+    from msstreamingstack_spark.sinks.layout import compact_parquet
+    from msstreamingstack_spark.streaming.continuous_agg import hourly_from_mv
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    before = key(hourly_from_mv(spark, mv_dir).collect())
+    n_small = sum(
+        1 for _r, _d, fs in os.walk(mv_dir) for f in fs if f.endswith(".parquet")
+    )
+    compacted = str(tmp_path / "mv_compact")
+    n_out = compact_parquet(spark, mv_dir, compacted)
+    assert n_out < n_small / 10, (n_out, n_small)
+    assert key(hourly_from_mv(spark, compacted).collect()) == before
