@@ -470,14 +470,10 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def srp_ann_sql(k: int = 5, n_queries: int = 10) -> str:
-    """DuckDB oracle for ``srp_ann_topk``: the md5-derived hyperplanes
-    are inlined as double literals (repr round-trips exactly), the sign
-    test and bucket packing are scalar SQL, and the within-candidate
-    ranking reuses the verified fold cosine — the same bit-exact-LSH
-    discipline as ``minhash_lsh_sql``. The only cross-engine freedom is
-    summation order inside the plane dot products; a sign flip needs
-    |dot| ≲ 1e-13, vanishingly unlikely for random planes."""
+def _srp_buckets_cte() -> str:
+    """The SRP bucket table as DuckDB SQL: md5-derived hyperplanes
+    inlined as double literals (repr round-trips exactly), sign test
+    and bucket packing as scalar SQL. Shared by every SRP oracle."""
     per_table = []
     for t in range(N_TABLES):
         terms = []
@@ -489,8 +485,18 @@ def srp_ann_sql(k: int = 5, n_queries: int = 10) -> str:
                 f"THEN {1 << j} ELSE 0 END)"
             )
         bucket = "\n         + ".join(terms)
-        per_table.append(f"SELECT vec_id, {t} AS tbl,\n           {bucket} AS bucket FROM b")
-    buckets_sql = "\n  UNION ALL\n  ".join(per_table)
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl,\n           {bucket} AS bucket FROM b"
+        )
+    return "\n  UNION ALL\n  ".join(per_table)
+
+
+def srp_ann_sql(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB oracle for ``srp_ann_topk`` — the same bit-exact-LSH
+    discipline as ``minhash_lsh_sql``. The only cross-engine freedom is
+    summation order inside the plane dot products; a sign flip needs
+    |dot| ≲ 1e-13, vanishingly unlikely for random planes."""
+    buckets_sql = _srp_buckets_cte()
     cos = cosine_sql("qe.embedding", "ce.embedding")
     return f"""
 WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -523,6 +529,69 @@ def embedding_neardup_sql(threshold: float) -> str:
     return f"""
 SELECT a.vec_id AS d1, b.vec_id AS d2, round({cos}, {COS_ROUND}) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos}, {COS_ROUND}) >= {threshold}
+"""
+
+
+def embedding_neardup_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-bucketed embedding near-dup pairs — the SCALE path whose
+    exact kernel is ``embedding_neardup_pairs``: candidates are id
+    pairs sharing a bucket in ANY table (equi-join on (table, bucket),
+    only ids and two longs shuffle), exact cosine runs on candidates
+    only. Same shape as minhash→jaccard verification in
+    operators/dedup.py; candidate volume is Σ bucket² per table
+    instead of N². Recall < 1 by design (a pair can miss every
+    table); the recall bound vs the exact kernel is asserted in tests,
+    and the operator itself is deterministic ⇒ SQL-oracle-checked.
+    """
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.posexplode(srp_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+
+    a = bucketed(emb, "d1")
+    b = bucketed(emb, "d2")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    withv = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(withv.select(F.col("_id").alias("d1"), F.col("_v").alias("v1")), "d1")
+        .join(withv.select(F.col("_id").alias("d2"), F.col("_v").alias("v2")), "d2")
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), COS_ROUND))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", "cos")
+    )
+
+
+def embedding_neardup_lsh_sql(threshold: float) -> str:
+    """DuckDB oracle for the SRP-bucketed near-dup pairs (buckets CTE
+    shared with the ANN oracle)."""
+    buckets_sql = _srp_buckets_cte()
+    cos = cosine_sql("ae.embedding", "be.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+  FROM buckets a JOIN buckets c ON a.tbl = c.tbl AND a.bucket = c.bucket
+  WHERE a.vec_id < c.vec_id
+)
+SELECT d1, d2, round({cos}, {COS_ROUND}) AS cos
+FROM cand
+JOIN embeddings ae ON ae.vec_id = cand.d1
+JOIN embeddings be ON be.vec_id = cand.d2
 WHERE round({cos}, {COS_ROUND}) >= {threshold}
 """
 

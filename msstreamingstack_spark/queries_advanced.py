@@ -401,6 +401,40 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, NEARDUP_COS_T)
 
 
+@register(
+    "dedup_embedding_lsh",
+    None,  # filled below (import-order: similarity helpers)
+    tags=("extension", "dedup", "embedding", "lsh"),
+    doc="SRP-bucketed embedding near-dup pairs — the scale path for "
+    "dedup_embedding_cosine: candidate pairs share an LSH bucket in "
+    "any of 8 tables (equi-join on (table, bucket); ids only in the "
+    "shuffle), exact cosine verifies candidates. Deterministic planes "
+    "⇒ the LSH stage itself is oracle-checked bit-for-bit; recall vs "
+    "the all-pairs kernel asserted in tests.",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_lsh_pairs(emb, NEARDUP_COS_T)
+
+
+def _attach_embedding_lsh_oracle() -> None:
+    from msstreamingstack_spark.operators.similarity import (
+        embedding_neardup_lsh_sql,
+    )
+    from msstreamingstack_spark.queries import REGISTRY
+
+    REGISTRY["dedup_embedding_lsh"].oracle = embedding_neardup_lsh_sql(
+        NEARDUP_COS_T
+    )
+
+
+_attach_embedding_lsh_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal surface (binary payload + typed metadata)
 # ---------------------------------------------------------------------------

@@ -206,3 +206,21 @@ def test_quantized_scan_output_bounded_by_partitions(spark, sf_correctness):
                     quantized_rescore_topk(corpus, queries, k=k,
                                            shortlist_factor=factor).collect())
     assert base == repart, "quantized ANN result must be partitioning-invariant"
+
+
+def test_embedding_lsh_neardup_recall(spark, sf_correctness):
+    """SRP-bucketed near-dup pairs must be a subset of the exact
+    all-pairs kernel (the verify stage is exact cosine) with recall
+    above the 8-table x 4-plane collision bound for cos >= 0.45."""
+    from msstreamingstack_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    exact = {(r["d1"], r["d2"]) for r in embedding_neardup_pairs(emb, 0.45).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in embedding_neardup_lsh_pairs(emb, 0.45).collect()}
+    assert exact, "test data should contain near-orthogonal dup pairs"
+    assert lsh <= exact, "LSH-verified pairs must be a subset of exact pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.7, f"embedding LSH recall {recall:.3f}"
