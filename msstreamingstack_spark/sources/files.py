@@ -110,3 +110,16 @@ def write_documents_csv(df: DataFrame, path: str) -> None:
     df.select(*_DOC_COLS).write.mode("overwrite").option("header", "true").option(
         "quote", '"'
     ).option("escape", '"').csv(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Batch ORC corpus reader — columnar like parquet (predicate
+    pushdown + column pruning apply), declared schema; no corrupt-line
+    concept (ORC is self-describing, a bad file fails the split, not
+    the row)."""
+    apply_runtime_confs(spark)
+    return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+
+
+def write_documents_orc(df: DataFrame, path: str) -> None:
+    df.select(*_DOC_COLS).write.mode("overwrite").orc(path)
