@@ -1845,3 +1845,84 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (deequ-style promotion gate)
+# ---------------------------------------------------------------------------
+@register(
+    "dq_report",
+    """
+SELECT 'orders' AS table_name, 'unique:o_orderkey' AS check_name,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_checked
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders', 'fk:o_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', 'range:l_discount',
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.3)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events', 'not_null:user_id',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events', 'in_set:event_type',
+       CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                     ('view', 'click', 'purchase', 'signup', 'error')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+""",
+    tags=("advanced", "quality", "dq"),
+    doc="Declarative constraint suite over the fixture tables: PK "
+    "uniqueness (one shuffle), FK orphans (anti-join, AQE-broadcast "
+    "dim), value range, null rate and domain membership (the per-row "
+    "checks fuse into one scan+aggregate each). Promotion gate shape: "
+    "all n_violations must be 0 before data ships; the streaming twin "
+    "is observe() in streaming/pipeline.py.",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.quality_checks import (
+        check_foreign_key,
+        check_in_range,
+        check_unique,
+        fused_row_checks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        check_unique(orders, "orders", ["o_orderkey"]),
+        check_foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
+        check_in_range(lineitem, "lineitem", "l_discount", 0.0, 0.3),
+        fused_row_checks(
+            ev,
+            "events",
+            [
+                ("not_null:user_id", F.col("user_id").isNull()),
+                (
+                    "in_set:event_type",
+                    F.col("event_type").isNotNull()
+                    & ~F.col("event_type").isin(
+                        "view", "click", "purchase", "signup", "error"
+                    ),
+                ),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
