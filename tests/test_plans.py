@@ -269,3 +269,27 @@ def test_top_ngrams_partial_agg_no_join(spark):
     assert f.python_evals == 0
     assert "Join" not in f.text
     assert "partial_count" in f.text or "HashAggregate" in f.text, f.text
+
+
+def test_shuffle_budget_pins(spark):
+    """Upper-bound shuffle budget per headline operator, in formatted-
+    plan Exchange OCCURRENCES (each physical exchange appears twice:
+    tree + details section). A regression that adds one real shuffle
+    raises the count by 2 and fails here with the plan attached."""
+    budget = {
+        "sessionize_events": 2,        # 1 real: user key (exchange reuse)
+        "tpch_q1": 2,                  # 1 real: group keys after partial agg
+        "hash_split_assign": 2,        # 1 real: split agg
+        "text_stats": 2,               # 1 real: final agg only
+        "dedup_exact": 4,              # 2 real: digest window + agg
+        "pack_sequences_greedy": 4,    # 2 real: per-source window + agg
+        "hypertable_rollup": 4,        # 2 real: minutely, hourly
+        "quality_char_entropy": 6,     # 3 real: char freq, doc window, fold
+        "pipeline_pretrain_corpus": 6, # 3 real: digest, split, report agg
+    }
+    for name, max_occ in budget.items():
+        f = plan_facts(REGISTRY[name].builder(spark, SF))
+        assert f.shuffles <= max_occ, (
+            f"{name}: {f.shuffles} Exchange occurrences > budget {max_occ}\n"
+            f"{f.text[:2000]}"
+        )
