@@ -177,10 +177,18 @@ def run_corpus_ingest(
             contaminated = scored.filter(
                 F.col("overlap_frac") >= frac_threshold
             ).select(*cols, F.lit("contaminated").alias("reject_reason"))
-            accepted.write.mode("append").parquet(accept_dir)
+            # batch-id-scoped overwrite, not raw append: foreachBatch is
+            # at-least-once, so a replayed batch must land in the SAME
+            # directory and overwrite itself (idempotent sink — the
+            # parquet_append_writer discipline in sinks/writers.py)
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(accept_dir, f"batch_id={batch_id}")
+            )
             bad.select(*cols, "reject_reason").unionByName(
                 contaminated
-            ).write.mode("append").parquet(reject_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(reject_dir, f"batch_id={batch_id}")
+            )
         finally:
             df.unpersist()
 

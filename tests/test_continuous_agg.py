@@ -139,3 +139,44 @@ def test_mv_compaction_preserves_rollup(spark, tmp_path):
     n_out = compact_parquet(spark, mv_dir, compacted)
     assert n_out < n_small / 10, (n_out, n_small)
     assert key(hourly_from_mv(spark, compacted).collect()) == before
+
+
+def test_mv_upsert_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: applying the SAME batch of
+    changed groups twice must leave the MV exactly as applying it
+    once (update rows carry complete values, and the merge anti-joins
+    the previous versions out)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from msstreamingstack_spark.streaming.continuous_agg import upsert_mv
+
+    schema = T.StructType([
+        T.StructField("min_bucket", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.DecimalType(25, 6)),
+    ])
+    b1 = spark.createDataFrame(
+        [(60, "view", 3, Decimal("1.5")), (60, "click", 1, Decimal("2.0")),
+         (120, "view", 2, Decimal("4.0"))],
+        schema,
+    )
+    mv = str(tmp_path / "mv")
+    upsert_mv(b1, mv)
+    # batch 2 updates one existing group and adds one, then REPLAYS
+    b2 = spark.createDataFrame(
+        [(60, "view", 5, Decimal("9.5")), (180, "error", 1, Decimal("0.5"))],
+        schema,
+    )
+    upsert_mv(b2, mv)
+    once = sorted(tuple(r) for r in read_mv(spark, mv).collect())
+    upsert_mv(b2, mv)  # replay
+    twice = sorted(tuple(r) for r in read_mv(spark, mv).collect())
+    assert once == twice
+    got = {(r[0], r[1]): (r[2], str(r[3])) for r in twice}
+    assert got[(60, "view")] == (5, "9.500000")
+    assert got[(60, "click")] == (1, "2.000000")
+    assert got[(120, "view")] == (2, "4.000000")
+    assert got[(180, "error")] == (1, "0.500000")

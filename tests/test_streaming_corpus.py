@@ -138,3 +138,33 @@ def test_corpus_ingest_dedup_state_survives_restart(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(kwargs["accept_dir"]).collect()
     }
     assert accepted == {1, 3}, "restart must keep doc 2 deduped"
+
+
+def test_corpus_sink_idempotent_under_full_replay(spark, corpus_drops, tmp_path):
+    """Disaster-recovery shape: the whole ingest re-runs from scratch
+    (fresh checkpoint, lost state) against the SAME sink directories.
+    Batch-id-scoped overwrite writes must leave the accept/reject sets
+    exactly as a single run would - raw append would duplicate them."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    reject_dir = str(tmp_path / "reject")
+    for leg in (1, 2):  # second leg = full replay with fresh checkpoint
+        q = run_corpus_ingest(
+            spark,
+            corpus_drops,
+            eval_docs,
+            accept_dir,
+            reject_dir,
+            checkpoint_dir=str(tmp_path / f"cp_replay_{leg}"),
+        )
+        q.awaitTermination(120)
+
+    accepted = [r["doc_id"] for r in spark.read.parquet(accept_dir).collect()]
+    rejected = [r["doc_id"] for r in spark.read.parquet(reject_dir).collect()]
+    assert sorted(accepted) == [1, 6], accepted
+    assert sorted(rejected) == [2, 3, 4], rejected
