@@ -32,6 +32,7 @@ from msstreamingstack_spark.functions.expressions import (
 )
 from msstreamingstack_spark.operators.sessionize import (
     sessionize,
+    sessionize_bucketed,
     sessionize_oracle_sql,
 )
 from msstreamingstack_spark.sources.tables import events_enriched, load_table
@@ -104,6 +105,33 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "ts_sec"
     )
     out = sessionize(
+        ev,
+        init_col=(F.col("event_type") == "signup"),
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value", "ts_sec", "session_idx", "session_id"
+    )
+
+
+@register(
+    "sessionize_events_bucketed",
+    sessionize_oracle_sql(
+        EVENTS_TS_SQL,
+        init_pred="event_type = 'signup'",
+        select_cols="event_id, user_id, event_type, value, ts_sec, session_idx",
+    ),
+    tags=("reference", "T2", "skew"),
+    doc="Skew-bounded sessionization: identical semantics to "
+    "sessionize_events (SAME oracle), but the event shuffle is keyed "
+    "(user, day) with boundary stitching via a per-user-day summary — "
+    "no hot user can pin a partition. The scale mitigation from "
+    "plans/notes.md, equality-tested and oracle-checked.",
+)
+def q_sessionize_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_enriched(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    )
+    out = sessionize_bucketed(
         ev,
         init_col=(F.col("event_type") == "signup"),
     )

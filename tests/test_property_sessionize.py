@@ -67,3 +67,69 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+def test_bucketed_equals_plain_on_fixture(spark):
+    """Day- and hour-bucketed sessionization must equal the unbucketed
+    scan exactly on the sf0.01 events (10k rows incl. signup splits)."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    ev = events_with_time(spark, "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "event_type", "ts_sec"
+    )
+    init = F.col("event_type") == "signup"
+
+    def key(df):
+        return sorted(
+            (r["event_id"], r["session_idx"], r["session_id"])
+            for r in df.collect()
+        )
+
+    want = key(sessionize(ev, init_col=init))
+    assert key(sessionize_bucketed(ev, init_col=init)) == want
+    assert key(sessionize_bucketed(ev, init_col=init, bucket_sec=3600)) == want
+
+
+def test_bucketed_midnight_boundary_cases(spark):
+    """Three crafted users around a bucket boundary (midnight = ts
+    86400): gap within threshold stitches across the boundary, gap
+    beyond it splits, and an init event just after the boundary splits
+    even at zero gap."""
+    from pyspark.sql import Row, functions as F
+
+    from msstreamingstack_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    mid = 86_400
+    rows = [
+        # user 1: 10 min across midnight → one session
+        Row(event_id=1, user_id=1, event_type="view", ts_sec=mid - 300),
+        Row(event_id=2, user_id=1, event_type="view", ts_sec=mid + 300),
+        # user 2: 40 min across midnight → two sessions
+        Row(event_id=3, user_id=2, event_type="view", ts_sec=mid - 1200),
+        Row(event_id=4, user_id=2, event_type="view", ts_sec=mid + 1200),
+        # user 3: signup 1 s after midnight → force split despite gap
+        Row(event_id=5, user_id=3, event_type="view", ts_sec=mid - 10),
+        Row(event_id=6, user_id=3, event_type="signup", ts_sec=mid + 1),
+        Row(event_id=7, user_id=3, event_type="view", ts_sec=mid + 2),
+    ]
+    ev = spark.createDataFrame(rows)
+    init = F.col("event_type") == "signup"
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize_bucketed(ev, init_col=init).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 2, 7: 2}
+    plain = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, init_col=init).collect()
+    }
+    assert got == plain
