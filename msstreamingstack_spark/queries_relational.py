@@ -202,6 +202,45 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "running_revenue_bucketed",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS od_sec,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""",
+    tags=("window", "running-agg", "skew"),
+    doc="Skew-bounded running revenue: SAME oracle as "
+    "running_revenue_per_customer, but the event shuffle is keyed "
+    "(customer, 30-day bucket) with a tiny per-bucket summary carrying "
+    "the prefix total — bit-exact because decimal partials re-add "
+    "exactly (operators/windows.py). A hot customer can no longer pin "
+    "one partition.",
+)
+def q_running_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.windows import bucketed_running_sum
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od_sec", _epoch_sec(F.col("o_orderdate"))
+    )
+    out = bucketed_running_sum(
+        o,
+        part_col="o_custkey",
+        order_cols=("o_orderdate", "o_orderkey"),
+        value_col="o_totalprice",
+        bucket_col=(F.col("od_sec") / (86_400 * 30)),
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "od_sec",
+        F.col("running_total").cast("double").alias("running_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------

@@ -120,3 +120,37 @@ def test_dfcap_keeps_true_neardups(spark):
     docs = _boilerplate_docs(spark)
     pairs = dfcapped_jaccard_pairs(docs, threshold=0.5, df_cap=10).collect()
     assert {(r.d1, r.d2) for r in pairs} == {(198, 199)}
+
+
+def test_bucketed_running_sum_equals_single_window(spark, sf_correctness):
+    """The (key, bucket) prefix-sum decomposition must be bit-identical
+    to the plain window — decimal partials re-add exactly."""
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.operators.windows import bucketed_running_sum
+    from msstreamingstack_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_correctness, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        r["o_orderkey"]: str(r["rt"])
+        for r in o.select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).alias("rt"),
+        ).collect()
+    }
+    bucketed = {
+        r["o_orderkey"]: str(r["running_total"])
+        for r in bucketed_running_sum(
+            o.withColumn("od_sec", F.unix_timestamp(F.col("o_orderdate"))),
+            part_col="o_custkey",
+            order_cols=("o_orderdate", "o_orderkey"),
+            value_col="o_totalprice",
+            bucket_col=(F.col("od_sec") / (86_400 * 7)),
+        ).collect()
+    }
+    assert bucketed == plain
