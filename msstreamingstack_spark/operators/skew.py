@@ -82,3 +82,23 @@ def salted_join(
         (F.col(left_key) == F.col(right_key)) & (salted_l["_salt"] == replicated_r["_salt"]),
     )
     return out.drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle key: row/key counts,
+    the heaviest key's share, and the skew factor (max-key rows vs the
+    even-split ideal). This is the measurement that justifies — or
+    vetoes — salting (this module), (key, bucket) windows
+    (operators/windows.py, sessionize_bucketed), or AQE skew-join
+    reliance before a job ships. Two tiny aggregations; output is one
+    row, so the profile is free next to any real query on the table.
+    """
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("_n"))
+    return per_key.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("_n").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("_n").cast("double") * F.count("*") / F.sum("_n"), 9
+        ).alias("skew_factor"),
+    )

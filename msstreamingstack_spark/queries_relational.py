@@ -619,3 +619,26 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "skew_profile_events_user",
+    """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 9) AS skew_factor
+FROM c
+""",
+    tags=("relational", "skew", "diagnostic"),
+    doc="Shuffle-key skew profile for events.user_id: heaviest-key row "
+    "count and skew factor vs the even-split ideal — the measurement "
+    "that picks between plain keys, salting, and (key, bucket) "
+    "windows before a 100 TB job ships.",
+)
+def q_skew_profile_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.skew import key_skew_profile
+    from msstreamingstack_spark.sources.tables import load_table
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
