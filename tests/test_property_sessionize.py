@@ -133,3 +133,30 @@ def test_bucketed_midnight_boundary_cases(spark):
         for r in sessionize(ev, init_col=init).collect()
     }
     assert got == plain
+
+
+@given(events_strategy, st.sampled_from([37, 100, 250, 86_400]))
+@settings(max_examples=10, deadline=None)
+def test_bucketed_sessionize_matches_python_model(
+    spark_session_holder, rows, bucket_sec
+):
+    """The (user, bucket)-keyed sessionizer with boundary stitching must
+    agree with the single-threaded model for ANY bucket width —
+    including buckets smaller than the gap (merge chains across many
+    consecutive buckets) and boundary-exact timestamps."""
+    from msstreamingstack_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(eid, u, ts, init) for eid, (u, ts, init) in enumerate(rows)],
+        ["event_id", "user_id", "ts_sec", "init"],
+    )
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize_bucketed(
+            df, gap_sec=GAP, init_col=F.col("init"), bucket_sec=bucket_sec
+        ).collect()
+    }
+    assert got == _model(rows)
