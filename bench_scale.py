@@ -46,6 +46,7 @@ BASE_SF = "/root/testdata/sf0.1"
 # decontamination, corpus-freq self-join quality score
 QUERIES = (
     "sessionize_events",
+    "sessionize_events_bucketed",   # skew-bounded twin: ratio must track the plain form
     "tpch_q1",
     "tpch_q3_building",
     "pack_sequences_greedy",
@@ -55,6 +56,9 @@ QUERIES = (
     "similarity_topk_cosine",
     "decontaminate_eval_overlap",
     "quality_chartrigram_df",
+    "running_revenue_bucketed",
+    "quality_char_entropy",
+    "dq_report",
 )
 
 TABLES = (
