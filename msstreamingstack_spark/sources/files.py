@@ -80,18 +80,24 @@ def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_corrupt(
+    df: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(clean, rejected): clean rows carry exactly the canonical
     documents columns; rejected rows carry the raw offending line.
 
     Spark refuses a query that references ONLY the corrupt column over
     raw JSON/CSV (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
     shape is to cache the parsed frame first, which also means the
-    file is parsed once for both branches. Streaming frames can't
-    cache; there the rejected branch also references data columns at
-    sink time, which is allowed.
+    file is parsed once for both branches. The cached relation lives
+    until the session drops it: a long-lived driver splitting many
+    files should ``clean.unpersist()``-via-the-parent (or
+    ``spark.catalog.clearCache()``) after consuming both branches, or
+    pass ``cache=False`` and consume only the clean branch. Streaming
+    frames never cache; there the rejected branch also references data
+    columns at sink time, which is allowed.
     """
-    if not df.isStreaming:
+    if cache and not df.isStreaming:
         df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).select(*_DOC_COLS)
     rejected = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
