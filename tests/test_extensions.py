@@ -224,3 +224,45 @@ def test_embedding_lsh_neardup_recall(spark, sf_correctness):
     assert lsh <= exact, "LSH-verified pairs must be a subset of exact pairs"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.7, f"embedding LSH recall {recall:.3f}"
+
+
+def test_incremental_dedup_equals_oneshot_and_replays(spark, sf_correctness, tmp_path):
+    """Processing the corpus in two increments must keep exactly the
+    docs a one-shot exact dedup keeps (earlier increments win), and
+    replaying an increment must change nothing (idempotent store)."""
+    from msstreamingstack_spark.operators.dedup import exact_dedup
+    from msstreamingstack_spark.operators.incremental import (
+        dedup_increment,
+        store_digests,
+    )
+
+    docs = load_table(spark, sf_correctness, "documents")
+    half1 = docs.filter(F.col("doc_id") < 250)
+    half2 = docs.filter(F.col("doc_id") >= 250)
+    store = str(tmp_path / "digest_store")
+
+    fresh1 = {r["doc_id"] for r in dedup_increment(half1, store, "inc1").collect()}
+    fresh2 = {r["doc_id"] for r in dedup_increment(half2, store, "inc2").collect()}
+    assert fresh1 and fresh2
+    assert not (fresh1 & fresh2)
+
+    # one-shot truth: canonical keepers over the full corpus. doc_id
+    # ordering makes "earlier increment wins" == "min doc_id wins".
+    oneshot = {
+        r["doc_id"]
+        for r in exact_dedup(docs).filter(~F.col("is_dup")).collect()
+    }
+    assert fresh1 | fresh2 == oneshot
+
+    # replay increment 2: store unchanged, nothing new admitted
+    before = sorted(
+        (r["content_md5"], r["increment"])
+        for r in store_digests(spark, store).collect()
+    )
+    replay = {r["doc_id"] for r in dedup_increment(half2, store, "inc2").collect()}
+    after = sorted(
+        (r["content_md5"], r["increment"])
+        for r in store_digests(spark, store).collect()
+    )
+    assert after == before
+    assert replay == fresh2  # deterministic: same fresh set on replay
