@@ -11,6 +11,10 @@ reference's two runnable apps plus a query runner:
   ingest    streaming corpus ingestion (extension surface): document
             file-drops -> quality gates -> watermarked exact dedup ->
             decontamination vs an eval set -> accept/reject stores
+  dedup-increment
+            batch incremental dedup: dedupe one corpus increment
+            against the persisted digest store (re-crawls beyond the
+            streaming watermark), register its fresh digests
 
 Examples:
   python -m msstreamingstack_spark produce --out /tmp/drops \\
@@ -136,6 +140,21 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup_increment(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.operators.incremental import dedup_increment
+    from msstreamingstack_spark.session import get_spark
+
+    spark = get_spark(app_name="msstreamingstack-dedup-increment")
+    spark.sparkContext.setLogLevel("WARN")
+    new_docs = spark.read.parquet(args.docs)
+    fresh = dedup_increment(new_docs, args.store, args.label)
+    if args.out:
+        fresh.write.mode("overwrite").parquet(args.out)
+    n = fresh.count()
+    print(f"increment {args.label}: {n} fresh docs registered")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--once", action="store_true",
                    help="Trigger.AvailableNow: drain pending input, then stop")
     i.set_defaults(fn=_cmd_ingest)
+
+    di = sub.add_parser(
+        "dedup-increment",
+        help="dedupe a corpus increment against the persisted digest store",
+    )
+    di.add_argument("--docs", required=True, help="parquet of new documents")
+    di.add_argument("--store", required=True, help="digest store directory")
+    di.add_argument("--label", required=True,
+                    help="increment id (retries with the same label are idempotent)")
+    di.add_argument("--out", help="write the fresh (first-seen) docs here")
+    di.set_defaults(fn=_cmd_dedup_increment)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -93,3 +93,24 @@ def test_ingest_subcommand_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(reject).collect()
     }
     assert rej == {2: "contaminated", 3: "too_repetitive"}
+
+
+def test_cli_dedup_increment(tmp_path, capsys):
+    from msstreamingstack_spark.__main__ import main
+
+    store = str(tmp_path / "store")
+    out1 = str(tmp_path / "fresh1")
+    rc = main([
+        "dedup-increment",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--store", store, "--label", "inc1", "--out", out1,
+    ])
+    assert rc == 0
+    assert "fresh docs registered" in capsys.readouterr().out
+    # replay with the same label: same count, store unchanged
+    rc = main([
+        "dedup-increment",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--store", store, "--label", "inc1",
+    ])
+    assert rc == 0
