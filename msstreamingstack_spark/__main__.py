@@ -135,6 +135,7 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         available_now=args.once,
         max_files_per_trigger=args.files_per_trigger,
         fmt=args.fmt,
+        digest_store_dir=args.digest_store,
     )
     q.awaitTermination()
     return 0
@@ -198,6 +199,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--fmt", choices=("parquet", "jsonl"), default="parquet",
                    help="drop file format (jsonl = raw crawl lines, "
                    "corrupt lines dropped at the source gate)")
+    i.add_argument("--digest-store",
+                   help="persisted digest store dir: reject re-crawls "
+                   "beyond the watermark/checkpoint (shared with "
+                   "dedup-increment)")
     i.add_argument("--threshold", type=float, default=0.30,
                    help="contamination overlap-fraction threshold")
     i.add_argument("--files-per-trigger", type=int, default=1)

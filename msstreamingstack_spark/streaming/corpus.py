@@ -106,12 +106,25 @@ def run_corpus_ingest(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     fmt: str = "parquet",
+    digest_store_dir: str | None = None,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
     ``eval_docs`` is the static benchmark set; its distinct shingle
     hashes are computed ONCE here (not per batch) and broadcast into
     every micro-batch's overlap join.
+
+    ``digest_store_dir`` (optional) plugs the persisted digest store
+    (operators/incremental.py) under the stream: the watermark bounds
+    the in-stream dedup STATE by time, so a re-crawl arriving after
+    the delay — or after a checkpoint reset — would sail through;
+    with the store, each batch's accepted docs are additionally
+    anti-joined against every digest ever accepted (any run, any
+    pipeline) and register their own. Store labels are
+    ``<run>-b<batch_id>`` where run is derived from the checkpoint
+    path, so replays of a batch from the same checkpoint overwrite
+    their own partition (idempotent) while a fresh checkpoint gets
+    fresh labels and still sees all prior digests.
     """
     # static side, computed once and persisted across micro-batches
     eval_h = (
@@ -143,6 +156,16 @@ def run_corpus_ingest(
             "doc_id", "text", "lang", "source", "n_chars", "gate_fail"
         )
     )
+
+    # stable per-checkpoint run label: batch replays from the same
+    # checkpoint re-use their digest-store partition (idempotent);
+    # a fresh checkpoint gets fresh labels and still sees all prior
+    # digests as foreign
+    import hashlib
+
+    run_label = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def fan_out(df: DataFrame, batch_id: int) -> None:
         df.persist()
@@ -177,6 +200,21 @@ def run_corpus_ingest(
             contaminated = scored.filter(
                 F.col("overlap_frac") >= frac_threshold
             ).select(*cols, F.lit("contaminated").alias("reject_reason"))
+            store_dups = None
+            if digest_store_dir is not None:
+                from msstreamingstack_spark.operators.incremental import (
+                    dedup_increment,
+                )
+
+                fresh = dedup_increment(
+                    accepted,
+                    digest_store_dir,
+                    increment_id=f"{run_label}-b{batch_id:09d}",
+                )
+                store_dups = accepted.join(
+                    fresh.select("doc_id"), "doc_id", "left_anti"
+                ).select(*cols, F.lit("store_duplicate").alias("reject_reason"))
+                accepted = fresh.select(*cols)
             # batch-id-scoped overwrite, not raw append: foreachBatch is
             # at-least-once, so a replayed batch must land in the SAME
             # directory and overwrite itself (idempotent sink — the
@@ -184,9 +222,10 @@ def run_corpus_ingest(
             accepted.write.mode("overwrite").parquet(
                 os.path.join(accept_dir, f"batch_id={batch_id}")
             )
-            bad.select(*cols, "reject_reason").unionByName(
-                contaminated
-            ).write.mode("overwrite").parquet(
+            rejects = bad.select(*cols, "reject_reason").unionByName(contaminated)
+            if store_dups is not None:
+                rejects = rejects.unionByName(store_dups)
+            rejects.write.mode("overwrite").parquet(
                 os.path.join(reject_dir, f"batch_id={batch_id}")
             )
         finally:

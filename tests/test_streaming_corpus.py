@@ -168,3 +168,54 @@ def test_corpus_sink_idempotent_under_full_replay(spark, corpus_drops, tmp_path)
     rejected = [r["doc_id"] for r in spark.read.parquet(reject_dir).collect()]
     assert sorted(accepted) == [1, 6], accepted
     assert sorted(rejected) == [2, 3, 4], rejected
+
+
+def test_digest_store_catches_recrawl_after_checkpoint_reset(spark, tmp_path):
+    """The watermark bounds in-stream dedup state by TIME; a re-crawl
+    after a checkpoint reset would be re-accepted. With the persisted
+    digest store plugged in, the second run rejects it with reason
+    store_duplicate — and a brand-new doc still lands."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    store = str(tmp_path / "digests")
+
+    def run(drop_dir, leg):
+        q = run_corpus_ingest(
+            spark,
+            drop_dir,
+            eval_docs,
+            str(tmp_path / f"accept{leg}"),
+            str(tmp_path / f"reject{leg}"),
+            checkpoint_dir=str(tmp_path / f"cp{leg}"),  # fresh each leg
+            digest_store_dir=store,
+        )
+        q.awaitTermination(120)
+        acc = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"accept{leg}")).collect()
+        }
+        rej = {
+            r["doc_id"]: r["reject_reason"]
+            for r in spark.read.parquet(str(tmp_path / f"reject{leg}")).collect()
+        }
+        return acc, rej
+
+    d1 = tmp_path / "drops1"
+    d1.mkdir()
+    _write_drop(d1 / "a.parquet", [(1, NORMAL_A), (2, NORMAL_B)], 1_700_000_000)
+    acc1, rej1 = run(str(d1), 1)
+    assert acc1 == {1, 2} and rej1 == {}
+
+    # second pipeline run, new checkpoint: doc 1's text re-crawled
+    # under a new id + one genuinely new doc
+    d2 = tmp_path / "drops2"
+    d2.mkdir()
+    fresh_text = "omega psi chi phi upsilon tau sigma rho pi"
+    _write_drop(d2 / "b.parquet", [(10, NORMAL_A), (11, fresh_text)], 1_700_000_100)
+    acc2, rej2 = run(str(d2), 2)
+    assert acc2 == {11}
+    assert rej2 == {10: "store_duplicate"}
