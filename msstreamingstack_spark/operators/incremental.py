@@ -95,3 +95,130 @@ def dedup_increment(
 def store_digests(spark: SparkSession, store_dir: str) -> DataFrame:
     """All digests ever registered, with their increment label."""
     return spark.read.parquet(store_dir).select("content_md5", "increment")
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: persisted MinHash signature store
+# ---------------------------------------------------------------------------
+def minhash_increment(
+    new_docs: DataFrame,
+    store_dir: str,
+    increment_id: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup counterpart of :func:`dedup_increment`: detect new docs
+    that are near-duplicates of ANY previously accepted doc, using a
+    persisted MinHash signature store (NUM_HASHES longs per doc — at
+    100 TB the store is signatures, never text or shingle sets).
+
+    Returns ``(fresh_docs, matches)``:
+    - ``fresh_docs``: rows of ``new_docs`` that are neither in-increment
+      near-dups (exact-jaccard verified, min-id canonical — shingles
+      are available for the increment itself) nor matched to the store;
+    - ``matches``: (new_id, old_id, est_jaccard) pairs vs the store.
+      Cross-increment verification uses the SIGNATURE-AGREEMENT
+      estimator (mean of per-hash equality; std ≈ √(j(1−j)/NUM_HASHES))
+      because the store deliberately keeps no shingles — banding
+      preselects high-similarity pairs, the estimator confirms. Raise
+      NUM_HASHES in operators/dedup.py for tighter confirmation.
+
+    Store idempotence follows :func:`dedup_increment`: fresh docs'
+    signatures land under ``increment=<label>`` with overwrite, and the
+    known side excludes the current label, so retries recompute
+    identically.
+    """
+    from msstreamingstack_spark.operators.dedup import (
+        BAND_SIZE,
+        NUM_HASHES,
+        doc_shingle_hashes,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    spark = new_docs.sparkSession
+    n_bands = NUM_HASHES // BAND_SIZE
+    mh_cols = [f"mh_{i}" for i in range(NUM_HASHES)]
+
+    if id_col != "doc_id":  # minhash_signatures groups on doc_id
+        new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
+
+    # 1. in-increment near-dup (exact-jaccard verified): drop the
+    #    non-canonical side of every pair
+    in_pairs = minhash_lsh_pairs(new_docs, threshold).select("d2").distinct()
+    kept = new_docs.join(
+        in_pairs.withColumnRenamed("d2", id_col), id_col, "left_anti"
+    )
+
+    sig_new = minhash_signatures(
+        doc_shingle_hashes(kept, text_col=text_col, persist=False)
+    )
+
+    def banded(sig: DataFrame, idc: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(
+            F.col("doc_id").alias(idc), F.explode(bands).alias("bk")
+        ).select(idc, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if _store_has_data(store_dir):
+        sig_old = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("increment") != increment_id)
+            .select("doc_id", *mh_cols)
+        )
+        cand = (
+            banded(sig_new, "new_id")
+            .join(banded(sig_old.withColumnRenamed("doc_id", "doc_id"), "old_id"),
+                  ["band", "key"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        agree = sum(
+            (F.col(f"n.mh_{i}") == F.col(f"o.mh_{i}")).cast("int")
+            for i in range(NUM_HASHES)
+        )
+        matches = (
+            cand.join(
+                sig_new.alias("n"), cand.new_id == F.col("n.doc_id")
+            )
+            .join(sig_old.alias("o"), cand.old_id == F.col("o.doc_id"))
+            .withColumn(
+                "est_jaccard", agree.cast("double") / F.lit(float(NUM_HASHES))
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("new_id", "old_id", "est_jaccard")
+        )
+        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = kept.join(dup_ids, id_col, "left_anti")
+    else:
+        matches = spark.createDataFrame(
+            [], "new_id long, old_id long, est_jaccard double"
+        )
+        fresh = kept
+
+    fresh = fresh.localCheckpoint(eager=True)  # snapshot before store write
+    matches = matches.localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        # register the FRESH docs' signatures; reuse sig_new (semi-join)
+        # instead of re-shingling the subset
+        sig_new.join(fresh.select(id_col), id_col, "left_semi")
+        .withColumn("increment", F.lit(increment_id))
+        .write.mode("overwrite")
+        .partitionBy("increment")
+        .parquet(store_dir)
+    )
+    return fresh, matches

@@ -266,3 +266,41 @@ def test_incremental_dedup_equals_oneshot_and_replays(spark, sf_correctness, tmp
     )
     assert after == before
     assert replay == fresh2  # deterministic: same fresh set on replay
+
+
+def test_minhash_increment_catches_cross_increment_neardups(spark, tmp_path):
+    """Near-dup counterpart of the digest store: a doc in increment 2
+    that is a near-duplicate of an increment-1 doc must be matched via
+    the persisted SIGNATURES (no shingles stored) and excluded from the
+    fresh set; brand-new docs pass; replay is idempotent."""
+    from msstreamingstack_spark.operators.incremental import minhash_increment
+
+    base = " ".join(
+        f"token{i} word{i * 7 % 41} item{i * 3 % 29}" for i in range(20)
+    )  # 60 words → 58 shingles
+    neardup = base + " trailing addendum"  # superset: jaccard ≈ 58/60
+    fresh_text = ("completely different content about spacecraft engines "
+                  "and orbital mechanics with no shared phrases at all here")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    store = str(tmp_path / "sig_store")
+    f1, m1 = minhash_increment(docs([(1, base)]), store, "inc1")
+    assert {r["doc_id"] for r in f1.collect()} == {1}
+    assert m1.count() == 0
+
+    f2, m2 = minhash_increment(
+        docs([(10, neardup), (11, fresh_text)]), store, "inc2"
+    )
+    assert {r["doc_id"] for r in f2.collect()} == {11}
+    got = {(r["new_id"], r["old_id"]) for r in m2.collect()}
+    assert got == {(10, 1)}
+    assert all(r["est_jaccard"] >= 0.8 for r in m2.collect())
+
+    # replay increment 2: identical outcome, store unchanged
+    f2r, m2r = minhash_increment(
+        docs([(10, neardup), (11, fresh_text)]), store, "inc2"
+    )
+    assert {r["doc_id"] for r in f2r.collect()} == {11}
+    assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
