@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def _store_has_data(store_dir: str) -> bool:
@@ -216,6 +216,165 @@ def minhash_increment(
         # register the FRESH docs' signatures; reuse sig_new (semi-join)
         # instead of re-shingling the subset
         sig_new.join(fresh.select(id_col), id_col, "left_semi")
+        .withColumn("increment", F.lit(increment_id))
+        .write.mode("overwrite")
+        .partitionBy("increment")
+        .parquet(store_dir)
+    )
+    return fresh, matches
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup: persisted int8-code + SRP-bucket store
+# ---------------------------------------------------------------------------
+def _embedding_store_rows(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Store representation of one embedding: int8 min-max codes (4x
+    smaller than float32 — the store compresses as it grows) plus SRP
+    bucket ids for candidate generation. Same quantization arithmetic
+    as operators/similarity.py's quantized ANN."""
+    from msstreamingstack_spark.operators.similarity import srp_buckets
+
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        dv.alias("_v"),
+        srp_buckets(F.col(vec_col)).alias("buckets"),
+    ).select(
+        "vec_id",
+        "_v",
+        "buckets",
+        F.array_min(F.col("_v")).alias("mn"),
+        ((F.array_max(F.col("_v")) - F.array_min(F.col("_v"))) / F.lit(255.0)).alias(
+            "scale"
+        ),
+    )
+    codes = (
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast(
+                    "int"
+                ),
+            ),
+        )
+        .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+        .alias("codes")
+    )
+    return base.select("vec_id", "mn", "scale", codes, "buckets")
+
+
+def _reconstruct(codes: Column, mn: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda c: mn + c.cast("double") * scale)
+
+
+def embedding_increment(
+    new_embs: DataFrame,
+    store_dir: str,
+    increment_id: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup counterpart of :func:`dedup_increment`: flag new
+    embeddings whose cosine to ANY previously accepted embedding
+    reaches ``threshold``, using a persisted store of int8 codes + SRP
+    buckets (never raw float32 vectors — the store is 4x smaller than
+    the embeddings it summarizes and candidate generation shuffles
+    bucket ids only).
+
+    Candidates = SRP bucket collision (any of the 8 tables) between the
+    increment and the store; confirmation = exact-arithmetic cosine
+    between the new vector and the RECONSTRUCTED (x = mn + code*scale)
+    stored vector — approximate only through quantization error, which
+    at int8 shifts cosines by ~1e-4, far below any useful threshold
+    margin. In-increment near-dups are resolved first with the exact
+    pairwise kernel (vectors still available), min-id canonical.
+
+    Returns ``(fresh_embs, matches(new_id, old_id, approx_cos))``;
+    store idempotence (overwrite own label, exclude own label from the
+    known side) follows the other increment stores.
+    """
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        cosine,
+        dot,
+        embedding_neardup_lsh_pairs,
+        norm,
+    )
+
+    spark = new_embs.sparkSession
+    if id_col != "vec_id":
+        new_embs = new_embs.withColumnRenamed(id_col, "vec_id")
+        id_col = "vec_id"
+
+    in_pairs = (
+        embedding_neardup_lsh_pairs(new_embs, threshold, id_col, vec_col)
+        .select("d2")
+        .distinct()
+    )
+    kept = new_embs.join(
+        in_pairs.withColumnRenamed("d2", id_col), id_col, "left_anti"
+    )
+    new_rows = _embedding_store_rows(kept, id_col, vec_col)
+
+    if _store_has_data(store_dir):
+        old = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("increment") != increment_id)
+            .select("vec_id", "mn", "scale", "codes", "buckets")
+        )
+        nb = new_rows.select(
+            F.col("vec_id").alias("new_id"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+        ob = old.select(
+            F.col("vec_id").alias("old_id"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+        cand = nb.join(ob, ["tbl", "bucket"]).select("new_id", "old_id").distinct()
+        old_xhat = old.select(
+            F.col("vec_id").alias("old_id"),
+            _reconstruct(F.col("codes"), F.col("mn"), F.col("scale")).alias("xhat"),
+        )
+        new_v = kept.select(
+            F.col(id_col).alias("new_id"), F.col(vec_col).alias("nv")
+        )
+        matches = (
+            cand.join(new_v, "new_id")
+            .join(old_xhat, "old_id")
+            .withColumn(
+                "approx_cos",
+                F.round(
+                    dot(F.col("nv"), F.col("xhat"))
+                    / (
+                        norm(F.col("nv"))
+                        * F.greatest(
+                            F.sqrt(dot(F.col("xhat"), F.col("xhat"))),
+                            F.lit(1e-30),
+                        )
+                    ),
+                    COS_ROUND,
+                ),
+            )
+            .filter(F.col("approx_cos") >= threshold)
+            .select("new_id", "old_id", "approx_cos")
+        )
+        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = kept.join(dup_ids, id_col, "left_anti")
+    else:
+        matches = spark.createDataFrame(
+            [], "new_id long, old_id long, approx_cos double"
+        )
+        fresh = kept
+
+    fresh = fresh.localCheckpoint(eager=True)  # snapshot before store write
+    matches = matches.localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        new_rows.join(fresh.select(id_col), "vec_id", "left_semi")
         .withColumn("increment", F.lit(increment_id))
         .write.mode("overwrite")
         .partitionBy("increment")

@@ -304,3 +304,44 @@ def test_minhash_increment_catches_cross_increment_neardups(spark, tmp_path):
     )
     assert {r["doc_id"] for r in f2r.collect()} == {11}
     assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
+
+
+def test_embedding_increment_semantic_dedup(spark, tmp_path):
+    """Semantic dedup across increments: a near-identical embedding in
+    increment 2 must match increment 1's stored int8+SRP representation
+    (cosine confirmed on the reconstructed vector); an orthogonal
+    vector passes; replay is idempotent."""
+    import math
+
+    from msstreamingstack_spark.operators.incremental import (
+        embedding_increment,
+    )
+
+    dim = 64
+
+    def vec(seed, flip=0.0):
+        # frequency-distinct sinusoids: pairwise |cos| < 0.03 across
+        # seeds, so only the flipped copy is a near-dup
+        v = [math.sin(seed * 0.7 * (i + 1)) for i in range(dim)]
+        v[0] += flip
+        return [float(x) for x in v]
+
+    def embs(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    store = str(tmp_path / "emb_store")
+    f1, m1 = embedding_increment(embs([(1, vec(1)), (2, vec(2))]), store, "inc1")
+    assert {r["vec_id"] for r in f1.collect()} == {1, 2}
+    assert m1.count() == 0
+
+    near = vec(1, flip=0.01)  # cos vs vec(1) ≈ 0.9999
+    ortho = vec(9)
+    f2, m2 = embedding_increment(embs([(10, near), (11, ortho)]), store, "inc2")
+    assert {r["vec_id"] for r in f2.collect()} == {11}
+    pairs = {(r["new_id"], r["old_id"]) for r in m2.collect()}
+    assert pairs == {(10, 1)}
+    assert all(r["approx_cos"] >= 0.9 for r in m2.collect())
+
+    f2r, m2r = embedding_increment(embs([(10, near), (11, ortho)]), store, "inc2")
+    assert {r["vec_id"] for r in f2r.collect()} == {11}
+    assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
