@@ -1046,3 +1046,63 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "corpus_version_diff",
+    """
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2-edit' ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         v1.h AS h1, v2.h AS h2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1
+""",
+    tags=("extension", "pipeline", "versioning"),
+    doc="Corpus snapshot diff by content digest: added / removed / "
+    "changed / unchanged counts between two corpus versions (v2 "
+    "derived deterministically from the fixture: every 7th doc "
+    "dropped, every 5th edited). One full-outer join on doc_id with "
+    "digest compare — the release-note report every corpus version "
+    "bump needs, O(corpus) with digests only in the shuffle.",
+)
+def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h1"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" v2-edit")),
+                )
+                .otherwise(F.col("text"))
+                .cast("binary")
+            ).alias("h2"),
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
