@@ -15,6 +15,10 @@ reference's two runnable apps plus a query runner:
             batch incremental dedup: dedupe one corpus increment
             against the persisted digest store (re-crawls beyond the
             streaming watermark), register its fresh digests
+  mv        maintain the streaming continuous aggregate (minutely MV
+            with partition-pruned upsert) from event drops
+  compact   compact a small-file parquet directory (MV / streaming
+            sink tails) into target-sized files at a new location
 
 Examples:
   python -m msstreamingstack_spark produce --out /tmp/drops \\
@@ -156,6 +160,43 @@ def _cmd_dedup_increment(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_mv(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.streaming.continuous_agg import (
+        hourly_from_mv,
+        run_continuous_agg,
+    )
+
+    spark = get_spark(app_name="msstreamingstack-mv")
+    spark.sparkContext.setLogLevel("WARN")
+    q = run_continuous_agg(
+        spark,
+        args.source,
+        args.mv,
+        args.checkpoint,
+        available_now=args.once,
+    )
+    q.awaitTermination()
+    if args.show_hourly:
+        hourly_from_mv(spark, args.mv).orderBy("hour_bucket", "event_type").show(
+            50, truncate=False
+        )
+    return 0
+
+
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.sinks.layout import compact_parquet
+
+    spark = get_spark(app_name="msstreamingstack-compact")
+    spark.sparkContext.setLogLevel("WARN")
+    n = compact_parquet(
+        spark, args.src, args.dst, target_file_bytes=args.target_mb * 1024 * 1024
+    )
+    print(f"compacted {args.src} -> {args.dst}: {n} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -220,6 +261,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="increment id (retries with the same label are idempotent)")
     di.add_argument("--out", help="write the fresh (first-seen) docs here")
     di.set_defaults(fn=_cmd_dedup_increment)
+
+    mv = sub.add_parser("mv", help="maintain the minutely continuous aggregate")
+    mv.add_argument("--source", required=True, help="event drop directory")
+    mv.add_argument("--mv", required=True, help="materialized-view directory")
+    mv.add_argument("--checkpoint", required=True)
+    mv.add_argument("--once", action="store_true", default=True,
+                    help="drain pending input then stop (default)")
+    mv.add_argument("--show-hourly", action="store_true",
+                    help="print the hourly rollup from the MV afterwards")
+    mv.set_defaults(fn=_cmd_mv)
+
+    cp = sub.add_parser("compact", help="compact a small-file parquet dir")
+    cp.add_argument("--src", required=True)
+    cp.add_argument("--dst", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=_cmd_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)
