@@ -15,6 +15,8 @@ reference's two runnable apps plus a query runner:
             batch incremental dedup: dedupe one corpus increment
             against the persisted digest store (re-crawls beyond the
             streaming watermark), register its fresh digests
+  sql       run an ad-hoc Spark SQL statement over the fixture tables
+            (all tables as temp views + events_ts with canonical ts_sec)
   mv        maintain the streaming continuous aggregate (minutely MV
             with partition-pruned upsert) from event drops
   compact   compact a small-file parquet directory (MV / streaming
@@ -160,6 +162,19 @@ def _cmd_dedup_increment(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    spark = get_spark(app_name="msstreamingstack-sql")
+    spark.sparkContext.setLogLevel("WARN")
+    df = run_sql(spark, args.sf_dir, args.query)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return 0
+
+
 def _cmd_mv(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.session import get_spark
     from msstreamingstack_spark.streaming.continuous_agg import (
@@ -261,6 +276,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="increment id (retries with the same label are idempotent)")
     di.add_argument("--out", help="write the fresh (first-seen) docs here")
     di.set_defaults(fn=_cmd_dedup_increment)
+
+    sq = sub.add_parser("sql", help="run ad-hoc SQL over the fixture tables")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--rows", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.set_defaults(fn=_cmd_sql)
 
     mv = sub.add_parser("mv", help="maintain the minutely continuous aggregate")
     mv.add_argument("--source", required=True, help="event drop directory")
