@@ -293,3 +293,17 @@ def test_shuffle_budget_pins(spark):
             f"{name}: {f.shuffles} Exchange occurrences > budget {max_occ}\n"
             f"{f.text[:2000]}"
         )
+
+
+def test_bucketed_window_plan_budgets(spark):
+    """The skew-bounded window twins pay a bounded premium over their
+    plain forms: pin their Exchange occurrence budgets (tree+details
+    double-count) and that the tiny summary side joins broadcast, so
+    the only event-sized shuffles are the (key, bucket) window and the
+    final stitch/session-id stage."""
+    f = plan_facts(REGISTRY["sessionize_events_bucketed"].builder(spark, SF))
+    assert f.shuffles <= 8, f.text[:2000]
+    assert f.broadcast_joins >= 1, "summary side must broadcast"
+    f = plan_facts(REGISTRY["running_revenue_bucketed"].builder(spark, SF))
+    assert f.shuffles <= 6, f.text[:2000]
+    assert f.broadcast_joins >= 1, "summary side must broadcast"
