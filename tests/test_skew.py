@@ -154,3 +154,56 @@ def test_bucketed_running_sum_equals_single_window(spark, sf_correctness):
         ).collect()
     }
     assert bucketed == plain
+
+
+def test_bucketed_running_sum_property(spark):
+    """Random (key, ts, cents) streams: the (key, bucket) decomposition
+    must equal a single-threaded decimal prefix-sum model for several
+    bucket widths, including width 1 (every row its own bucket)."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from msstreamingstack_spark.operators.windows import bucketed_running_sum
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=50),     # ts
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(rows_strategy, st.sampled_from([1, 7, 100]))
+    @settings(max_examples=8, deadline=None)
+    def check(rows, bucket_sec):
+        df = spark.createDataFrame(
+            [(i, k, ts, cents / 100.0) for i, (k, ts, cents) in enumerate(rows)],
+            ["row_id", "k", "ts", "v"],
+        )
+        got = {
+            r["row_id"]: Decimal(str(r["running_total"]))
+            for r in bucketed_running_sum(
+                df,
+                part_col="k",
+                order_cols=("ts", "row_id"),
+                value_col="v",
+                bucket_col=(F.col("ts") / bucket_sec),
+            ).collect()
+        }
+        # model: per-key (ts, row_id)-ordered exact decimal prefix sum
+        by_key = {}
+        for i, (k, ts, cents) in enumerate(rows):
+            by_key.setdefault(k, []).append((ts, i, cents))
+        want = {}
+        for k, evs in by_key.items():
+            evs.sort()
+            acc = Decimal(0)
+            for ts, i, cents in evs:
+                acc += Decimal(cents) / Decimal(100)
+                want[i] = acc
+        assert got == want
+
+    check()
