@@ -137,6 +137,17 @@ def run_corpus_ingest(
 
     gated = quality_gate(
         read_document_stream(spark, source_path, max_files_per_trigger, fmt=fmt)
+    ).observe(
+        # per-batch ingest metrics in StreamingQueryProgress.observedMetrics
+        # ["corpus"] — computed inside the existing plan (no extra scan),
+        # same discipline as with_quality_metrics on the events pipeline
+        "corpus",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("gate_fail").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_gate_fail"),  # empty batches report 0, not null
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("n_chars_seen"),
     )
     passed = (
         gated.filter(F.col("gate_fail").isNull())

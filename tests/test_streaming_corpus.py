@@ -219,3 +219,34 @@ def test_digest_store_catches_recrawl_after_checkpoint_reset(spark, tmp_path):
     acc2, rej2 = run(str(d2), 2)
     assert acc2 == {11}
     assert rej2 == {10: "store_duplicate"}
+
+
+def test_corpus_ingest_observe_metrics(spark, corpus_drops, tmp_path):
+    """Per-batch data-quality metrics surface in the streaming progress
+    events without any extra scan: total rows, gate failures, chars."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    q = run_corpus_ingest(
+        spark,
+        corpus_drops,
+        eval_docs,
+        str(tmp_path / "acc"),
+        str(tmp_path / "rej"),
+        checkpoint_dir=str(tmp_path / "cp_obs"),
+    )
+    q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["corpus"]
+        for p in q.recentProgress
+        if "corpus" in p.get("observedMetrics", {})
+    ]
+    assert observed, "no corpus metrics in any progress event"
+    assert sum(m["n_rows"] for m in observed) == 6
+    assert sum(m["n_gate_fail"] for m in observed) == 2  # docs 2 and 3
+    assert all(
+        m["n_chars_seen"] > 0 for m in observed if m["n_rows"] > 0
+    )
