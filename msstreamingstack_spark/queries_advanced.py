@@ -144,16 +144,19 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH ev AS ({EVENTS_TS_SQL})
 SELECT event_type,
-       CAST(quantile_cont(value, 0.25) AS DECIMAL(18,9)) AS p25,
-       CAST(quantile_cont(value, 0.50) AS DECIMAL(18,9)) AS p50,
-       CAST(quantile_cont(value, 0.75) AS DECIMAL(18,9)) AS p75,
-       CAST(quantile_cont(value, 0.95) AS DECIMAL(18,9)) AS p95
+       CAST(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,9)) AS DOUBLE) AS p25,
+       CAST(CAST(quantile_cont(value, 0.50) AS DECIMAL(18,9)) AS DOUBLE) AS p50,
+       CAST(CAST(quantile_cont(value, 0.75) AS DECIMAL(18,9)) AS DOUBLE) AS p75,
+       CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,9)) AS DOUBLE) AS p95
 FROM ev GROUP BY event_type
 """,
     tags=("advanced", "percentile", "agg"),
     doc="Exact linear-interpolated percentiles per group (Spark "
-    "`percentile` ≡ DuckDB `quantile_cont`); DECIMAL(18,9) on both "
-    "sides pins the cross-engine float repr.",
+    "`percentile` ≡ DuckDB `quantile_cont`); the DECIMAL(18,9) "
+    "round-trip pins 9-digit rounding on both engines, and the final "
+    "DOUBLE keeps the output repr engine-independent (the engine's "
+    "`_dec_sum` discipline — a DECIMAL final column reprs differently "
+    "between Spark and DuckDB and hash-fails the driver compare).",
 )
 def q_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir)
@@ -161,6 +164,7 @@ def q_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.percentile(F.col("value"), F.lit(q))
             .cast("decimal(18,9)")
+            .cast("double")
             .alias(f"p{int(q * 100)}")
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
@@ -1926,3 +1930,64 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end parity: the open SQL surface (sql_frontend.run_sql) and
+# the curated DataFrame registry must produce identical plans/values.
+# ---------------------------------------------------------------------------
+_Q1_SQL_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sql_sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sql_sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS sql_avg_qty,
+       COUNT(*) AS sql_count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_frontend_q1_parity",
+    f"""
+WITH q1 AS (
+  SELECT l_returnflag, l_linestatus,
+         {_dec_sum_sql('l_quantity', 'sum_qty')},
+         {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       sum_qty AS sql_sum_qty, sum_disc_price AS sql_sum_disc_price,
+       avg_qty AS sql_avg_qty, count_order AS sql_count_order,
+       sum_qty AS df_sum_qty, sum_disc_price AS df_sum_disc_price,
+       avg_qty AS df_avg_qty, count_order AS df_count_order
+FROM q1
+""",
+    tags=("extension", "sql-frontend", "relational", "parity"),
+    doc="Runs TPC-H Q1 twice inside ONE plan — once as ad-hoc SQL text "
+    "through sql_frontend.run_sql (temp views over the same parquet), "
+    "once through the registry's DataFrame builder — joined on the "
+    "group keys with both aggregate sets emitted side by side. Any "
+    "front-end divergence (view schema drift, dialect skew, decimal "
+    "discipline) shows up as a driver hash mismatch. The join is a "
+    "6-row x 6-row aggregate join; AQE broadcasts it.",
+)
+def q_sql_frontend_q1_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.queries import q_tpch_q1
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    sql_side = run_sql(spark, sf_dir, _Q1_SQL_TEXT)
+    df_side = q_tpch_q1(spark, sf_dir).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").alias("df_sum_qty"),
+        F.col("sum_disc_price").alias("df_sum_disc_price"),
+        F.col("avg_qty").alias("df_avg_qty"),
+        F.col("count_order").alias("df_count_order"),
+    )
+    return sql_side.join(df_side, ["l_returnflag", "l_linestatus"], "inner")

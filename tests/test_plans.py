@@ -307,3 +307,13 @@ def test_bucketed_window_plan_budgets(spark):
     f = plan_facts(REGISTRY["running_revenue_bucketed"].builder(spark, SF))
     assert f.shuffles <= 6, f.text[:2000]
     assert f.broadcast_joins >= 1, "summary side must broadcast"
+
+
+def test_chartrigram_freq_join_is_broadcast(spark):
+    """The trigram->corpus-frequency join must broadcast the freq side:
+    char-trigram cardinality is alphabet-bounded at any corpus size,
+    and leaving it to AQE re-shuffled the full exploded trigram
+    relation (2.93x scale ratio at 4x data, SCALE_r02)."""
+    f = plan_facts(REGISTRY["quality_chartrigram_df"].builder(spark, SF))
+    assert f.broadcast_joins >= 1, f.text
+    assert "SortMergeJoin" not in f.text, f.text
