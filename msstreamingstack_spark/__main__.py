@@ -288,8 +288,9 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--source", required=True, help="event drop directory")
     mv.add_argument("--mv", required=True, help="materialized-view directory")
     mv.add_argument("--checkpoint", required=True)
-    mv.add_argument("--once", action="store_true", default=True,
-                    help="drain pending input then stop (default)")
+    mv.add_argument("--once", action=argparse.BooleanOptionalAction, default=True,
+                    help="drain pending input then stop (default); "
+                    "--no-once runs continuous maintenance until killed")
     mv.add_argument("--show-hourly", action="store_true",
                     help="print the hourly rollup from the MV afterwards")
     mv.set_defaults(fn=_cmd_mv)

@@ -214,11 +214,16 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Banded-LSH candidate generation + exact-jaccard verification.
     Bands explode to (band_idx, band_key) and bucket-join — the
     scalable alternative to an all-pairs signature comparison."""
-    sh = doc_shingle_hashes(docs)
+    sh = doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(

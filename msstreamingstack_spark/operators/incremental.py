@@ -147,7 +147,11 @@ def minhash_increment(
 
     # 1. in-increment near-dup (exact-jaccard verified): drop the
     #    non-canonical side of every pair
-    in_pairs = minhash_lsh_pairs(new_docs, threshold).select("d2").distinct()
+    in_pairs = (
+        minhash_lsh_pairs(new_docs, threshold, text_col=text_col)
+        .select("d2")
+        .distinct()
+    )
     kept = new_docs.join(
         in_pairs.withColumnRenamed("d2", id_col), id_col, "left_anti"
     )
@@ -204,8 +208,9 @@ def minhash_increment(
         dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
         fresh = kept.join(dup_ids, id_col, "left_anti")
     else:
+        id_type = dict(new_docs.dtypes)[id_col]
         matches = spark.createDataFrame(
-            [], "new_id long, old_id long, est_jaccard double"
+            [], f"new_id {id_type}, old_id {id_type}, est_jaccard double"
         )
         fresh = kept
 

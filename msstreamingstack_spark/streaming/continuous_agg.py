@@ -98,6 +98,15 @@ def upsert_mv(updates: DataFrame, mv_dir: str) -> None:
                 .select(*MV_COLS)
             )
             out = out.unionByName(carried)
+            # Materialize the merged batch BEFORE the overwrite starts:
+            # `carried` lazily reads the same partition dirs the write
+            # below deletes/replaces, so without an eager snapshot a
+            # task retry mid-commit would re-read already-mutated
+            # partitions and permanently drop untouched groups (same
+            # reason operators/incremental.py localCheckpoints before
+            # mutating its stores). The snapshot is a few changed
+            # minute-buckets per micro-batch — small by construction.
+            out = out.localCheckpoint(eager=True)
         out.write.mode("overwrite").partitionBy("min_bucket").parquet(mv_dir)
     finally:
         updates.unpersist()

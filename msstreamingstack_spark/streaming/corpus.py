@@ -44,6 +44,13 @@ from msstreamingstack_spark.session import apply_runtime_confs
 MIN_TOKENS = 5
 MIN_DISTINCT_RATIO = 0.3
 
+# Marker column carried from the reader to the gate: True = the source
+# line failed to parse. The gate turns it into gate_fail="corrupt_line"
+# so corrupt crawl lines are COUNTED in the observed metrics and routed
+# to the reject sink — sources/files.py's "corrupt lines are data,
+# counted" policy, honored in the streaming path too.
+CORRUPT_MARK = "_corrupt_line"
+
 
 def read_document_stream(
     spark: SparkSession,
@@ -51,30 +58,38 @@ def read_document_stream(
     max_files_per_trigger: int = 1,
     fmt: str = "parquet",
 ) -> DataFrame:
-    """File-drop document stream with the declared corpus schema.
+    """File-drop document stream with the declared corpus schema plus
+    the ``CORRUPT_MARK`` boolean.
 
     ``fmt="jsonl"`` reads raw JSONL crawl drops through the permissive
-    reader (sources/files.py) and silently drops corrupt lines here —
-    the batch `split_corrupt` path is for pipelines that must count
-    them; the streaming gate stage already attributes quality drops.
+    reader (sources/files.py); a malformed line becomes a row with the
+    raw line as ``text`` and ``CORRUPT_MARK`` set, so downstream it is
+    counted and lands in the reject sink with its payload intact
+    (never silently dropped).
     """
     apply_runtime_confs(spark)
     if fmt == "jsonl":
         from msstreamingstack_spark.sources.files import (
-            split_corrupt,
+            CORRUPT_COL,
             stream_documents_jsonl,
         )
 
-        clean, _ = split_corrupt(
-            stream_documents_jsonl(spark, path, max_files_per_trigger)
+        raw = stream_documents_jsonl(spark, path, max_files_per_trigger)
+        return raw.select(
+            F.col("doc_id"),
+            F.coalesce(F.col("text"), F.col(CORRUPT_COL)).alias("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+            F.col(CORRUPT_COL).isNotNull().alias(CORRUPT_MARK),
         )
-        return clean
     if fmt != "parquet":
         raise ValueError(f"unsupported stream format {fmt!r}")
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+        .withColumn(CORRUPT_MARK, F.lit(False))
     )
 
 
@@ -91,6 +106,9 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         .when(ratio < MIN_DISTINCT_RATIO, F.lit("too_repetitive"))
         .otherwise(F.lit(None).cast("string"))
     )
+    if CORRUPT_MARK in docs.columns:
+        reason = F.when(F.col(CORRUPT_MARK), F.lit("corrupt_line")).otherwise(reason)
+        return docs.withColumn("gate_fail", reason).drop(CORRUPT_MARK)
     return docs.withColumn("gate_fail", reason)
 
 
@@ -147,6 +165,10 @@ def run_corpus_ingest(
             F.sum(F.when(F.col("gate_fail").isNotNull(), 1).otherwise(0)),
             F.lit(0),
         ).alias("n_gate_fail"),  # empty batches report 0, not null
+        F.coalesce(
+            F.sum(F.when(F.col("gate_fail") == "corrupt_line", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_corrupt"),  # malformed source lines — crawl loss is visible
         F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("n_chars_seen"),
     )
     passed = (

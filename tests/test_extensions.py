@@ -306,6 +306,46 @@ def test_minhash_increment_catches_cross_increment_neardups(spark, tmp_path):
     assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
 
 
+def test_minhash_increment_nondefault_columns(spark, tmp_path):
+    """text_col/id_col must thread through the WHOLE increment,
+    including the in-increment LSH stage (ADVICE round-2: it hardcoded
+    'text', so a non-default text_col errored — or silently deduped
+    the wrong column if a 'text' column coexisted) and the empty-store
+    matches schema (hardcoded long ids vs the input's actual type)."""
+    from msstreamingstack_spark.operators.incremental import minhash_increment
+
+    base = " ".join(
+        f"token{i} word{i * 7 % 41} item{i * 3 % 29}" for i in range(20)
+    )
+    neardup = base + " trailing addendum"
+    decoy = "decoy decoy decoy"  # a coexisting 'text' column to ignore
+
+    docs1 = spark.createDataFrame(
+        [(1, base, decoy)], ["uid", "body", "text"]
+    )
+    store = str(tmp_path / "sig_store_alt")
+    f1, m1 = minhash_increment(
+        docs1, store, "inc1", text_col="body", id_col="uid"
+    )
+    assert {r["doc_id"] for r in f1.collect()} == {1}
+    # empty-store matches schema derives id type from the input
+    assert dict(m1.dtypes)["new_id"] == "bigint"
+    assert m1.count() == 0
+
+    # in-increment near-dup on body (the decoy 'text' columns are
+    # identical everywhere — deduping on them would drop everything)
+    docs2 = spark.createDataFrame(
+        [(10, neardup, decoy), (11, "totally unrelated spacecraft "
+          "engine content with no shared phrases at all here", decoy)],
+        ["uid", "body", "text"],
+    )
+    f2, m2 = minhash_increment(
+        docs2, store, "inc2", text_col="body", id_col="uid"
+    )
+    assert {r["doc_id"] for r in f2.collect()} == {11}
+    assert {(r["new_id"], r["old_id"]) for r in m2.collect()} == {(10, 1)}
+
+
 def test_embedding_increment_semantic_dedup(spark, tmp_path):
     """Semantic dedup across increments: a near-identical embedding in
     increment 2 must match increment 1's stored int8+SRP representation

@@ -206,3 +206,64 @@ def test_event_drops_schema_evolution(spark, tmp_path):
     merged = spark.read.option("mergeSchema", "true").parquet(str(d))
     assert "crawler_tag" in merged.columns
     assert merged.filter(F.col("crawler_tag").isNull()).count() == 3
+
+
+def test_jsonl_stream_corrupt_lines_counted_and_routed(spark, tmp_path):
+    """A malformed crawl line must never vanish silently: it lands in
+    the reject sink with its raw payload as text and reason
+    'corrupt_line', and the per-batch observe metrics count it
+    (n_corrupt) — sources/files.py's 'corrupt lines are data, counted'
+    policy, enforced on the STREAMING path (ADVICE round-2 finding:
+    the jsonl branch previously dropped the split_corrupt reject
+    branch and the metrics only saw post-drop rows)."""
+    import json as _json
+
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    normal_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    normal_b = "kappa mu nu xi omicron rho sigma tau upsilon"
+    bad_line = '{"doc_id": 7, "text": "unterminated'
+    drops = tmp_path / "jsonl_corrupt_drops"
+    drops.mkdir()
+    good = [
+        _json.dumps(
+            {"doc_id": i, "text": t, "lang": "en", "source": "crawl",
+             "n_chars": len(t)}
+        )
+        for i, t in [(1, normal_a), (2, normal_b)]
+    ]
+    path = drops / "b0.jsonl"
+    path.write_text("\n".join([good[0], bad_line, good[1]]) + "\n")
+    os.utime(path, (1_700_000_000, 1_700_000_000))
+
+    eval_docs = spark.createDataFrame(
+        [(100, "zebra yak xylophone walrus", "en", "bench", 26)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept_c")
+    reject_dir = str(tmp_path / "reject_c")
+    q = run_corpus_ingest(
+        spark,
+        str(drops),
+        eval_docs,
+        accept_dir,
+        reject_dir,
+        checkpoint_dir=str(tmp_path / "cp_c"),
+        fmt="jsonl",
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
+    rej_rows = spark.read.parquet(reject_dir).collect()
+    assert accepted == {1, 2}
+    corrupt = [r for r in rej_rows if r["reject_reason"] == "corrupt_line"]
+    assert len(corrupt) == 1
+    assert corrupt[0]["text"] == bad_line  # raw payload preserved
+    assert corrupt[0]["doc_id"] is None
+    observed = [
+        p["observedMetrics"]["corpus"]
+        for p in q.recentProgress
+        if "corpus" in p.get("observedMetrics", {})
+    ]
+    assert sum(m["n_corrupt"] for m in observed) == 1
+    assert sum(m["n_rows"] for m in observed) == 3
