@@ -56,35 +56,144 @@ class CollectingSink:
         return [r for _, rows in self.batches for r in rows]
 
 
-def redis_writer(host: str = "localhost", port: int = 6379, key_prefix: str = "MS"):
+def redis_hset_commands(rows, key_prefix: str):
+    """Reference-exact Redis upsert plan for one partition of rows:
+    yields ``(key, field, value)`` HSET triples.
+
+    Contract (RedisForeachWriter.scala:25-40): key is
+    ``{prefix}:{user_id}``; rows with null/empty user_id are skipped
+    entirely; null/empty FIELD VALUES are skipped too (the reference
+    never writes an empty hash field); everything is stringified.
+    Pure generator → unit-testable without a server."""
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        uid = d.get("user_id")
+        if uid in (None, ""):
+            continue
+        for k, v in d.items():
+            if v in (None, ""):
+                continue
+            yield f"{key_prefix}:{uid}", k, str(v)
+
+
+def _redis_write_partition(rows, key_prefix: str, client_factory) -> int:
+    """Executor-side partition write: ONE pipelined connection per
+    partition (vs the reference's one synchronous HSET round-trip per
+    field per row — the pipeline is the scale fix, the command stream
+    is identical). Returns the number of commands queued."""
+    client = client_factory()
+    pipe = client.pipeline(transaction=False)
+    n = 0
+    for key, field, value in redis_hset_commands(rows, key_prefix):
+        pipe.hset(key, field, value)
+        n += 1
+    pipe.execute()
+    return n
+
+
+def redis_writer(
+    host: str = "localhost",
+    port: int = 6379,
+    key_prefix: str = "MS",
+    client_factory=None,
+):
     """K2: per-user state upsert into Redis hashes — pipelined per
     partition (vs the reference's one HSET per field per row,
-    RedisForeachWriter.scala:35-38). Requires the `redis` client."""
-    try:
-        import redis  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "redis client not available in this environment; "
-            "CollectingSink/parquet_append_writer are the live sinks"
-        ) from e
+    RedisForeachWriter.scala:35-38).
 
-    def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
-        def per_partition(rows):
+    ``client_factory`` (picklable zero-arg callable returning a client
+    with ``pipeline(transaction=...)`` → ``hset/execute``) makes the
+    adapter contract-testable with a fake; by default it builds a real
+    ``redis.Redis`` and raises if the client library is absent."""
+    if client_factory is None:
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "redis client not available in this environment; "
+                "pass client_factory= or use CollectingSink/"
+                "parquet_append_writer as the live sinks"
+            ) from e
+
+        def client_factory():  # pragma: no cover - needs a server
             import redis as _redis
 
-            r = _redis.Redis(host=host, port=port)
-            pipe = r.pipeline(transaction=False)
-            for row in rows:
-                d = row.asDict()
-                uid = d.pop("user_id", None)
-                if uid in (None, ""):
-                    continue  # reference skips null/empty keys
-                pipe.hset(f"{key_prefix}:{uid}", mapping={
-                    k: "" if v is None else str(v) for k, v in d.items()
-                })
-            pipe.execute()
+            return _redis.Redis(host=host, port=port)
 
-        df.foreachPartition(per_partition)
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.foreachPartition(
+            lambda rows: _redis_write_partition(rows, key_prefix, client_factory)
+        )
+
+    return write
+
+
+# Canonical enriched-clickstream column list of the reference's
+# processed-table insert (CassandraSinkForeachProcessed.scala:17-37):
+# one INSERT per row, fixed column order.
+CASSANDRA_PROCESSED_COLS = (
+    "ts", "user_id", "message_date", "user_agent", "partner_id",
+    "partner_name", "init_session", "session_id", "page_type",
+    "category", "cart_amount", "platform", "user_device",
+)
+
+
+def cassandra_insert_statements(
+    rows, keyspace: str, table: str, columns: tuple[str, ...] | None = None
+):
+    """Reference-exact CQL insert plan: yields ``(cql, params)`` per
+    row — ``INSERT INTO ks.tbl (c1, ..., cn) VALUES (?, ..., ?)`` with
+    the row's values in declared column order (missing → None). Pure
+    generator → unit-testable without a cluster."""
+    cols = columns or CASSANDRA_PROCESSED_COLS
+    cql = (
+        f"INSERT INTO {keyspace}.{table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join('?' * len(cols))})"
+    )
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        yield cql, tuple(d.get(c) for c in cols)
+
+
+def _cassandra_write_partition(
+    rows, keyspace: str, table: str, columns, session_factory
+) -> int:
+    """Executor-side partition write: one session per partition, one
+    prepared-style execute per row (the reference's shape). Returns
+    rows written."""
+    session = session_factory()
+    n = 0
+    for cql, params in cassandra_insert_statements(rows, keyspace, table, columns):
+        session.execute(cql, params)
+        n += 1
+    return n
+
+
+def cassandra_row_writer(
+    keyspace: str,
+    table: str,
+    columns: tuple[str, ...] | None = None,
+    session_factory=None,
+):
+    """K3/K4 row-level adapter mirroring the reference's ForeachWriter
+    (CassandraSinkForeachProcessed.scala:17-37) with an injectable
+    ``session_factory`` (picklable zero-arg callable → object with
+    ``execute(cql, params)``) so the contract is testable without a
+    cluster. Prefer :func:`cassandra_writer` (bulk connector) at
+    scale; this exists for client-driver deployments and parity."""
+    if session_factory is None:
+        raise NotImplementedError(
+            "no cassandra client session available in this environment; "
+            "pass session_factory= (e.g. cassandra-driver Cluster().connect) "
+            "or use cassandra_writer with the connector jar"
+        )
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.foreachPartition(
+            lambda rows: _cassandra_write_partition(
+                rows, keyspace, table, columns, session_factory
+            )
+        )
 
     return write
 
@@ -94,7 +203,7 @@ def cassandra_writer(keyspace: str, table: str):
     DataFrame per batch, not per-row CQL inserts). Connector jar not
     present here — adapter raises until provided."""
 
-    def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+    def write(df: DataFrame, batch_id: int) -> None:
         try:
             (
                 df.write.format("org.apache.spark.sql.cassandra")
@@ -111,11 +220,61 @@ def cassandra_writer(keyspace: str, table: str):
     return write
 
 
-def kafka_writer(bootstrap: str, topic: str):
+def kafka_records(rows, key_col: str = "event_id"):
+    """Reference-exact producer record plan (GetProducerAPI.scala:
+    82-105): yields ``(key, value)`` with key = stringified id and
+    value = compact JSON of the full row (sorted keys for a stable
+    cross-engine byte layout). Pure generator → unit-testable."""
+    import json
+
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        key = d.get(key_col)
+        yield (
+            None if key is None else str(key),
+            json.dumps(d, sort_keys=True, default=str),
+        )
+
+
+def _kafka_write_partition(rows, topic: str, key_col: str, producer_factory) -> int:
+    """Executor-side partition write: one producer per partition,
+    async send per record, flush+close at the end (the async-producer
+    discipline of the reference's GetProducerAPI). Returns records
+    sent."""
+    producer = producer_factory()
+    n = 0
+    for key, value in kafka_records(rows, key_col):
+        producer.send(topic, key=key, value=value)
+        n += 1
+    producer.flush()
+    producer.close()
+    return n
+
+
+def kafka_writer(
+    bootstrap: str,
+    topic: str,
+    key_col: str = "event_id",
+    producer_factory=None,
+):
     """K5: Kafka producer sink (GetProducerAPI.scala:82-105's async
-    producer, as a foreachBatch writer). Config-gated — no broker in
-    this environment; the delivery-semantics knobs
+    producer, as a foreachBatch writer).
+
+    With ``producer_factory`` (picklable zero-arg callable → object
+    with ``send(topic, key=, value=)/flush/close``) the adapter runs
+    client-side per partition and is contract-testable with a fake.
+    Without it, the bulk JVM kafka datasource path is used — config-
+    gated, no broker in this environment; the delivery-semantics knobs
     (acks/max.in.flight) are Kafka client config, not engine code."""
+    if producer_factory is not None:
+        def write(df: DataFrame, batch_id: int) -> None:
+            df.foreachPartition(
+                lambda rows: _kafka_write_partition(
+                    rows, topic, key_col, producer_factory
+                )
+            )
+
+        return write
 
     def write(df: DataFrame, batch_id: int) -> None:  # pragma: no cover
         (

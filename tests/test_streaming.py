@@ -416,3 +416,81 @@ def test_checkpoint_restart_preserves_session_state(spark, tmp_path):
             assert r["session_id"] == prev["session_id"], (
                 r["user_id"], prev["session_id"], r["session_id"],
             )
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeTWSHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_semantics_without_runner():
+    """UserStateProcessor's state machine, exercised directly against a
+    fake StatefulProcessorHandle — runs in EVERY environment, including
+    this one where google.protobuf is absent and the TWS wire runner
+    cannot start (the e2e twin above skips there). Covers: conditional
+    purchase carry, decimal-exact running total across micro-batches,
+    and in-batch determinism (ts_sec then event_id ordering)."""
+    import pandas as pd
+
+    from msstreamingstack_spark.streaming.tws import UserStateProcessor
+
+    proc = UserStateProcessor()
+    proc.init(_FakeTWSHandle())
+
+    # batch 1: out-of-order rows; last event is a view AFTER a purchase
+    b1 = pd.DataFrame(
+        {
+            "ts_sec": [30, 10, 20],
+            "event_id": [3, 1, 2],
+            "event_type": ["view", "purchase", "click"],
+            "value": [1.5, 100.25, 2.25],
+        }
+    )
+    (out1,) = proc.handleInputRows((7,), iter([b1]), None)
+    row = out1.iloc[0]
+    assert row["user_id"] == 7
+    assert row["last_ts"] == 30 and row["last_event_type"] == "view"
+    assert row["last_purchase_value"] == 100.25  # carried past the view
+    assert row["total_value"] == 104.0
+    assert row["n_events"] == 3
+
+    # batch 2: purchase updates the carry; total accumulates exactly
+    b2 = pd.DataFrame(
+        {
+            "ts_sec": [40, 50],
+            "event_id": [4, 5],
+            "event_type": ["purchase", "error"],
+            "value": [0.1, 0.2],
+        }
+    )
+    (out2,) = proc.handleInputRows((7,), iter([b2]), None)
+    row = out2.iloc[0]
+    assert row["last_ts"] == 50 and row["last_event_type"] == "error"
+    assert row["last_purchase_value"] == 0.1
+    assert row["n_events"] == 5
+    # 104.0 + 0.1 + 0.2 through DECIMAL — no float drift
+    assert row["total_value"] == 104.3
+
+    # determinism: same rows, shuffled arrival order, fresh processor
+    proc2 = UserStateProcessor()
+    proc2.init(_FakeTWSHandle())
+    shuffled = pd.concat([b2, b1]).sample(frac=1.0, random_state=0)
+    (outs,) = proc2.handleInputRows((7,), iter([shuffled]), None)
+    assert outs.iloc[0].to_dict() == row.to_dict()
