@@ -59,6 +59,7 @@ QUERIES = (
     "running_revenue_bucketed",
     "quality_char_entropy",
     "dq_report",
+    "dedup_embedding_lsh",
 )
 
 TABLES = (
@@ -99,6 +100,22 @@ def build_scaled(spark, out_dir: str, k: int) -> None:
                 p = p.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                 )
+            if t == "embeddings" and i > 0:
+                # cyclically rotate each vector by a per-replica offset:
+                # random vectors are near-orthogonal to their rotations,
+                # so replicas add entropy instead of k identical copies
+                # (which would quadratically inflate every LSH near-dup
+                # group and measure the data, not the plan).
+                dim = 64
+                off = (i * 7) % dim
+                if off:
+                    p = p.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {off + 1}, {dim - off}), "
+                            f"slice(embedding, 1, {off}))"
+                        ),
+                    )
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
@@ -122,7 +139,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the default query list",
+    )
     args = ap.parse_args()
+    queries = QUERIES if not args.queries else tuple(args.queries.split(","))
+    unknown = [q for q in queries if q not in REGISTRY]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
 
     spark = get_spark(app_name="msstreamingstack-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -130,7 +156,7 @@ def main() -> None:
     build_scaled(spark, scaled_dir, args.scale)
     try:
         results = {}
-        for name in QUERIES:
+        for name in queries:
             base = timed(spark, name, BASE_SF)
             scaled = timed(spark, name, scaled_dir)
             results[name] = {

@@ -238,6 +238,7 @@ from msstreamingstack_spark import queries_extensions  # noqa: E402,F401
 from msstreamingstack_spark import queries_streaming  # noqa: E402,F401
 from msstreamingstack_spark import queries_advanced  # noqa: E402,F401
 from msstreamingstack_spark import queries_layout  # noqa: E402,F401
+from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver validates the FIRST 50
@@ -280,13 +281,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # canaries: one green representative per previously-red family
     "similarity_ann_srp", "pack_sequences_greedy", "multimodal_stats",
     "grouping_sets_revenue", "zorder_cluster_stats",
-    # round-1-only signal refresh (last driver row was round 1)
+    # new this round: event-analytics family (queries_analytics.py) —
+    # first driver rows for all eight
+    "cohort_retention", "funnel_conversion", "scd2_device_runs",
+    "rolling_zscore_events", "heavy_hitters_exact",
+    "mix_temperature_sources", "ltv_deciles", "histogram_event_values",
+    # round-1-only signal refresh (last driver row was round 1);
+    # quality_chartrigram_df re-measures the broadcast fix
     "dedup_exact", "dedup_jaccard_dfcapped", "dedup_simhash_pairs",
-    "doc_fingerprints", "embedding_norm_stats", "hash_split_assign",
-    "join_inner_customer_geo", "langid_heuristic", "mix_weighted_sources",
-    "pii_scrub", "quality_chartrigram_df", "repetition_quality",
-    "running_revenue_per_customer", "sample_reservoir_stratified",
-    "shuffle_shard_assign", "text_cleaning", "top_ngrams_per_lang",
+    "join_inner_customer_geo", "mix_weighted_sources",
+    "quality_chartrigram_df", "running_revenue_per_customer",
+    "sample_reservoir_stratified", "text_cleaning",
     "tpch_q3_building", "tpch_q5_regional_revenue",
 )
 

