@@ -433,6 +433,55 @@ def q_mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup — build per-(type, day) DataSketches
+# HLL sketches, union them to per-type distinct-user counts.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_users_sketch_rollup",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+d AS (SELECT event_type, ts_sec // {DAY_SEC} AS day, user_id FROM ev)
+SELECT event_type,
+       COUNT(DISTINCT day) AS n_days,
+       COUNT(DISTINCT user_id) AS est_users
+FROM d GROUP BY event_type
+""",
+    tags=("analytics", "sketch", "approx"),
+    doc="Mergeable distinct-count rollup: per-(event_type, day) "
+    "DataSketches HLL sketches (hll_sketch_agg), unioned per type "
+    "(hll_union_agg) and estimated. THE 100 TB distinct-count "
+    "pattern: daily sketches are small, persistable, and re-"
+    "aggregable to any coarser grain without touching raw events "
+    "(see tests/test_sketches.py for the persist-and-merge round "
+    "trip). The DuckDB oracle is exact COUNT(DISTINCT): DataSketches "
+    "HLL is exact in its small-cardinality coupon mode, and the "
+    "driver's sf0.01 has 150 users — verified exact there. Beyond "
+    "coupon mode the estimate drifts (measured 0.8%% at 1.5k users, "
+    "sf0.1); the pytest twin pins exactness at sf0.01 and a <2%% "
+    "error bound at sf0.1. If the driver SF ever changes, demote "
+    "this entry to rows-only.",
+)
+def q_distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"ts_sec div {DAY_SEC}").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_union_agg("sk").alias("sk"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_days",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Customer LTV deciles — per-customer lifetime value, ntile(10), and
 # per-decile summary statistics.
 # ---------------------------------------------------------------------------
