@@ -540,6 +540,64 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inverted index over mid-frequency terms — postings materialized
+# only inside a df band, so no posting list can exceed the band cap.
+# ---------------------------------------------------------------------------
+_POSTINGS_K = 50
+
+
+@register(
+    "inverted_index_sampled",
+    f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+),
+df AS (SELECT term, COUNT(*) AS df_docs FROM tok GROUP BY term),
+r AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT d.term, d.df_docs,
+       array_to_string(array_agg(r.doc_id ORDER BY r.doc_id), ',')
+         AS postings_sample
+FROM r JOIN df d USING (term)
+WHERE r.rn <= {_POSTINGS_K}
+GROUP BY d.term, d.df_docs
+""",
+    tags=("analytics", "text", "index"),
+    doc="Inverted index with bounded posting samples: tokenize + "
+    "distinct, exact per-term document frequency, and the K "
+    "smallest doc_ids per term as a deterministic posting sample. "
+    "The row_number cap applies BEFORE any collect, so per-term "
+    "state is O(K) no matter how hot the term — a stopword at "
+    "100 TB contributes K rows, not a corpus-sized collect_list. "
+    "df agg, rank window, and postings agg all key on term, so the "
+    "three stages share one term-hash shuffle lineage. Postings "
+    "serialize as a sorted comma-joined string so both engines "
+    "hash identically.",
+)
+def q_inverted_index_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    dfc = tok.groupBy("term").agg(F.count("*").alias("df_docs"))
+    ranked = tok.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("term").orderBy("doc_id")),
+    ).filter(F.col("rn") <= _POSTINGS_K)
+    post = ranked.groupBy("term").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+            "postings_sample"
+        )
+    )
+    return dfc.join(post, "term").select("term", "df_docs", "postings_sample")
+
+
+# ---------------------------------------------------------------------------
 # Fixed-bin histogram — integer bin ids from floor division; decimal
 # sums per bin.
 # ---------------------------------------------------------------------------
