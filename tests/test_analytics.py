@@ -30,6 +30,8 @@ PLAN_BUDGET = {
     "mix_temperature_sources": 6,
     "ltv_deciles": 6,             # custkey agg, ntile, decile agg
     "histogram_event_values": 2,  # 1 real: bin agg after map combine
+    "distinct_users_sketch_rollup": 4,  # daily sketches, type union
+    "inverted_index_sampled": 8,  # distinct, df agg, rank window, join
 }
 
 
