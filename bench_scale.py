@@ -96,7 +96,28 @@ def build_scaled(spark, out_dir: str, k: int) -> None:
             for col, stride in shift:
                 p = p.withColumn(col, F.col(col) + F.lit(i * stride))
             if t == "documents" and "text" in p.columns:
-                # perturb text per replica so content hashes differ
+                # perturb text per replica so content hashes differ AND
+                # shingle sets decorrelate: cyclically rotate the word
+                # sequence by a per-replica offset (a suffix-only tweak
+                # leaves ~all k-gram shingles shared, so every doc gains
+                # 15 near-identical LSH twins at 16x and pair counts
+                # inflate quadratically — measuring the data, not the
+                # plan), then tag with a replica token.
+                if i > 0:
+                    p = p.withColumn("_w", F.split(F.col("text"), " "))
+                    off = F.lit(1) + F.pmod(
+                        F.lit(i * 11), F.greatest(F.size("_w") - 1, F.lit(1))
+                    )
+                    p = p.withColumn(
+                        "text",
+                        F.concat_ws(
+                            " ",
+                            F.concat(
+                                F.slice(F.col("_w"), off + 1, F.size("_w") - off),
+                                F.slice(F.col("_w"), F.lit(1), off),
+                            ),
+                        ),
+                    ).drop("_w")
                 p = p.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                 )
