@@ -470,15 +470,21 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _srp_buckets_cte() -> str:
+def _srp_buckets_cte(
+    n_tables: int | None = None, planes_per_table: int | None = None
+) -> str:
     """The SRP bucket table as DuckDB SQL: md5-derived hyperplanes
     inlined as double literals (repr round-trips exactly), sign test
     and bucket packing as scalar SQL. Shared by every SRP oracle."""
+    n_tables = N_TABLES if n_tables is None else n_tables
+    planes_per_table = (
+        PLANES_PER_TABLE if planes_per_table is None else planes_per_table
+    )
     per_table = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         terms = []
-        for j in range(PLANES_PER_TABLE):
-            p = t * PLANES_PER_TABLE + j
+        for j in range(planes_per_table):
+            p = t * planes_per_table + j
             lit = "[" + ", ".join(repr(x) for x in _plane(p)) + "]"
             terms.append(
                 f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
@@ -538,6 +544,8 @@ def embedding_neardup_lsh_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
 ) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs — the SCALE path whose
     exact kernel is ``embedding_neardup_pairs``: candidates are id
@@ -548,11 +556,21 @@ def embedding_neardup_lsh_pairs(
     instead of N². Recall < 1 by design (a pair can miss every
     table); the recall bound vs the exact kernel is asserted in tests,
     and the operator itself is deterministic ⇒ SQL-oracle-checked.
+
+    Sizing at scale: per-table buckets = 2^planes_per_table, so with
+    FIXED planes the expected bucket occupancy is N/2^bits and
+    candidate volume grows ~N² — planes_per_table must grow with
+    log2(N) to hold occupancy (and per-bucket join fan-out) constant.
+    Both knobs are exposed for exactly that reason; the defaults suit
+    the test corpus, a 100 TB deployment sizes bits ≈ log2(N) - 10
+    for ~1k-row buckets and adds tables to recover recall.
     """
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idc),
-            F.posexplode(srp_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+            F.posexplode(
+                srp_buckets(F.col(vec_col), n_tables, planes_per_table)
+            ).alias("tbl", "bucket"),
         )
 
     a = bucketed(emb, "d1")
@@ -573,10 +591,14 @@ def embedding_neardup_lsh_pairs(
     )
 
 
-def embedding_neardup_lsh_sql(threshold: float) -> str:
+def embedding_neardup_lsh_sql(
+    threshold: float,
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
+) -> str:
     """DuckDB oracle for the SRP-bucketed near-dup pairs (buckets CTE
     shared with the ANN oracle)."""
-    buckets_sql = _srp_buckets_cte()
+    buckets_sql = _srp_buckets_cte(n_tables, planes_per_table)
     cos = cosine_sql("ae.embedding", "be.embedding")
     return f"""
 WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -629,7 +651,11 @@ def _plane_matrix():
     return np.array([_plane(p) for p in range(n_planes)], dtype="float64").T
 
 
-def srp_buckets(vec_col: Column) -> Column:
+def srp_buckets(
+    vec_col: Column,
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
+) -> Column:
     """Array of N_TABLES bucket ids (sign bits of each table's planes
     packed into a long). Explode + equi-join on (table, bucket) is the
     scalable candidate generation: shuffle keys only, no pair scan.
@@ -646,16 +672,19 @@ def srp_buckets(vec_col: Column) -> Column:
     # no inner type hints: module-level `from __future__ import
     # annotations` stringifies them and pandas_udf can't resolve the
     # locally-imported pd — pass the eval type explicitly instead
+    nt = N_TABLES if n_tables is None else n_tables
+    ppt = PLANES_PER_TABLE if planes_per_table is None else planes_per_table
+
     def _buckets(vecs):
-        planes = _plane_matrix()
+        import numpy as _np
+
+        planes = _np.array(
+            [_plane(p) for p in range(nt * ppt)], dtype="float64"
+        ).T
         x = np.stack(vecs.to_numpy()).astype("float64")  # N × DIM
         bits = (x @ planes) > 0  # N × (tables·planes)
-        weights = np.array(
-            [1 << j for j in range(PLANES_PER_TABLE)], dtype="int64"
-        )
-        packed = (
-            bits.reshape(-1, N_TABLES, PLANES_PER_TABLE) * weights
-        ).sum(axis=2)  # N × N_TABLES
+        weights = np.array([1 << j for j in range(ppt)], dtype="int64")
+        packed = (bits.reshape(-1, nt, ppt) * weights).sum(axis=2)  # N × nt
         return pd.Series(list(packed))
 
     return pandas_udf(_buckets, "array<long>")(vec_col)
