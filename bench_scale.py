@@ -97,27 +97,28 @@ def build_scaled(spark, out_dir: str, k: int) -> None:
                 p = p.withColumn(col, F.col(col) + F.lit(i * stride))
             if t == "documents" and "text" in p.columns:
                 # perturb text per replica so content hashes differ AND
-                # shingle sets decorrelate: cyclically rotate the word
-                # sequence by a per-replica offset (a suffix-only tweak
-                # leaves ~all k-gram shingles shared, so every doc gains
-                # 15 near-identical LSH twins at 16x and pair counts
-                # inflate quadratically — measuring the data, not the
-                # plan), then tag with a replica token.
+                # shingle sets decorrelate: suffix every 3rd word with
+                # the replica id, so every k-gram (k>=3) contains a
+                # modified word and cross-replica jaccard collapses to
+                # ~0. (A suffix-only or rotation tweak preserves ~all
+                # shingles, so every doc gains 15 near-identical LSH
+                # twins at 16x and pair counts inflate quadratically —
+                # measuring the data, not the plan.) Intra-replica
+                # duplicate structure is preserved: real duplicate
+                # pairs stay duplicates within each replica.
                 if i > 0:
-                    p = p.withColumn("_w", F.split(F.col("text"), " "))
-                    off = F.lit(1) + F.pmod(
-                        F.lit(i * 11), F.greatest(F.size("_w") - 1, F.lit(1))
-                    )
                     p = p.withColumn(
                         "text",
                         F.concat_ws(
                             " ",
-                            F.concat(
-                                F.slice(F.col("_w"), off + 1, F.size("_w") - off),
-                                F.slice(F.col("_w"), F.lit(1), off),
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda w, pos: F.when(
+                                    pos % 3 == 0, F.concat(w, F.lit(f"_r{i}"))
+                                ).otherwise(w),
                             ),
                         ),
-                    ).drop("_w")
+                    )
                 p = p.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                 )
