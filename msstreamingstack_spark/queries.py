@@ -282,16 +282,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_srp", "pack_sequences_greedy", "multimodal_stats",
     "grouping_sets_revenue", "zorder_cluster_stats",
     # new this round: event-analytics family (queries_analytics.py) —
-    # first driver rows for all eight
+    # first driver rows for all eleven round-3 queries
     "cohort_retention", "funnel_conversion", "scd2_device_runs",
     "rolling_zscore_events", "heavy_hitters_exact",
     "mix_temperature_sources", "ltv_deciles", "histogram_event_values",
+    "distinct_users_sketch_rollup", "inverted_index_sampled",
+    "pydatasource_events_profile",
     # round-1-only signal refresh (last driver row was round 1);
     # quality_chartrigram_df re-measures the broadcast fix
-    "dedup_exact", "dedup_jaccard_dfcapped", "dedup_simhash_pairs",
+    "dedup_exact", "dedup_jaccard_dfcapped",
     "join_inner_customer_geo", "mix_weighted_sources",
-    "quality_chartrigram_df", "running_revenue_per_customer",
-    "sample_reservoir_stratified", "text_cleaning",
+    "quality_chartrigram_df", "text_cleaning",
     "tpch_q3_building", "tpch_q5_regional_revenue",
 )
 
