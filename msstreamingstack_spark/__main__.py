@@ -102,6 +102,43 @@ def _cmd_consume(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_catalog(args: argparse.Namespace) -> int:
+    """Emit the query catalog as markdown (no Spark session needed) —
+    the registry is the driver contract, so this IS the operator
+    inventory."""
+    from msstreamingstack_spark.queries import DRIVER_WINDOW, REGISTRY
+
+    lines = [
+        "# Query catalog (generated: `python -m msstreamingstack_spark catalog`)",
+        "",
+        f"{len(REGISTRY)} registered queries; "
+        f"{sum(1 for s in REGISTRY.values() if s.oracle)} DuckDB-oracled, "
+        f"{sum(1 for s in REGISTRY.values() if not s.oracle)} rows-only "
+        "(pytest-verified); first 50 form the driver correctness window.",
+        "",
+        "| query | tags | oracle | in window | doc |",
+        "|---|---|---|---|---|",
+    ]
+    window = set(DRIVER_WINDOW)
+    for name, spec in sorted(REGISTRY.items()):
+        doc = " ".join(spec.doc.split())
+        if len(doc) > 180:
+            doc = doc[:177] + "..."
+        lines.append(
+            f"| `{name}` | {', '.join(spec.tags)} | "
+            f"{'sql' if spec.oracle else 'rows-only'} | "
+            f"{'yes' if name in window else ''} | {doc} |"
+        )
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {args.out} ({len(REGISTRY)} queries)")
+    else:
+        print(text)
+    return 0
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.queries import REGISTRY
     from msstreamingstack_spark.session import get_spark
@@ -300,6 +337,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--dst", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    ct = sub.add_parser("catalog", help="emit the query catalog as markdown")
+    ct.add_argument("--out", default=None, help="write to file instead of stdout")
+    ct.set_defaults(fn=_cmd_catalog)
 
     args = ap.parse_args(argv)
     return args.fn(args)
