@@ -632,10 +632,14 @@ FROM e GROUP BY event_type
     "gate; sf_dir is ignored by design.",
 )
 def q_pydatasource_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.session import apply_runtime_confs
     from msstreamingstack_spark.sources.pydatasource import (
         SyntheticEventsDataSource,
     )
 
+    # the reader implements pushFilters(), which errors (not falls
+    # back) on sessions without spark.sql.python.filterPushdown.enabled
+    apply_runtime_confs(spark)
     try:
         spark.dataSource.register(SyntheticEventsDataSource)
     except Exception as e:  # pragma: no cover — double registration

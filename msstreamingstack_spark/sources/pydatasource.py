@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -71,27 +76,79 @@ class SyntheticEventsReader(DataSourceReader):
         self.n_partitions = int(options.get("n_partitions", 8))
         self.t0_sec = int(options.get("t0_sec", 0))
         self.step_sec = int(options.get("step_sec", 5))
+        self.lo, self.hi = 0, self.n_rows  # id range after pushdown
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown: event_id range predicates narrow
+        the GENERATED id range — the source never materializes rows
+        outside [lo, hi), the generator analog of parquet row-group
+        pruning.
+
+        Handled filters are consumed (Spark skips re-evaluating them);
+        the range resets at the start of every call so repeated
+        filtered plans on one reader never compound.
+
+        UPSTREAM CAVEAT (Spark 4.1, pinned in tests): the JVM caches
+        the PLANNED PARTITIONS per loaded relation and refreshes them
+        only on pushFilters-bearing plans — running a filtered query
+        and then an UNFILTERED one on the SAME DataFrame object reuses
+        the narrowed partitions (missing rows; verified identical with
+        a non-consuming advisory implementation, so it is the JVM
+        partition cache, not filter consumption). Use one .load() per
+        query — what the registry builder does."""
+        self.lo, self.hi = 0, self.n_rows
+        for f in filters:
+            v = getattr(f, "value", None)
+            if (
+                getattr(f, "attribute", None) == ("event_id",)
+                and isinstance(v, int)
+                and not isinstance(v, bool)
+            ):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                    continue
+            yield f
 
     def partitions(self):
-        per = max(1, -(-self.n_rows // self.n_partitions))  # ceil div
+        lo, hi = self.lo, self.hi
+        hi = max(lo, hi)
+        per = max(1, -(-(hi - lo) // self.n_partitions)) if hi > lo else 1
         parts = []
-        start = 0
-        while start < self.n_rows:
-            end = min(start + per, self.n_rows)
+        start = lo
+        while start < hi:
+            end = min(start + per, hi)
             parts.append(
                 _RangePartition(start, end, self.t0_sec + start * self.step_sec,
                                 self.step_sec)
             )
             start = end
-        return parts
+        # Spark requires at least one partition; an empty range yields
+        # an empty generator partition
+        return parts or [
+            _RangePartition(lo, lo, self.t0_sec, self.step_sec)
+        ]
 
     def read(self, partition: _RangePartition):
-        yield _arrow_batch(
-            partition.start,
-            partition.end - partition.start,
-            partition.t0_sec,
-            partition.step_sec,
-        )
+        if partition.end > partition.start:
+            yield _arrow_batch(
+                partition.start,
+                partition.end - partition.start,
+                partition.t0_sec,
+                partition.step_sec,
+            )
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
