@@ -102,6 +102,18 @@ def _cmd_consume(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_retain(args: argparse.Namespace) -> int:
+    """TTL sweep on a hive-partitioned layout (metadata-only)."""
+    from msstreamingstack_spark.sinks.layout import retention_sweep
+
+    dropped = retention_sweep(
+        args.path, args.partition_col, args.cutoff, dry_run=args.dry_run
+    )
+    verb = "would drop" if args.dry_run else "dropped"
+    print(f"{verb} {len(dropped)} partition(s): {', '.join(dropped) or '-'}")
+    return 0
+
+
 def _cmd_catalog(args: argparse.Namespace) -> int:
     """Emit the query catalog as markdown (no Spark session needed) —
     the registry is the driver contract, so this IS the operator
@@ -337,6 +349,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--dst", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    rt = sub.add_parser(
+        "retain", help="TTL-sweep expired partitions from a hive layout"
+    )
+    rt.add_argument("--path", required=True)
+    rt.add_argument("--partition-col", default="event_date")
+    rt.add_argument("--cutoff", required=True,
+                    help="drop partitions with value < cutoff (lexical)")
+    rt.add_argument("--dry-run", action="store_true")
+    rt.set_defaults(fn=_cmd_retain)
 
     ct = sub.add_parser("catalog", help="emit the query catalog as markdown")
     ct.add_argument("--out", default=None, help="write to file instead of stdout")

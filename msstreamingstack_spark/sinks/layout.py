@@ -84,6 +84,49 @@ def read_pruned_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("event_date") == F.lit(day))
 
 
+def retention_sweep(
+    path: str,
+    partition_col: str,
+    cutoff: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """TTL delete on a hive-partitioned layout: drop every
+    ``<partition_col>=<value>`` directory whose value sorts strictly
+    below ``cutoff`` (ISO dates sort lexically, so a string compare is
+    a date compare). Returns the dropped partition values.
+
+    This is METADATA-ONLY data lifecycle: no file is ever read — the
+    partition directory listing IS the index, the same mechanism that
+    makes the read side prune (``read_pruned_day``). At 100 TB/year a
+    90-day TTL sweep touches ~275 directory names and removes them;
+    a row-level `DELETE WHERE ts < cutoff` would rewrite every file.
+    The complement of ``write_partitioned``'s dynamic-overwrite
+    backfill: together they give append / upsert-day / expire-day
+    without a table format.
+
+    Safety: only exact ``col=value`` first-level directories are
+    considered; anything else (files, _SUCCESS, other columns) is
+    left untouched. ``dry_run`` lists without deleting.
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        value = entry[len(prefix):]
+        if value < cutoff:
+            dropped.append(value)
+            if not dry_run:
+                shutil.rmtree(full)
+    return dropped
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -144,3 +144,38 @@ def test_streaming_history_sink_is_date_partitioned(spark, tmp_path):
     out = spark.read.parquet(hist)
     assert out.count() == 12
     assert "session_id" in out.columns
+
+
+def test_retention_sweep_drops_expired_partitions(spark, tmp_path):
+    from msstreamingstack_spark.sinks.layout import retention_sweep
+
+    path = str(tmp_path / "retained")
+    events_partitioned_by_day(spark, SF, path)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("event_date=")
+    )
+    assert len(days) >= 3, days
+    cutoff = days[len(days) // 2]
+    before = spark.read.parquet(path).count()
+    kept_expected = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") >= F.lit(cutoff))
+        .count()
+    )
+
+    # dry run: reports but deletes nothing
+    listed = retention_sweep(path, "event_date", cutoff, dry_run=True)
+    assert listed == [d for d in days if d < cutoff]
+    assert spark.read.parquet(path).count() == before
+
+    dropped = retention_sweep(path, "event_date", cutoff)
+    assert dropped == listed
+    remaining = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("event_date=")
+    )
+    assert remaining == [d for d in days if d >= cutoff]
+    # table remains readable and holds exactly the retained rows
+    assert spark.read.parquet(path).count() == kept_expected
+
+    # idempotent: second sweep drops nothing
+    assert retention_sweep(path, "event_date", cutoff) == []
