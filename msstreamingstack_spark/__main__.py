@@ -102,6 +102,88 @@ def _cmd_consume(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_verify(args: argparse.Namespace) -> int:
+    """Run the driver-contract correctness gate locally: every
+    oracle-bearing registered query on Spark AND its DuckDB oracle
+    over the same parquet tables, value-hash compared (the external
+    harness's check, as a product command)."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.session import get_spark
+
+    try:
+        from tests.oracle_harness import compare, duck_connect
+    except ImportError:  # installed without the tests/ tree
+        import math
+        import os as _os
+
+        import duckdb
+
+        def duck_connect(sf_dir):
+            con = duckdb.connect()
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"):
+                p = _os.path.join(sf_dir, f"{t}.parquet")
+                if _os.path.exists(p):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                    )
+            return con
+
+        def compare(df, con, sql):
+            pdf = df.toPandas()
+            d = con.execute(sql)
+            dcols = [c[0] for c in d.description]
+            drows = d.fetchall()
+            scols = list(pdf.columns)
+            if sorted(scols) != sorted(dcols):
+                return False, f"columns {sorted(scols)} != {sorted(dcols)}"
+            si = sorted(range(len(scols)), key=lambda i: scols[i])
+            di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+
+            def cell(v):
+                if isinstance(v, float) and math.isnan(v):
+                    return "nan"
+                return repr(v)
+
+            sn = sorted(tuple(cell(r[i]) for i in si)
+                        for r in pdf.itertuples(index=False, name=None))
+            dn = sorted(tuple(cell(r[i]) for i in di) for r in drows)
+            return (sn == dn), f"{len(sn)} rows"
+
+    names = (
+        [n.strip() for n in args.names.split(",") if n.strip()]
+        if args.names
+        else [n for n, s in sorted(REGISTRY.items()) if s.oracle]
+    )
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="msstreamingstack-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(args.sf_dir)
+    failures = []
+    for name in names:
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            n = spec.builder(spark, args.sf_dir).count()
+            print(f"{name}: rows-only ({n} rows)")
+            continue
+        try:
+            ok, msg = compare(spec.builder(spark, args.sf_dir), con, spec.oracle)
+        except Exception as exc:
+            ok, msg = False, f"error: {exc}"
+        print(f"{name}: {'ok' if ok else 'MISMATCH'} ({msg})")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if failures:
+        print("failures:", ", ".join(failures), file=sys.stderr)
+    return 1 if failures else 0
+
+
 def _cmd_retain(args: argparse.Namespace) -> int:
     """TTL sweep on a hive-partitioned layout (metadata-only)."""
     from msstreamingstack_spark.sinks.layout import retention_sweep
@@ -349,6 +431,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--dst", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    vf = sub.add_parser(
+        "verify", help="run the DuckDB-oracle correctness gate locally"
+    )
+    vf.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    vf.add_argument("--names", default=None,
+                    help="comma-separated subset (default: all oracled)")
+    vf.set_defaults(fn=_cmd_verify)
 
     rt = sub.add_parser(
         "retain", help="TTL-sweep expired partitions from a hive layout"

@@ -139,3 +139,29 @@ def test_cli_mv_and_compact(tmp_path, capsys):
     assert rc == 0
     assert "compacted" in capsys.readouterr().out
     assert pq.read_table(dst).num_rows == pq.read_table(mv).num_rows
+
+
+def test_cli_verify_subset(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "msstreamingstack_spark", "verify",
+         "--names", "tpch_q1,heavy_hitters_exact",
+         "--sf-dir", "/root/testdata/sf0.01"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "2/2 queries match" in r.stdout
+
+
+def test_cli_verify_unknown_name():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "msstreamingstack_spark", "verify",
+         "--names", "no_such_query"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 2
