@@ -172,7 +172,8 @@ def test_mix_temperature_budget_conserved(spark):
     """Temperature shares must sum to ~1 and the doc budget must not
     exceed half the corpus."""
     rows = REGISTRY["mix_temperature_sources"].builder(spark, SF).collect()
-    total_docs = rows[0]["n_docs"] if not rows else sum(r["n_docs"] for r in rows)
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
     share_sum = sum(r["share"] for r in rows)
     assert abs(share_sum - 1.0) < 1e-9
     assert sum(r["budget_docs"] for r in rows) <= total_docs * 0.5 + len(rows)
