@@ -598,6 +598,70 @@ def q_inverted_index_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus duplication rate — per-source share of documents with at
+# least one verified near-duplicate (the corpus-health metric behind
+# "how much of source X survives dedup").
+# ---------------------------------------------------------------------------
+def _dup_rate_sql() -> str:
+    from msstreamingstack_spark.operators.dedup import minhash_lsh_sql
+
+    return f"""
+WITH p AS (SELECT * FROM ({minhash_lsh_sql(0.8)}) q),
+dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 AS doc_id FROM p
+  )
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(dup.doc_id) AS n_dup,
+       CAST(COUNT(dup.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_rate
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "corpus_duplication_rate",
+    _dup_rate_sql(),
+    tags=("analytics", "dedup", "pipeline"),
+    doc="Per-source duplication rate: fraction of documents with >=1 "
+    "verified near-duplicate (MinHash+LSH candidates, exact jaccard "
+    ">= 0.8 — the SAME banded pair generator as dedup_minhash_lsh, "
+    "so no all-pairs scan enters anywhere). The metric behind "
+    "per-source dedup budgeting in a pretraining mixture: a source "
+    "with dup_rate 0.6 contributes 40%% of its nominal tokens. One "
+    "extra doc_id-keyed join + a small source agg on top of the "
+    "pair pipeline; the dup-id set is bounded by |docs|.",
+)
+def q_corpus_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import minhash_lsh_pairs
+    from msstreamingstack_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, 0.8)
+    dup_ids = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_dup"),
+            (
+                F.count("is_dup").cast("double") / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Python DataSource profile — the pluggable producer's output is
 # deterministic, so its aggregate profile has a table-free oracle.
 # ---------------------------------------------------------------------------
