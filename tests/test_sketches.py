@@ -45,6 +45,21 @@ def test_sketch_estimate_exact_at_small_sf(spark):
         assert abs(got[k] - exact) <= 0.02 * exact, (k, got[k], exact)
 
 
+def test_driver_fixture_stays_in_coupon_mode(spark):
+    """GUARD for the distinct_users_sketch_rollup oracle contract: its
+    DuckDB oracle is exact COUNT(DISTINCT), which only matches the HLL
+    estimate while the driver fixture's per-type user cardinality sits
+    inside DataSketches' exact coupon mode (< ~3/4 * 2^lgK; 512 is a
+    conservative bound at the lgK=12 default). If a fixture bump trips
+    this, DEMOTE the registry entry to rows-only (oracle=None) — the
+    pytest twin above carries the exactness/error-bound check."""
+    per_type = _exact(spark, "/root/testdata/sf0.01")
+    assert per_type and max(per_type.values()) <= 512, (
+        "sf0.01 user cardinality left HLL coupon mode: demote "
+        "distinct_users_sketch_rollup to rows-only", per_type
+    )
+
+
 def test_sketches_persist_and_merge(spark, tmp_path):
     """Daily sketches written to parquet, read back, unioned with a
     later increment's sketches: the merged estimate must equal the

@@ -95,6 +95,59 @@ def test_stream_funnel_matches_batch(spark, staged_funnel_dir, tmp_path):
     assert not diffs, f"{len(diffs)} mismatches, e.g. {list(diffs.items())[:3]}"
 
 
+def test_multi_chunk_group_sorts_globally(spark, tmp_path):
+    """A group whose micro-batch spans multiple Arrow chunks must be
+    processed in GLOBAL (ts_sec, prio, event_id) order, not per-chunk:
+    the signup (earliest ts) is placed at the END of the file and
+    maxRecordsPerBatch is dropped to 4, so per-chunk sorting would see
+    the views/purchases before the signup and strand the user at
+    stage 1."""
+    import pandas as pd
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    n = 19
+    rows = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)) + [n + 1],
+            # views/purchases first in file order (ts 20..), signup last (ts 10)
+            "ts": [(20 + i) * 10**9 for i in range(n)] + [10 * 10**9],
+            "user_id": [7] * (n + 1),
+            "event_type": ["view" if i % 2 == 0 else "purchase" for i in range(n)]
+            + ["signup"],
+            "value": [0.0] * (n + 1),
+            "props": ["{}"] * (n + 1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), src / "p.parquet")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        ev = read_event_stream(spark, str(src))
+        out_dir = str(tmp_path / "out.parquet")
+        q = (
+            funnel_stream(ev.select("event_id", "user_id", "ts_sec", "event_type"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    r = spark.read.parquet(out_dir).orderBy(F.desc("stage")).first()
+    # global order: signup@10, first view@20 (>=10), first purchase@21 (>=20)
+    assert (r["signup_ts"], r["view_ts"], r["purchase_ts"], r["stage"]) == (
+        10,
+        20,
+        21,
+        3,
+    )
+
+
 def test_tie_resolution_matches_batch_predicate(spark, tmp_path):
     """signup and view at the SAME ts: batch's ts >= s counts the
     view; the stream's stage-priority sort must agree."""
