@@ -539,6 +539,32 @@ WHERE round({cos}, {COS_ROUND}) >= {threshold}
 """
 
 
+TARGET_BUCKET_OCCUPANCY = 32
+MIN_PLANES = 4
+MAX_PLANES = 24
+
+
+def auto_planes_per_table(
+    n_rows: int, target_occupancy: int = TARGET_BUCKET_OCCUPANCY
+) -> int:
+    """Derive the SRP plane count from corpus size: per-table buckets
+    = 2^planes, so holding expected occupancy N/2^planes at
+    ``target_occupancy`` keeps per-bucket join fan-out — and therefore
+    candidate volume, ≈ N·occupancy/2 per table — LINEAR in N. The
+    round-3 fixed default (4 planes regardless of N) measured 55.7×
+    super-linear at 16× data (BASELINE.md) because occupancy, and so
+    candidates-per-bucket, grew with N². Floor of MIN_PLANES keeps the
+    driver fixture (500 vecs → 4 planes) on the historically-oracled
+    sizing; cap of MAX_PLANES bounds signature width.
+    """
+    import math
+
+    if n_rows <= 0:
+        return MIN_PLANES
+    need = math.ceil(math.log2(max(1.0, n_rows / target_occupancy)))
+    return min(MAX_PLANES, max(MIN_PLANES, need))
+
+
 def embedding_neardup_lsh_pairs(
     emb: DataFrame,
     threshold: float,
@@ -546,6 +572,7 @@ def embedding_neardup_lsh_pairs(
     vec_col: str = "embedding",
     n_tables: int | None = None,
     planes_per_table: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs — the SCALE path whose
     exact kernel is ``embedding_neardup_pairs``: candidates are id
@@ -559,12 +586,20 @@ def embedding_neardup_lsh_pairs(
 
     Sizing at scale: per-table buckets = 2^planes_per_table, so with
     FIXED planes the expected bucket occupancy is N/2^bits and
-    candidate volume grows ~N² — planes_per_table must grow with
-    log2(N) to hold occupancy (and per-bucket join fan-out) constant.
-    Both knobs are exposed for exactly that reason; the defaults suit
-    the test corpus, a 100 TB deployment sizes bits ≈ log2(N) - 10
-    for ~1k-row buckets and adds tables to recover recall.
+    candidate volume grows ~N². When ``planes_per_table`` is None it
+    is AUTO-SIZED from the corpus count via ``auto_planes_per_table``
+    (≈ log2(N / target_occupancy), floored at the driver fixture's
+    historical 4) so occupancy — and candidate volume per table —
+    stays linear in N with no knob-turning. ``corpus_count`` skips the
+    sizing count() when the caller already knows N (e.g. from parquet
+    metadata). More planes lower per-table recall for a fixed
+    threshold; a deployment chasing recall at high N adds tables
+    (``n_tables``) — recall ≈ 1-(1-p^bits)^tables, p = 1-θ/π.
     """
+    if planes_per_table is None:
+        n_rows = emb.count() if corpus_count is None else corpus_count
+        planes_per_table = auto_planes_per_table(n_rows)
+
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idc),

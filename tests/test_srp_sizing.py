@@ -53,6 +53,60 @@ def _candidates(spark, emb, bits: int) -> int:
     )
 
 
+def test_auto_planes_tracks_corpus_size():
+    """Occupancy-constant sizing: planes grow with log2(N), floored at
+    the historical default 4, capped at 24."""
+    from msstreamingstack_spark.operators.similarity import (
+        MAX_PLANES,
+        auto_planes_per_table,
+    )
+
+    assert auto_planes_per_table(0) == 4
+    assert auto_planes_per_table(500) == 4      # driver fixture sizing
+    assert auto_planes_per_table(2000) == 6     # sf0.1
+    assert auto_planes_per_table(32000) == 10   # 16x scale run
+    assert auto_planes_per_table(10**12) == MAX_PLANES
+    # monotone non-decreasing
+    vals = [auto_planes_per_table(n) for n in (1, 10, 100, 10**3, 10**6, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_driver_fixture_matches_static_oracle_sizing(spark):
+    """GUARD for dedup_embedding_lsh's oracle contract: the registered
+    oracle SQL is generated with the default PLANES_PER_TABLE, while
+    the Spark side auto-sizes from the corpus count — they agree only
+    while auto sizing at the driver fixture yields that default. A
+    fixture cardinality bump trips this BEFORE it turns into a silent
+    driver-gate failure; fix = regenerate the oracle via
+    _attach_embedding_lsh_oracle with the new derived value."""
+    from msstreamingstack_spark.operators.similarity import (
+        PLANES_PER_TABLE,
+        auto_planes_per_table,
+    )
+
+    n = load_table(spark, SF, "embeddings").count()
+    assert auto_planes_per_table(n) == PLANES_PER_TABLE, (
+        "sf0.01 embedding count moved off the static oracle sizing", n
+    )
+
+
+def test_auto_sized_lsh_oracle_exact_at_sf01(spark):
+    """The AUTO-SIZED path (no planes_per_table passed) at sf0.1 must
+    derive 6 planes and stay bit-exact against the matching oracle —
+    the dynamic default is as oracle-checkable as any fixed setting."""
+    sf = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf, "embeddings")
+    got = embedding_neardup_lsh_pairs(emb, T)  # pure defaults
+    con = duck_connect(sf)
+    try:
+        ok, msg = compare(
+            got, con, embedding_neardup_lsh_sql(T, planes_per_table=6)
+        )
+    finally:
+        con.close()
+    assert ok, msg
+
+
 def test_more_bits_fewer_candidates(spark):
     emb = load_table(spark, SF, "embeddings")
     c4 = _candidates(spark, emb, 4)
