@@ -79,22 +79,43 @@ def read_event_stream(
     )
 
 
-def read_kafka_stream(
-    spark: SparkSession, bootstrap: str, topic: str
-) -> DataFrame:  # pragma: no cover — no broker in this environment
-    """S1: Kafka source (value JSON → declared schema), kept
-    interface-identical to the file source."""
-    from msstreamingstack_spark.schemas import CLICKSTREAM_SCHEMA
-
-    raw = (
+def kafka_reader(spark: SparkSession, bootstrap: str, topic: str,
+                 starting_offsets: str = "latest"):
+    """S1 source half: the configured Kafka DataStreamReader —
+    format/options mirror StructuredStreaming.scala:79-84 exactly
+    (kafka.bootstrap.servers + subscribe). Split from the decode so
+    the option surface is unit-testable without a broker or the
+    kafka connector jar (neither exists in this sandbox); the decode
+    half runs against the wire schema on a batch frame."""
+    return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
-        .load()
+        .option("startingOffsets", starting_offsets)
     )
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """S1 decode half: Kafka wire rows (binary ``value``) → typed
+    clickstream columns via CAST(value AS STRING) + from_json with the
+    DECLARED schema (the reference inferred its schema from a sample
+    file, StructuredStreaming.scala:70-76,87-89; a declared schema is
+    the only streaming-safe equivalent). Works identically on the
+    streaming source and on a batch frame with the same wire schema —
+    which is how it is verified broker-free."""
+    from msstreamingstack_spark.schemas import CLICKSTREAM_SCHEMA
+
     return raw.select(
         F.from_json(F.col("value").cast("string"), CLICKSTREAM_SCHEMA).alias("data")
     ).select("data.*")
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:  # pragma: no cover — no broker/connector jar here
+    """S1: Kafka source (value JSON → declared schema), kept
+    interface-identical to the file source."""
+    return decode_kafka_events(kafka_reader(spark, bootstrap, topic).load())
 
 
 def run_pipeline(

@@ -6,9 +6,21 @@ StructuredStreaming.scala:142-148). ``streaming/stateful.py`` rebuilds
 that with ``applyInPandasWithState``; this module is the same state
 machine on Spark 4's ``transformWithStateInPandas`` — typed state
 variables (ValueState) managed per key, timers available, state
-schema evolvable, RocksDB-backed. This is the API the engine
-standardizes on going forward; the applyInPandasWithState path stays
-for comparison and for Spark 3.x deployments.
+schema evolvable, RocksDB-backed.
+
+Status: CONTRACT-VERIFIED, not runtime-verified here. The TWS Python
+runner speaks protobuf to the JVM and google.protobuf cannot be
+installed in this build sandbox, so the wire path has never executed
+in CI — ``tws_available()`` gates it, and the state machine's
+semantics are pinned protobuf-free against a fake handle
+(tests/test_streaming.py::test_tws_processor_semantics_without_runner
+and the multi-chunk contract inside
+test_transform_with_state_user_table). Deployments WITH protobuf get
+the e2e test automatically. The supported runtime path for per-user
+state in this engine is ``streaming/stateful.py``
+(applyInPandasWithState — no sidecar protocol, runtime-verified
+against the batch oracle); this module is the forward port for when
+the environment catches up.
 
 Semantics (matches queries_state.user_state_table, oracle-checked in
 batch): per user keep last event ts, last event type, last non-null
@@ -74,12 +86,17 @@ class UserStateProcessor(StatefulProcessor):
             last_ts, last_et, last_pv, total_dec, n = (
                 None, None, None, Decimal("0.000000"), 0,
             )
-        for pdf in rows:
-            # event-time order within the batch, ties by event_id —
-            # same total either way, but last_* must be deterministic
-            pdf = pdf.sort_values(["ts_sec", "event_id"])
+        # accumulate ALL Arrow chunks, then ONE global sort: chunks
+        # arrive in arbitrary order, so a per-chunk sort would make
+        # last_ts/last_event_type depend on chunk boundaries (the
+        # total is order-free, the carried last_* columns are not)
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_sec", "event_id"]
+            )
             for ts, et, val in zip(
-                pdf["ts_sec"], pdf["event_type"], pdf["value"]
+                allrows["ts_sec"], allrows["event_type"], allrows["value"]
             ):
                 last_ts = int(ts)
                 last_et = et

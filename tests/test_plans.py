@@ -167,6 +167,21 @@ def test_interval_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in f.text
 
 
+def test_dup_rate_reuses_shingle_persist_and_prunes_agg_scan(spark):
+    """corpus_duplication_rate layers a per-source agg on the banded
+    LSH pair generator: the shingle table must come from the persisted
+    cache (InMemoryTableScan) everywhere the kernel re-reads it, and
+    the agg-side documents scan must be pruned to (doc_id, source) —
+    never a second decode of text."""
+    import re
+
+    f = plan_facts(REGISTRY["corpus_duplication_rate"].builder(spark, SF))
+    assert "InMemoryTableScan" in f.text
+    schemas = re.findall(r"ReadSchema: struct<([^>\n]*)>", f.text)
+    agg_side = [s for s in schemas if "source" in s]
+    assert agg_side and all("text" not in s for s in agg_side), schemas
+
+
 def test_simhash_pairs_no_cartesian(spark):
     """dedup_simhash_pairs must run as a banded bucket equi-join on
     (band_pair, key) + popcount verify — never the all-pairs
