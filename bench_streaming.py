@@ -116,6 +116,79 @@ def bench_corpus_ingest(spark, sf_dir: str, sf: float, replicate: int = 10) -> N
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_neardup_stream(spark, sf_dir: str, sf: float, replicate: int = 4) -> None:
+    """docs/sec through the in-stream MinHash near-dup detector
+    (streaming/neardup.py): per-row signatures → banded bucket state →
+    per-batch flag aggregation. Replicas salt every 19th token so the
+    detector sees real near-dups (high signature overlap, unequal
+    content hashes), not byte-identical copies."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.sources.tables import spread
+    from msstreamingstack_spark.streaming.neardup import run_neardup_stream
+
+    work = tempfile.mkdtemp(prefix="bench_neardup_")
+    src = os.path.join(work, "docs")
+    try:
+        base = spread(load_table(spark, sf_dir, "documents"))
+        n_base = base.count()
+        reps = []
+        for i in range(replicate):
+            if i == 0:
+                reps.append(base)
+                continue
+            toks = F.split(F.col("text"), " ")
+            perturbed = F.concat_ws(
+                " ",
+                F.transform(
+                    toks,
+                    lambda t, j: F.when(
+                        j % 19 == i, F.concat(t, F.lit(f"~{i}"))
+                    ).otherwise(t),
+                ),
+            )
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + i * n_base * 10).alias("doc_id"),
+                    perturbed.alias("text"),
+                    "lang", "source", "n_chars",
+                )
+            )
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionByName(r)
+        n_rows = n_base * replicate
+        docs.repartition(8).write.mode("overwrite").parquet(src)
+
+        t0 = time.perf_counter()
+        q = run_neardup_stream(
+            spark,
+            src,
+            out_dir=os.path.join(work, "verdicts"),
+            checkpoint_dir=os.path.join(work, "cp"),
+            max_files_per_trigger=4,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        verdicts = spark.read.parquet(os.path.join(work, "verdicts"))
+        n_flagged = verdicts.filter("is_neardup").count()
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_neardup_throughput",
+                    "value": round(n_rows / wall, 1),
+                    "unit": "rows/sec",
+                    "rows": n_rows,
+                    "flagged": n_flagged,
+                    "wall_sec": round(wall, 2),
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_files = int(os.environ.get("BENCH_STREAM_FILES", "8"))
@@ -176,6 +249,7 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     bench_corpus_ingest(spark, sf_dir, sf)
+    bench_neardup_stream(spark, sf_dir, sf)
 
 
 if __name__ == "__main__":

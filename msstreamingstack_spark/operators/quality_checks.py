@@ -108,9 +108,12 @@ def check_foreign_key(
         parent.select(F.col(parent_col).alias(col)).distinct(), col, "left_anti"
     )
     total = child.select(F.count("*").alias("_n"))
+    # both sides are 1-row aggregates; broadcast EXPLICITLY — relying
+    # on AQE to notice saves nothing and a missed conversion would
+    # cross-join two full shuffles (queries_analytics.py:361 pattern)
     return (
         orphans.agg(F.count("*").alias("_viol"))
-        .crossJoin(total)
+        .crossJoin(F.broadcast(total))
         .select(
             F.lit(table).alias("table_name"),
             F.lit(f"fk:{col}").alias("check_name"),

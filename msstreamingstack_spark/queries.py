@@ -249,51 +249,44 @@ from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
 # similarity_ann_ivf — are pushed past it; their correctness lives in
 # pytest recall/property tests instead).
 # ---------------------------------------------------------------------------
-# Round-3 rotation: rounds 1-2 validated 76 distinct queries; this
-# window holds (a) all 24 oracled queries that have NEVER had a driver
-# row (round-2 additions + the TPC-H long tail + HOFs), (b) the
-# round-2 red `percentile_event_values` to prove the final-type fix,
-# (c) one canary per previously-red family (ANN, packing, multimodal,
-# grouping-sets, layout, SQL front-end), and (d) 19 round-1-only
-# queries whose driver signal is oldest — including
-# `quality_chartrigram_df` post broadcast fix. After this round every
-# oracled query in the registry has had at least one driver row.
+# Round-4 rotation (audit basis: `catalog --audit` — 112 distinct
+# queries driver-checked over r1-r3, all latest-hash-green). This
+# window holds (a) `corpus_duplication_rate`, the ONLY oracled query
+# never driver-checked (registered after the r3 driver run), (b) the
+# queries whose PLAN changed this round — banded `dedup_simhash_pairs`
+# (was all-pairs cartesian) and auto-sized `dedup_embedding_lsh` —
+# plus the r3 perf-flagged `dedup_jaccard_dfcapped` and its kernel
+# siblings, and (c) the 18 queries whose only driver row is from
+# round 1 (oldest signal), then (d) family representatives whose last
+# row is round 2.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never-driver-checked: skew / bucketed twins / diagnostics
-    "sessionize_events_bucketed", "running_revenue_bucketed",
-    "skew_profile_events_user",
-    # never-driver-checked: TPC-H long tail
-    "tpch_q2_min_cost_supplier", "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
-    "tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers",
-    # never-driver-checked: extensions (dedup/quality/pipeline/HOF/dq)
-    "dedup_embedding_lsh", "quality_char_entropy", "corpus_version_diff",
-    "hof_component_means", "hof_array_pipeline", "wordcount_frequent",
-    "dq_report",
-    # round-2 red, now fixed (DECIMAL→DOUBLE final cast)
-    "percentile_event_values",
-    # new this round: SQL front-end parity
-    "sql_frontend_q1_parity",
-    # canaries: one green representative per previously-red family
-    "similarity_ann_srp", "pack_sequences_greedy", "multimodal_stats",
-    "grouping_sets_revenue", "zorder_cluster_stats",
-    # new this round: event-analytics family (queries_analytics.py) —
-    # first driver rows for all eleven round-3 queries
-    "cohort_retention", "funnel_conversion", "scd2_device_runs",
-    "rolling_zscore_events", "heavy_hitters_exact",
-    "mix_temperature_sources", "ltv_deciles", "histogram_event_values",
-    "distinct_users_sketch_rollup", "inverted_index_sampled",
-    "pydatasource_events_profile",
-    # round-1-only signal refresh (last driver row was round 1);
-    # quality_chartrigram_df re-measures the broadcast fix
-    "dedup_exact", "dedup_jaccard_dfcapped",
-    "join_inner_customer_geo", "mix_weighted_sources",
-    "quality_chartrigram_df", "text_cleaning",
-    "tpch_q3_building", "tpch_q5_regional_revenue",
+    # (a) never-driver-checked
+    "corpus_duplication_rate",
+    # (b) changed plans + perf-flagged kernels
+    "dedup_simhash_pairs", "dedup_embedding_lsh",
+    "dedup_jaccard_dfcapped", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_embedding_cosine",
+    # (c) round-1-only signal refresh
+    "cube_orders_status_priority", "dedup_ngram_jaccard",
+    "doc_fingerprints", "embedding_norm_stats", "hash_split_assign",
+    "join_semi_customers_with_orders", "langid_heuristic",
+    "order_priority_check", "pii_scrub", "repetition_quality",
+    "rollup_lineitem_flags", "running_revenue_per_customer",
+    "sample_reservoir_stratified", "set_ops_customers",
+    "shuffle_shard_assign", "top_ngrams_per_lang", "top_orders_by_price",
+    # (d) round-2 family representatives
+    "sessionize_events", "enrich_clickstream", "user_state_table",
+    "device_transitions", "events_new_vs_returning",
+    "tpch_q1", "tpch_q9_product_profit", "tpch_q13_custdist",
+    "tpch_q18_large_orders", "tpch_q22_idle_rich_customers",
+    "join_left_orders_customer", "join_anti_customers_no_orders",
+    "asof_last_purchase", "interval_join_attribution",
+    "range_join_price_bands", "salted_join_events_customer",
+    "salted_agg_user_values", "window_rank_family",
+    "range_frame_rolling_sum", "topk_customers_per_segment",
+    "pivot_event_type_counts", "session_window_native",
+    "hypertable_rollup", "timeseries_gapfill",
+    "similarity_topk_cosine", "similarity_ann_quantized",
 )
 
 

@@ -1,0 +1,158 @@
+"""Streaming near-dup detector (streaming/neardup.py): the per-row
+signature expression must equal the batch aggregate kernel
+bit-for-bit, and the drained stream must agree EXACTLY with the
+sequential reference twin on the same drops — the property tying the
+watermarked bucket state to the batch MinHash+LSH family."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from msstreamingstack_spark.operators.dedup import (
+    NUM_HASHES,
+    doc_shingle_hashes,
+    minhash_signatures,
+)
+from msstreamingstack_spark.sources.tables import load_table
+from msstreamingstack_spark.streaming.neardup import (
+    SIG_MATCH_MIN,
+    flag_neardups,
+    minhash_signature_expr,
+    neardup_twin,
+    run_neardup_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_signatures(spark, docs):
+    """The batch kernel's signatures keyed by doc_id."""
+    sig = minhash_signatures(doc_shingle_hashes(docs, persist=False))
+    return {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(NUM_HASHES)]
+        for r in sig.collect()
+    }
+
+
+def test_signature_expr_matches_batch_kernel(spark):
+    """Per-row HOF signature == groupBy-min aggregate signature, every
+    doc, every component — two computation strategies, one result."""
+    docs = load_table(spark, SF, "documents")
+    want = _batch_signatures(spark, docs)
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", minhash_signature_expr(F.col("text")).alias("sig")
+        )
+        .filter(F.col("sig").isNotNull())
+        .collect()
+    }
+    assert set(got) == set(want)
+    diffs = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not diffs, f"{len(diffs)} signature mismatches"
+
+
+@pytest.fixture(scope="module")
+def staged_doc_drops(tmp_path_factory):
+    """documents split into 3 doc_id-ordered drops + a 4th drop that
+    re-crawls the first 10 docs verbatim under new ids."""
+    src = pq.read_table(os.path.join(SF, "documents.parquet"))
+    df = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = tmp_path_factory.mktemp("neardup_in")
+    n = len(df)
+    step = (n + 2) // 3
+    order = []
+    for i, lo in enumerate(range(0, n, step)):
+        chunk = df.iloc[lo : lo + step]
+        path = out / f"part-{i:03d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        mt = 1_700_000_000 + i * 10
+        os.utime(path, (mt, mt))
+        order.append(sorted(chunk["doc_id"]))
+    recrawl = df.iloc[:10].assign(doc_id=lambda d: d["doc_id"] + 1_000_000)
+    path = out / "part-003.parquet"
+    pq.write_table(pa.Table.from_pandas(recrawl, preserve_index=False), path)
+    os.utime(path, (1_700_000_040, 1_700_000_040))
+    order.append(sorted(recrawl["doc_id"]))
+    return str(out), order
+
+
+def test_stream_flags_match_sequential_twin(spark, staged_doc_drops, tmp_path):
+    src_dir, order = staged_doc_drops
+    out_dir = str(tmp_path / "verdicts")
+    q = run_neardup_stream(
+        spark, src_dir, out_dir, checkpoint_dir=str(tmp_path / "cp")
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got_df = spark.read.parquet(out_dir)
+    got = {
+        r["doc_id"]: (r["is_neardup"], r["matched_doc"])
+        for r in got_df.collect()
+    }
+
+    # reference twin over the SAME arrival order on batch signatures
+    docs = load_table(spark, SF, "documents")
+    orig_ids = [d - 1_000_000 for d in order[3]]
+    recrawl = docs.filter(F.col("doc_id").isin(orig_ids)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    sigs = _batch_signatures(spark, docs.unionByName(recrawl))
+    ordered = [
+        (d, sigs[d]) for drop in order for d in drop if d in sigs
+    ]
+    want = neardup_twin(ordered)
+
+    assert set(got) == set(want)
+    flag_diffs = {
+        d: (got[d][0], want[d]) for d in want if got[d][0] != want[d]
+    }
+    assert not flag_diffs, f"{len(flag_diffs)} flag mismatches: {list(flag_diffs.items())[:5]}"
+
+    # the verbatim re-crawl MUST be flagged (identical shingle set ⇒
+    # identical signature ⇒ every bucket hits, est_jaccard = 1.0)
+    recrawl_ids = order[3]
+    assert all(got[d][0] for d in recrawl_ids if d in got), {
+        d: got.get(d) for d in recrawl_ids
+    }
+    # and its partner must share all bands -> matched_doc = original
+    for d in recrawl_ids:
+        if d in got and got[d][0]:
+            assert got[d][1] is not None
+
+    # bridge to the batch kernel: a flagged pair reaches >= 13/16
+    # matching signature components — est jaccard >= SIG_MATCH_MIN/16
+    for d, (flag, partner) in got.items():
+        if flag and partner in sigs and d in sigs:
+            n_match = sum(
+                1 for a, b in zip(sigs[d], sigs[partner]) if a == b
+            )
+            assert n_match >= SIG_MATCH_MIN, (d, partner, n_match)
+
+
+def test_flag_neardups_threshold_and_partner_tiebreak(spark):
+    """flag_neardups: max match wins; ties pick the smallest partner;
+    below-threshold stays unflagged with est carried."""
+    rows = [
+        (1, None, None),
+        (2, 1, 16),
+        (2, 7, 16),   # tie on n_match -> partner 1 (smallest)
+        (3, 1, 12),   # below threshold
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, matched_doc long, n_match int"
+    )
+    got = {r["doc_id"]: r for r in flag_neardups(df).collect()}
+    assert got[1]["is_neardup"] is False and got[1]["matched_doc"] is None
+    assert got[2]["is_neardup"] is True and got[2]["matched_doc"] == 1
+    assert got[2]["est_jaccard"] == 1.0
+    assert got[3]["is_neardup"] is False
+    assert got[3]["est_jaccard"] == 0.75
