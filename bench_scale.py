@@ -60,6 +60,7 @@ QUERIES = (
     "quality_char_entropy",
     "dq_report",
     "dedup_embedding_lsh",
+    "dedup_simhash_pairs",   # round-4 banded bucket join: must scale ~linearly now
 )
 
 TABLES = (

@@ -282,11 +282,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_orders_customer", "join_anti_customers_no_orders",
     "asof_last_purchase", "interval_join_attribution",
     "range_join_price_bands", "salted_join_events_customer",
-    "salted_agg_user_values", "window_rank_family",
-    "range_frame_rolling_sum", "topk_customers_per_segment",
+    "window_rank_family", "topk_customers_per_segment",
     "pivot_event_type_counts", "session_window_native",
-    "hypertable_rollup", "timeseries_gapfill",
+    "hypertable_rollup",
     "similarity_topk_cosine", "similarity_ann_quantized",
+    # family representatives the invariant requires every round
+    "multimodal_frame_sample", "grouping_sets_revenue",
+    "zorder_cluster_stats",
 )
 
 

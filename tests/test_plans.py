@@ -167,6 +167,19 @@ def test_interval_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in f.text
 
 
+def test_dfcapped_jaccard_reuses_shingle_persist(spark):
+    """dedup_jaccard_dfcapped reads the shingle table from its persist
+    everywhere (df-cap filter, both pair-join sides, per-doc sizes):
+    the text is shingled ONCE — exactly one parquet scan in the plan
+    (inside the cache build), the rest InMemoryTableScans. Guards the
+    round-3 suspicion that the df-filter join re-shingled the corpus."""
+    import re
+
+    f = plan_facts(REGISTRY["dedup_jaccard_dfcapped"].builder(spark, SF))
+    assert "InMemoryTableScan" in f.text
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text
+
+
 def test_dup_rate_reuses_shingle_persist_and_prunes_agg_scan(spark):
     """corpus_duplication_rate layers a per-source agg on the banded
     LSH pair generator: the shingle table must come from the persisted
