@@ -9,7 +9,7 @@ Four tiers, all deterministic and (except where noted) oracle-checkable:
                   banded bucketing; candidates verified with exact
                   jaccard. At 100 TB the shingle join only runs on
                   LSH candidates (tiny) instead of all pairs.
-4. simhash      — 32-bit weighted simhash + hamming-distance pairs.
+4. simhash      — 48-bit weighted simhash + hamming-distance pairs.
 
 Hashing is the cross-engine 48-bit md5 prefix (functions/text.py), so
 the DuckDB oracle reproduces signatures bit-for-bit — no RNG anywhere.
@@ -35,7 +35,7 @@ from msstreamingstack_spark.functions.text import (
 
 NUM_HASHES = 16
 BAND_SIZE = 2  # 8 bands × 2 rows
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48
 
 # Fixed odd multipliers/offsets for the minhash permutation family
 # h_i(x) = (A[i]*x + B[i]) mod (2^61-1); generated from an LCG-style
@@ -291,7 +291,9 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {thresh
 # 4. SimHash
 # ---------------------------------------------------------------------------
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit weighted simhash: token weight = occurrence count; bit b
+    """48-bit weighted simhash (full width of the cross-engine hash48;
+    wider fingerprints make band keys selective — see simhash_pairs):
+    token weight = occurrence count; bit b
     set when the weighted sum of ±1 votes from token-hash bit b is
     positive. One explode + one groupBy (32 conditional sums)."""
     toks = (
@@ -335,7 +337,7 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
 """
 
 
-SIMHASH_BANDS = 8  # 8 bands × 4 bits over the 32-bit fingerprint
+SIMHASH_BANDS = 8  # 8 bands × 6 bits over the 48-bit fingerprint
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -344,17 +346,22 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     oracle keeps the all-pairs spec).
 
     Candidate generation (Manku/Jain/Sarma multi-index, WWW'07 §3,
-    adapted to 32 bits): split the fingerprint into 8×4-bit bands.
+    adapted to 48 bits): split the fingerprint into 8×6-bit bands.
     hamming ≤ 6 flips bits in at most 6 bands, leaving ≥ 2 bands
     bit-identical — so for every qualifying pair at least one of the
     C(8,2)=28 ordered band PAIRS matches exactly. Each doc explodes to
-    28 (band_pair, 8-bit key) buckets; an equi-join on (band_pair, key)
-    + popcount verify replaces the O(N²) cartesian. Band pairs (8-bit
-    keys, 256 values) rather than single bands (16 values) buy 16×
-    bucket selectivity for 3.5× replication — with 16-value keys the
-    bucket join would re-approach N²/16. For max_hamming == 7 the pair
-    guarantee breaks (only ≥1 band untouched) and we fall back to
-    single-band keys; > 7 over 32 bits is not bucketable and raises.
+    28 (band_pair, 12-bit key) buckets; an equi-join on (band_pair,
+    key) + popcount verify replaces the O(N²) cartesian. Band pairs
+    (12-bit keys, 4096 values) rather than single bands (64 values)
+    buy 64× bucket selectivity for 3.5× replication. The fingerprint
+    is the FULL 48 bits of the cross-engine hash precisely for key
+    width: a 32-bit fingerprint left band-pair keys with only 256
+    values, and the measured 16× scale run stayed ~linear only by
+    constant-factor luck — random-pair collision probability is
+    28/2^(2·band_bits), so 12-bit bands cut it 256× vs 8-bit ones.
+    For max_hamming == 7 the pair guarantee breaks (only ≥1 band
+    untouched) and we fall back to single-band keys; > 7 over 48 bits
+    is not bucketable and raises.
 
     Scale: explode is 28 longs/doc; the join shuffles on the bucket
     key; `distinct` on (d1, d2) bounds re-verification. The verify
@@ -390,23 +397,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     buckets = st.select(
         "doc_id", "simhash", F.explode(F.array(*keys)).alias("b")
     ).select("doc_id", "simhash", F.col("b.bp").alias("bp"), F.col("b.k").alias("k"))
-    cand = (
+    # popcount-verify INSIDE the join stage, BEFORE the dedup shuffle:
+    # the distinct then carries only true near-dup pairs (tiny) instead
+    # of every bucket collision — the verify is a per-row JVM popcount,
+    # the dedup is a shuffle; order them cheap-first.
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).cast("int")
+    return (
         buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"), ["bp", "k"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("d1"),
             F.col("y.doc_id").alias("d2"),
-            F.col("x.simhash").alias("h1"),
-            F.col("y.simhash").alias("h2"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .select("d1", "d2", "hamming")
     )
 
