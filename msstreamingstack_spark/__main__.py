@@ -11,6 +11,9 @@ reference's two runnable apps plus a query runner:
   ingest    streaming corpus ingestion (extension surface): document
             file-drops -> quality gates -> watermarked exact dedup ->
             decontamination vs an eval set -> accept/reject stores
+  neardup   in-stream MinHash near-dup detection: document drops ->
+            per-row signatures -> banded bucket state -> per-batch
+            verdict parquet (streaming/neardup.py)
   dedup-increment
             batch incremental dedup: dedupe one corpus increment
             against the persisted digest store (re-crawls beyond the
@@ -363,6 +366,30 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_neardup(args: argparse.Namespace) -> int:
+    """Run the in-stream MinHash near-dup detector over document
+    drops; one verdict parquet (doc_id, is_neardup, matched_doc,
+    est_jaccard) per micro-batch."""
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.streaming.neardup import run_neardup_stream
+
+    spark = get_spark(app_name="msstreamingstack-neardup")
+    spark.sparkContext.setLogLevel("WARN")
+    q = run_neardup_stream(
+        spark,
+        source_path=args.source,
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        max_files_per_trigger=args.files_per_trigger,
+        available_now=args.once,
+        state_ttl_ms=args.state_ttl_min * 60_000 if args.state_ttl_min else None,
+    )
+    q.awaitTermination()
+    flagged = spark.read.parquet(args.out).filter("is_neardup").count()
+    print(f"near-dup detection done: {flagged} docs flagged under {args.out}")
+    return 0
+
+
 def _cmd_dedup_increment(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.operators.incremental import dedup_increment
     from msstreamingstack_spark.session import get_spark
@@ -481,6 +508,22 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--once", action="store_true",
                    help="Trigger.AvailableNow: drain pending input, then stop")
     i.set_defaults(fn=_cmd_ingest)
+
+    nd = sub.add_parser(
+        "neardup",
+        help="in-stream MinHash near-dup detection over document drops",
+    )
+    nd.add_argument("--source", required=True, help="document drop directory")
+    nd.add_argument("--out", required=True, help="verdict parquet directory")
+    nd.add_argument("--checkpoint", required=True)
+    nd.add_argument("--files-per-trigger", type=int, default=1)
+    nd.add_argument("--once", action=argparse.BooleanOptionalAction, default=True,
+                    help="drain pending input then stop (default); --no-once "
+                    "runs continuously with the bucket-state TTL on")
+    nd.add_argument("--state-ttl-min", type=int, default=None,
+                    help="bucket-state idle eviction (minutes); default: off "
+                    "in drain mode, 10 in continuous mode")
+    nd.set_defaults(fn=_cmd_neardup)
 
     di = sub.add_parser(
         "dedup-increment",

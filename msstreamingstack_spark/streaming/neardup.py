@@ -36,10 +36,16 @@ Semantics vs the batch kernel: candidates are THE SAME banded buckets,
 but verification is signature-estimated (16 components) instead of
 exact-jaccard — the state store cannot hold every prior doc's shingle
 set, and does not need to: identical shingle sets share all 16
-components (est = 1.0), so exact re-crawls are flagged with
-certainty, and the 13/16 threshold catches light edits with the
-standard MinHash estimator error (sd ≈ 0.1 at j = 0.8). Everything is
-deterministic (fixed permutations, deterministic tie order), so the
+components (est = 1.0), so an exact re-crawl is flagged whenever its
+original (or any ≥13/16-matching doc) occupies at least one of its 8
+buckets — which first-arrival occupancy makes the overwhelmingly
+common case, though an adversarial arrival order can pre-claim ALL of
+a doc's buckets with low-match occupants (single-occupant state is
+the price of O(buckets) memory; the batch sweep downstream remains
+the completeness backstop). The 13/16 threshold catches light edits
+with the standard MinHash estimator error (sd ≈ 0.1 at j = 0.8).
+Everything is deterministic (fixed permutations, deterministic tie
+order), so the
 whole pipeline is EXACTLY reproducible by the sequential reference
 twin ``neardup_twin`` — the property test drains the same drops
 through both and requires identical flag sets; a bridge property ties

@@ -165,3 +165,55 @@ def test_cli_verify_unknown_name():
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 2
+
+
+def test_cli_neardup(spark, tmp_path, capsys):
+    """neardup subcommand drains document drops and writes per-batch
+    verdict parquet; an exact re-crawl under a new id is flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drops = str(tmp_path / "nd_drops")
+    os.makedirs(drops)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([base, other], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["crawl"] * 2, pa.string()),
+                "n_chars": pa.array([len(base), len(other)], pa.int64()),
+            }
+        ),
+        os.path.join(drops, "b0.parquet"),
+    )
+    # drop 2: verbatim re-crawl of doc 1 under a new id
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10], pa.int64()),
+                "text": pa.array([base], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["crawl"], pa.string()),
+                "n_chars": pa.array([len(base)], pa.int64()),
+            }
+        ),
+        os.path.join(drops, "b1.parquet"),
+    )
+    os.utime(os.path.join(drops, "b0.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(drops, "b1.parquet"), (1_700_000_010, 1_700_000_010))
+
+    out = str(tmp_path / "nd_out")
+    rc = main([
+        "neardup", "--source", drops, "--out", out,
+        "--checkpoint", str(tmp_path / "nd_cp"),
+    ])
+    assert rc == 0
+    assert "1 docs flagged" in capsys.readouterr().out
+    verdicts = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert verdicts[10]["is_neardup"] is True
+    assert verdicts[10]["matched_doc"] == 1
+    assert verdicts[10]["est_jaccard"] == 1.0
+    assert verdicts[1]["is_neardup"] is False

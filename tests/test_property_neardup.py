@@ -1,0 +1,103 @@
+"""Pure-python property tests for the streaming near-dup twin
+(streaming/neardup.py::neardup_twin — the sequential reference the
+drained stream is pinned exactly equal to). No Spark session: these
+run the state-machine semantics thousands of arrival orders deep,
+which the streaming harness is too slow to do.
+
+Guarantees under test:
+- SOUNDNESS: a flagged doc always has an EARLIER doc with >= 13/16
+  matching signature components (every flag is justified; the partner
+  is a bucket occupant, occupants are always earlier arrivals).
+- FIRST-OCCUPANT RECALL: when a doc arrives FIRST, it claims all its
+  buckets, so any later doc matching it on >= 13 components is
+  flagged (>= 13 matches => <= 3 mismatching components => <= 3
+  mismatching bands => >= 5 of 8 exactly-equal band keys, all
+  occupied by the first doc — pigeonhole, deterministic).
+- The adversarial gap is REAL and stays documented: with every bucket
+  pre-claimed by low-match occupants, an exact duplicate can go
+  unflagged (single-occupant state's price) — the test constructs it
+  so a future "fix" that silently changes occupancy semantics gets
+  flagged for re-review.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from msstreamingstack_spark.streaming.neardup import (
+    SIG_MATCH_MIN,
+    _sig_matches,
+    neardup_twin,
+)
+from msstreamingstack_spark.operators.dedup import BAND_SIZE, NUM_HASHES
+
+# tiny value space so band keys genuinely collide across random docs
+sig_strategy = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=NUM_HASHES, max_size=NUM_HASHES
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(sig_strategy, min_size=1, max_size=30))
+def test_flag_soundness(sigs):
+    ordered = list(enumerate(sigs))
+    flagged = neardup_twin(ordered)
+    for i, sig in enumerate(sigs):
+        if flagged[i]:
+            assert any(
+                _sig_matches(sig, sigs[j]) >= SIG_MATCH_MIN for j in range(i)
+            ), (i, sig)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(sig_strategy, min_size=2, max_size=30),
+    st.data(),
+)
+def test_first_occupant_recall(sigs, data):
+    """Plant a near-copy of doc 0 (<= 3 perturbed components) at a
+    random later position: doc 0 claims all its buckets first, so the
+    copy MUST be flagged."""
+    n_flips = data.draw(st.integers(min_value=0, max_value=NUM_HASHES - SIG_MATCH_MIN))
+    pos = data.draw(st.integers(min_value=1, max_value=len(sigs)))
+    near = list(sigs[0])
+    for k in data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=NUM_HASHES - 1),
+            min_size=n_flips,
+            max_size=n_flips,
+            unique=True,
+        )
+    ):
+        near[k] = near[k] + 100  # guaranteed mismatch, out of value space
+    ordered = list(enumerate([sigs[0]] + sigs[1:pos] + [near] + sigs[pos:]))
+    flagged = neardup_twin(ordered)
+    copy_idx = pos  # position of `near` in the ordered list
+    assert _sig_matches(near, sigs[0]) >= SIG_MATCH_MIN
+    assert flagged[copy_idx], (near, sigs[0], ordered)
+
+
+def test_adversarial_preclaim_gap_is_real():
+    """Documents the single-occupant limitation EXACTLY: pre-claim all
+    8 of a doc's band keys with 8 low-match occupants (each matching
+    the target on one band = 2 components only), then send the target
+    and an exact duplicate — the duplicate stays unflagged because
+    every bucket verdict compares against a low-match occupant."""
+    target = [7] * NUM_HASHES
+    n_bands = NUM_HASHES // BAND_SIZE
+    occupants = []
+    for b in range(n_bands):
+        sig = [100 + b] * NUM_HASHES  # matches target on NO component...
+        for j in range(BAND_SIZE):
+            sig[b * BAND_SIZE + j] = 7  # ...except target's band b key
+        occupants.append(sig)
+    ordered = list(enumerate(occupants + [target, [7] * NUM_HASHES]))
+    flagged = neardup_twin(ordered)
+    # each occupant matches target on only BAND_SIZE components
+    assert all(
+        _sig_matches(o, target) == BAND_SIZE < SIG_MATCH_MIN for o in occupants
+    )
+    # the exact duplicate of `target` is NOT flagged: the gap exists
+    assert flagged[len(occupants) + 1] is False
+    # and the downstream batch kernel remains the completeness backstop
+    # (documented in streaming/neardup.py)
