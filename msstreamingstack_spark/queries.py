@@ -274,9 +274,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_lineitem_flags", "running_revenue_per_customer",
     "sample_reservoir_stratified", "set_ops_customers",
     "shuffle_shard_assign", "top_ngrams_per_lang", "top_orders_by_price",
+    # new round-4 query: first driver row
+    "lang_shingle_overlap",
     # (d) round-2 family representatives
     "sessionize_events", "enrich_clickstream", "user_state_table",
-    "device_transitions", "events_new_vs_returning",
+    "device_transitions",
     "tpch_q1", "tpch_q9_product_profit", "tpch_q13_custdist",
     "tpch_q18_large_orders", "tpch_q22_idle_rich_customers",
     "join_left_orders_customer", "join_anti_customers_no_orders",

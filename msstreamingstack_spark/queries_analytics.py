@@ -778,3 +778,91 @@ def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual shingle-overlap matrix — corpus-health metric for
+# language labeling: shared shingles between language buckets expose
+# mislabeled documents and cross-lingual boilerplate (a high overlap
+# coefficient between "en" and "de" usually means one of them isn't).
+# ---------------------------------------------------------------------------
+def _lang_overlap_sql() -> str:
+    from msstreamingstack_spark.operators.dedup import doc_shingle_hashes_sql
+
+    return f"""
+WITH sh AS ({doc_shingle_hashes_sql()}),
+lh AS (
+  SELECT DISTINCT d.lang, sh.h
+  FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+),
+tot AS (SELECT lang, COUNT(*) AS n FROM lh GROUP BY lang),
+shared AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+  FROM lh a JOIN lh b ON a.h = b.h AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT s.lang_a, s.lang_b, s.n_shared,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(CASE WHEN ta.n < tb.n THEN ta.n ELSE tb.n END AS DOUBLE)
+         AS overlap_coef
+FROM shared s
+JOIN tot ta ON ta.lang = s.lang_a
+JOIN tot tb ON tb.lang = s.lang_b
+"""
+
+
+@register(
+    "lang_shingle_overlap",
+    _lang_overlap_sql(),
+    tags=("analytics", "text", "dedup", "pipeline"),
+    doc="Cross-lingual shingle-overlap matrix: for every language "
+    "pair, the count of shared distinct shingle hashes and the "
+    "overlap coefficient |A∩B| / min(|A|,|B|). The corpus-health "
+    "signal behind language-label QA — overlap far above baseline "
+    "flags mislabeling or cross-lingual boilerplate. Plan: the "
+    "(lang, h) universe is ONE distinct over the persisted shingle "
+    "table joined to the doc lang (the shuffle), then a self-join on "
+    "h whose output is bounded by vocabulary overlap, never by "
+    "document count — the matrix itself is |langs|² rows. Counts "
+    "only, so the oracle compare is integer-exact (the coefficient "
+    "is one exactly-rounded IEEE division of two ints on both "
+    "engines).",
+)
+def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import doc_shingle_hashes
+    from msstreamingstack_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = doc_shingle_hashes(docs)
+    lh = (
+        sh.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "h")
+        .distinct()
+    )
+    tot = lh.groupBy("lang").agg(F.count("*").alias("n"))
+    a = lh.select(F.col("lang").alias("lang_a"), "h")
+    b = lh.select(F.col("lang").alias("lang_b"), "h")
+    shared = (
+        a.join(b.hint("shuffle_hash"), "h")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a", "lang_b", "n_shared", "n_a", "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap_coef"),
+        )
+    )
