@@ -828,9 +828,15 @@ def ivf_fit(
     the ``k`` per-cell means — K×DIM doubles per round-trip, never a
     fraction-based sample. Assignment and the mean reduction stay
     distributed (Arrow matmul + groupBy), so the same fit runs
-    unchanged on a 100 TB corpus; for K beyond a few thousand switch
-    to ``pyspark.ml.clustering.KMeans`` (same contract, tree-reduce
-    updates)."""
+    unchanged on a 100 TB corpus.
+
+    The per-cell mean runs as posexplode → groupBy(cell, pos) → avg:
+    DIM-INDEPENDENT plan size (the earlier form built DIM aggregate
+    expressions into one projection — fine at 64, a codegen wall at
+    BERT-width 768+). The explode amplifies rows ×DIM but map-side
+    partial aggregation collapses each partition to ≤ K×DIM rows
+    before the shuffle.
+    """
     import numpy as np
 
     # the fit makes `iters` passes over the vectors — pin them in
@@ -851,15 +857,16 @@ def ivf_fit(
                 _assign_udf(centroids)(F.col(vec_col)).alias("cell"), vec_col
             )
             means = (
-                assigned.groupBy("cell")
-                .agg(
-                    F.array(
-                        *[
-                            F.avg(F.element_at(F.col(vec_col), i + 1))
-                            for i in range(DIM)
-                        ]
-                    ).alias("c")
+                assigned.select(
+                    "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
                 )
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm"))
+                .select("cell", F.col("pm.m").alias("c"))
                 .collect()
             )
             for r in means:  # empty cells keep their previous centroid
@@ -869,6 +876,31 @@ def ivf_fit(
     return centroids
 
 
+def ivf_fit_ml(
+    emb: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """K beyond a few thousand: ``pyspark.ml.clustering.KMeans``
+    (k-means|| init, tree-reduced updates) instead of the hand Lloyd
+    loop — same contract, returns the K×DIM centroid ndarray for the
+    probe/assign kernels. Seeded, so reruns on identical partitioning
+    reproduce; centroid VALUES differ from ``ivf_fit`` (different
+    init), which is fine — IVF is recall-bounded, not value-oracled."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, maxIter=iters, seed=seed, initMode="k-means||").fit(feats)
+    # clusterCenters() already yields ndarrays on Spark 4
+    return np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(
+        "float64"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -876,17 +908,23 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit: str = "lloyd",
 ) -> DataFrame:
     """IVF probe search: exact cosine only inside the nprobe nearest
     cells of each query. Approximate (recall < 1 when the true
     neighbor lives in an unprobed cell) — recall bound asserted in
-    tests, same policy as SRP."""
+    tests, same policy as SRP. ``fit="ml"`` swaps the centroid fit to
+    pyspark.ml KMeans (the >few-thousand-K path); probe/assign kernels
+    are identical either way."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.pandas.functions import pandas_udf
 
-    centroids = ivf_fit(corpus, id_col=id_col, vec_col=vec_col)
+    if fit == "ml":
+        centroids = ivf_fit_ml(corpus, vec_col=vec_col)
+    else:
+        centroids = ivf_fit(corpus, id_col=id_col, vec_col=vec_col)
     c_sq = (centroids * centroids).sum(axis=1)
 
     def probes(vecs):

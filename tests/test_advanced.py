@@ -165,3 +165,32 @@ def test_ivf_recall_vs_brute_force(spark, sf_correctness):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall  # nprobe=4/16 cells on random vectors
     assert all(len([g for g in got if g[0] == q]) <= 5 for q in range(10))
+
+
+def test_ivf_ml_fit_recall(spark, sf_correctness):
+    """The pyspark.ml KMeans fit path (K beyond a few thousand) feeds
+    the same probe/assign kernels and must hold the same recall bound
+    as the hand Lloyd fit."""
+    from msstreamingstack_spark.operators.similarity import (
+        IVF_K,
+        brute_force_topk,
+        ivf_fit_ml,
+        ivf_topk,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    centroids = ivf_fit_ml(emb)
+    assert centroids.shape == (IVF_K, 64)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, fit="ml").collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
