@@ -642,9 +642,14 @@ def q_corpus_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(docs, 0.8)
+    # explode, not union-of-two-selects: a union references the pair
+    # subtree twice and the whole LSH kernel (signatures, bucket join,
+    # jaccard verify) would EXECUTE twice — explode emits both ids in
+    # one pass over one kernel run (measured ~2x on this query)
     dup_ids = (
-        pairs.select(F.col("d1").alias("doc_id"))
-        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id")
+        )
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
