@@ -838,12 +838,19 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.dedup import doc_shingle_hashes
     from msstreamingstack_spark.sources.tables import spread
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = doc_shingle_hashes(docs)
+    # (lang, h) is referenced THREE times (totals + both self-join
+    # sides); persist it or the lang-join + distinct re-executes per
+    # reference. The cached relation is vocabulary-bounded (distinct
+    # hashes per language), far smaller than the corpus.
     lh = (
         sh.join(docs.select("doc_id", "lang"), "doc_id")
         .select("lang", "h")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = lh.groupBy("lang").agg(F.count("*").alias("n"))
     a = lh.select(F.col("lang").alias("lang_a"), "h")

@@ -167,6 +167,18 @@ def test_interval_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in f.text
 
 
+def test_lang_overlap_broadcasts_totals_no_cartesian(spark):
+    """lang_shingle_overlap: per-language totals reach the matrix join
+    by broadcast (|langs| rows), the h self-join is a shuffled hash
+    join (never cartesian), and the thrice-referenced (lang, h)
+    relation comes from its persist (InMemoryTableScan)."""
+    f = plan_facts(REGISTRY["lang_shingle_overlap"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastHashJoin" in f.text
+    assert "ShuffledHashJoin" in f.text
+    assert "InMemoryTableScan" in f.text
+
+
 def test_dfcapped_jaccard_reuses_shingle_persist(spark):
     """dedup_jaccard_dfcapped reads the shingle table from its persist
     everywhere (df-cap filter, both pair-join sides, per-doc sizes):
