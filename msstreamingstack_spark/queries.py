@@ -274,8 +274,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_lineitem_flags", "running_revenue_per_customer",
     "sample_reservoir_stratified", "set_ops_customers",
     "shuffle_shard_assign", "top_ngrams_per_lang", "top_orders_by_price",
-    # new round-4 query: first driver row
-    "lang_shingle_overlap",
+    # new round-4 queries: first driver rows
+    "lang_shingle_overlap", "sql_frontend_window_join_parity",
     # (d) round-2 family representatives
     "sessionize_events", "enrich_clickstream", "user_state_table",
     "device_transitions",
@@ -284,7 +284,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_orders_customer", "join_anti_customers_no_orders",
     "asof_last_purchase", "interval_join_attribution",
     "range_join_price_bands", "salted_join_events_customer",
-    "window_rank_family", "topk_customers_per_segment",
+    "window_rank_family",
     "pivot_event_type_counts", "session_window_native",
     "hypertable_rollup",
     "similarity_topk_cosine", "similarity_ann_quantized",

@@ -1991,3 +1991,55 @@ def q_sql_frontend_q1_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_order").alias("df_count_order"),
     )
     return sql_side.join(df_side, ["l_returnflag", "l_linestatus"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end, harder shapes: join + window through the open SQL
+# surface, including the events_ts canonical-epoch convenience view.
+# ---------------------------------------------------------------------------
+_SEGTOP_SQL_TEXT = """
+WITH ue AS (
+  SELECT e.user_id, c.c_mktsegment AS segment, COUNT(*) AS n_events
+  FROM events_ts e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY e.user_id, c.c_mktsegment
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY segment ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+  FROM ue
+)
+SELECT segment, user_id, n_events, rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sql_frontend_window_join_parity",
+    f"""
+WITH e AS ({EVENTS_TS_SQL}),
+ue AS (
+  SELECT e.user_id, c.c_mktsegment AS segment, COUNT(*) AS n_events
+  FROM e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY e.user_id, c.c_mktsegment
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY segment ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+  FROM ue
+)
+SELECT segment, user_id, n_events, rnk FROM r WHERE rnk <= 3
+""",
+    tags=("extension", "sql-frontend", "window", "join", "parity"),
+    doc="SQL front-end on the HARD shapes: the ad-hoc surface "
+    "(run_sql) executes a join + grouped count + ranking window with "
+    "deterministic tie-break, reading the events_ts convenience view "
+    "(canonical integer ts_sec — the dialect-sensitive part: the "
+    "oracle derives the same seconds from epoch_ns). Identical SQL "
+    "text runs on DuckDB; the driver hash-compare is the cross-"
+    "dialect gate. Top-3-per-segment output is |segments|*3 rows.",
+)
+def q_sql_frontend_window_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _SEGTOP_SQL_TEXT)
