@@ -361,6 +361,7 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         max_files_per_trigger=args.files_per_trigger,
         fmt=args.fmt,
         digest_store_dir=args.digest_store,
+        neardup_store_dir=args.neardup_store,
     )
     q.awaitTermination()
     return 0
@@ -502,6 +503,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="persisted digest store dir: reject re-crawls "
                    "beyond the watermark/checkpoint (shared with "
                    "dedup-increment)")
+    i.add_argument("--neardup-store",
+                   help="persisted MinHash-signature store dir: reject "
+                   "NEAR-duplicate re-crawls (lightly-edited copies the "
+                   "exact digest misses) with reason near_duplicate")
     i.add_argument("--threshold", type=float, default=0.30,
                    help="contamination overlap-fraction threshold")
     i.add_argument("--files-per-trigger", type=int, default=1)

@@ -125,6 +125,8 @@ def run_corpus_ingest(
     max_files_per_trigger: int = 1,
     fmt: str = "parquet",
     digest_store_dir: str | None = None,
+    neardup_store_dir: str | None = None,
+    neardup_threshold: float = 0.8,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -143,6 +145,15 @@ def run_corpus_ingest(
     path, so replays of a batch from the same checkpoint overwrite
     their own partition (idempotent) while a fresh checkpoint gets
     fresh labels and still sees all prior digests.
+
+    ``neardup_store_dir`` (optional) adds the NEAR-dup analogue
+    (``minhash_increment``): each batch's surviving docs are banded
+    against the persisted MinHash-signature store — a lightly-edited
+    re-crawl that the exact digest misses lands in the reject sink
+    with reason ``near_duplicate``; fresh docs register their
+    signatures under the same idempotent increment label. This is the
+    corpus-lifetime backstop for the in-stream bucket-state detector
+    (streaming/neardup.py), whose state is TTL-bounded.
     """
     # static side, computed once and persisted across micro-batches
     eval_h = (
@@ -248,6 +259,22 @@ def run_corpus_ingest(
                     fresh.select("doc_id"), "doc_id", "left_anti"
                 ).select(*cols, F.lit("store_duplicate").alias("reject_reason"))
                 accepted = fresh.select(*cols)
+            neardup_rejects = None
+            if neardup_store_dir is not None:
+                from msstreamingstack_spark.operators.incremental import (
+                    minhash_increment,
+                )
+
+                nd_fresh, _matches = minhash_increment(
+                    accepted,
+                    neardup_store_dir,
+                    increment_id=f"{run_label}-b{batch_id:09d}",
+                    threshold=neardup_threshold,
+                )
+                neardup_rejects = accepted.join(
+                    nd_fresh.select("doc_id"), "doc_id", "left_anti"
+                ).select(*cols, F.lit("near_duplicate").alias("reject_reason"))
+                accepted = nd_fresh.select(*cols)
             # batch-id-scoped overwrite, not raw append: foreachBatch is
             # at-least-once, so a replayed batch must land in the SAME
             # directory and overwrite itself (idempotent sink — the
@@ -258,6 +285,8 @@ def run_corpus_ingest(
             rejects = bad.select(*cols, "reject_reason").unionByName(contaminated)
             if store_dups is not None:
                 rejects = rejects.unionByName(store_dups)
+            if neardup_rejects is not None:
+                rejects = rejects.unionByName(neardup_rejects)
             rejects.write.mode("overwrite").parquet(
                 os.path.join(reject_dir, f"batch_id={batch_id}")
             )

@@ -250,3 +250,62 @@ def test_corpus_ingest_observe_metrics(spark, corpus_drops, tmp_path):
     assert all(
         m["n_chars_seen"] > 0 for m in observed if m["n_rows"] > 0
     )
+
+
+def test_neardup_store_catches_edited_recrawl(spark, tmp_path):
+    """A LIGHTLY-EDITED re-crawl defeats the exact digest store (new
+    md5) but not the MinHash-signature store: with neardup_store_dir
+    plugged in, the second run rejects it with reason near_duplicate
+    while a genuinely new doc still lands."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    digest_store = str(tmp_path / "digests")
+    nd_store = str(tmp_path / "sigs")
+
+    def run(drop_dir, leg):
+        q = run_corpus_ingest(
+            spark,
+            drop_dir,
+            eval_docs,
+            str(tmp_path / f"accept{leg}"),
+            str(tmp_path / f"reject{leg}"),
+            checkpoint_dir=str(tmp_path / f"cp{leg}"),
+            digest_store_dir=digest_store,
+            neardup_store_dir=nd_store,
+        )
+        q.awaitTermination(120)
+        acc = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"accept{leg}")).collect()
+        }
+        rej = {
+            r["doc_id"]: r["reject_reason"]
+            for r in spark.read.parquet(str(tmp_path / f"reject{leg}")).collect()
+        }
+        return acc, rej
+
+    # long doc so one word-swap keeps the SIGNATURE agreement >= 13/16
+    # (deterministic hashes: this exact pair measures 16/16 matching
+    # components — true jaccard 0.94, estimator saturated)
+    base = ("w%d " * 100 % tuple(range(100))).strip()
+    edited = base.replace("w50 ", "EDITED ")  # 3/98 shingles change
+    d1 = tmp_path / "nd_drops1"
+    d1.mkdir()
+    _write_drop(d1 / "a.parquet", [(1, base), (2, NORMAL_B)], 1_700_000_000)
+    acc1, rej1 = run(str(d1), 1)
+    assert acc1 == {1, 2} and rej1 == {}
+
+    d2 = tmp_path / "nd_drops2"
+    d2.mkdir()
+    fresh_text = "omega psi chi phi upsilon tau sigma rho pi"
+    _write_drop(
+        d2 / "b.parquet", [(10, edited), (11, fresh_text)], 1_700_000_100
+    )
+    acc2, rej2 = run(str(d2), 2)
+    # edited re-crawl: exact digest differs -> near-dup store catches it
+    assert acc2 == {11}
+    assert rej2 == {10: "near_duplicate"}
