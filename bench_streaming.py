@@ -47,11 +47,20 @@ from msstreamingstack_spark.streaming.pipeline import (  # noqa: E402
 from msstreamingstack_spark.streaming.stateful import sessionize_stream  # noqa: E402
 
 
-def bench_corpus_ingest(spark, sf_dir: str, sf: float, replicate: int = 10) -> None:
+def bench_corpus_ingest(
+    spark, sf_dir: str, sf: float, replicate: int = 10,
+    neardup_store: bool = False,
+) -> None:
     """docs/sec through the full ingest query. The documents table is
     replicated with disjoint ids and per-replica token salting so
     dedup state sees entropy (plus the original as a planted
-    duplicate wave); eval set = every 50th base doc."""
+    duplicate wave); eval set = every 50th base doc.
+
+    ``neardup_store=True`` additionally plugs the persisted MinHash
+    signature store under the stream (per-batch minhash_increment) —
+    the replica prefix defeats the exact digest but keeps shingle
+    jaccard ~0.95, so most replicas reject as near_duplicate: the
+    metric prices the full near-dup-gated ingest."""
     from pyspark.sql import functions as F
 
     from msstreamingstack_spark.sources.tables import spread
@@ -93,6 +102,9 @@ def bench_corpus_ingest(spark, sf_dir: str, sf: float, replicate: int = 10) -> N
             checkpoint_dir=os.path.join(work, "cp"),
             available_now=True,
             max_files_per_trigger=4,
+            neardup_store_dir=(
+                os.path.join(work, "sigs") if neardup_store else None
+            ),
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
@@ -101,7 +113,9 @@ def bench_corpus_ingest(spark, sf_dir: str, sf: float, replicate: int = 10) -> N
         print(
             json.dumps(
                 {
-                    "metric": "streaming_corpus_ingest_throughput",
+                    "metric": "streaming_corpus_ingest_neardup_throughput"
+                    if neardup_store
+                    else "streaming_corpus_ingest_throughput",
                     "value": round(n_rows / wall, 1),
                     "unit": "rows/sec",
                     "rows": n_rows,
@@ -249,6 +263,7 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     bench_corpus_ingest(spark, sf_dir, sf)
+    bench_corpus_ingest(spark, sf_dir, sf, replicate=4, neardup_store=True)
     bench_neardup_stream(spark, sf_dir, sf)
 
 
