@@ -61,6 +61,7 @@ QUERIES = (
     "dq_report",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",   # round-4 banded bucket join: must scale ~linearly now
+    "lang_shingle_overlap",  # round-4: (lang, h) distinct + bounded self-join
 )
 
 TABLES = (
