@@ -309,3 +309,44 @@ def test_neardup_store_catches_edited_recrawl(spark, tmp_path):
     # edited re-crawl: exact digest differs -> near-dup store catches it
     assert acc2 == {11}
     assert rej2 == {10: "near_duplicate"}
+
+
+def test_neardup_store_survives_all_rejected_batch(spark, tmp_path):
+    """A micro-batch whose every doc fails the quality gates reaches
+    the near-dup stage with an EMPTY accepted set — the signature
+    computation, store join and store write must all no-op instead of
+    crashing the stream; a later good batch still lands."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    # drop 1: all rows gate-fail (too short / too repetitive)
+    _write_drop(
+        drops / "a.parquet",
+        [(1, "tiny"), (2, "a a a a a a")],
+        1_700_000_000,
+    )
+    # drop 2: a good doc
+    _write_drop(drops / "b.parquet", [(3, NORMAL_A)], 1_700_000_010)
+
+    q = run_corpus_ingest(
+        spark,
+        str(drops),
+        eval_docs,
+        str(tmp_path / "accept"),
+        str(tmp_path / "reject"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        neardup_store_dir=str(tmp_path / "sigs"),
+    )
+    q.awaitTermination(120)
+    acc = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "accept")).collect()}
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(str(tmp_path / "reject")).collect()
+    }
+    assert acc == {3}
+    assert rej == {1: "too_short", 2: "too_repetitive"}
