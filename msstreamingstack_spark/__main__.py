@@ -235,8 +235,19 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                 driver[name] = (rnd, verdict)
 
     bench: dict[str, float] = {}
-    for fname in ("BENCH.json", "BENCH_r03.json", "BENCH_r02.json", "BENCH_r01.json"):
-        path = os.path.join(rounds_dir, fname)
+    # BENCH.json (latest, driver-written) wins; then BENCH_r*.json by
+    # round DESCENDING so each query keeps its newest recorded second —
+    # globbed like the CORRECTNESS side, so future rounds appear
+    # without editing this list.
+    round_files = sorted(
+        glob.glob(os.path.join(rounds_dir, "BENCH_r*.json")),
+        key=lambda p: -(
+            int(m.group(1))
+            if (m := re.search(r"BENCH_r(\d+)", os.path.basename(p)))
+            else -1
+        ),
+    )
+    for path in [os.path.join(rounds_dir, "BENCH.json"), *round_files]:
         if not os.path.exists(path):
             continue
         try:
@@ -244,7 +255,18 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                 data = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        for name, sec in (data.get("queries") or {}).items():
+        rows = data.get("queries") or {}
+        if not rows and isinstance(data.get("tail"), str):
+            # driver-written BENCH_r*.json wraps the bench line as a
+            # TRUNCATED "tail" string — recover the per-query seconds
+            # it does contain from "name":sec pairs
+            rows = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"([A-Za-z_][A-Za-z0-9_]{3,})":([0-9]+\.[0-9]+)', data["tail"]
+                )
+            }
+        for name, sec in rows.items():
             bench.setdefault(name, sec)
     return driver, bench
 
@@ -386,7 +408,20 @@ def _cmd_neardup(args: argparse.Namespace) -> int:
         state_ttl_ms=args.state_ttl_min * 60_000 if args.state_ttl_min else None,
     )
     q.awaitTermination()
-    flagged = spark.read.parquet(args.out).filter("is_neardup").count()
+    # zero micro-batches (empty source dir) → no verdict parquet exists;
+    # report 0 flagged instead of raising on the read
+    import os
+
+    has_output = os.path.isdir(args.out) and any(
+        f.endswith(".parquet")
+        for _r, _d, files in os.walk(args.out)
+        for f in files
+    )
+    flagged = (
+        spark.read.parquet(args.out).filter("is_neardup").count()
+        if has_output
+        else 0
+    )
     print(f"near-dup detection done: {flagged} docs flagged under {args.out}")
     return 0
 

@@ -295,7 +295,8 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     wider fingerprints make band keys selective — see simhash_pairs):
     token weight = occurrence count; bit b
     set when the weighted sum of ±1 votes from token-hash bit b is
-    positive. One explode + one groupBy (32 conditional sums)."""
+    positive. One explode + one groupBy (SIMHASH_BITS = 48 conditional
+    sums)."""
     toks = (
         docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .groupBy(id_col, "tok")
