@@ -420,19 +420,37 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.similarity import (
         embedding_neardup_lsh_pairs,
     )
+    from msstreamingstack_spark.sources.tables import table_row_count
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return embedding_neardup_lsh_pairs(emb, NEARDUP_COS_T)
+    # corpus count from parquet footer metadata: same auto-sizing as a
+    # live count() (the operator derives planes from it) without the
+    # extra Spark action; None (unreadable path) falls back to counting
+    return embedding_neardup_lsh_pairs(
+        emb, NEARDUP_COS_T, corpus_count=table_row_count(sf_dir, "embeddings")
+    )
+
+
+# The driver runs the correctness gate at this fixture; the registered
+# oracle must be generated from the SAME auto_planes_per_table
+# derivation the Spark builder applies to that fixture's cardinality —
+# a static planes constant silently diverges the moment the fixture is
+# re-sized (tests/test_srp_sizing.py pins the pairing).
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _attach_embedding_lsh_oracle() -> None:
     from msstreamingstack_spark.operators.similarity import (
+        auto_planes_per_table,
         embedding_neardup_lsh_sql,
     )
     from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import table_row_count
 
+    n = table_row_count(DRIVER_ORACLE_SF_DIR, "embeddings")
     REGISTRY["dedup_embedding_lsh"].oracle = embedding_neardup_lsh_sql(
-        NEARDUP_COS_T
+        NEARDUP_COS_T,
+        planes_per_table=auto_planes_per_table(n) if n else None,
     )
 
 

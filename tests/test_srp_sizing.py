@@ -71,23 +71,27 @@ def test_auto_planes_tracks_corpus_size():
     assert vals == sorted(vals)
 
 
-def test_driver_fixture_matches_static_oracle_sizing(spark):
+def test_registered_oracle_tracks_fixture_sizing(spark):
     """GUARD for dedup_embedding_lsh's oracle contract: the registered
-    oracle SQL is generated with the default PLANES_PER_TABLE, while
-    the Spark side auto-sizes from the corpus count — they agree only
-    while auto sizing at the driver fixture yields that default. A
-    fixture cardinality bump trips this BEFORE it turns into a silent
-    driver-gate failure; fix = regenerate the oracle via
-    _attach_embedding_lsh_oracle with the new derived value."""
+    oracle is now GENERATED from auto_planes_per_table over the driver
+    fixture's parquet-footer row count — the same derivation the Spark
+    builder applies — so a fixture re-size re-derives both sides in
+    lockstep. Pin (a) the footer count agrees with a live count(),
+    (b) the registered oracle text equals the regeneration from that
+    count."""
+    from msstreamingstack_spark.queries import REGISTRY  # full registry
+    import msstreamingstack_spark.queries_advanced as qa
     from msstreamingstack_spark.operators.similarity import (
-        PLANES_PER_TABLE,
         auto_planes_per_table,
     )
+    from msstreamingstack_spark.sources.tables import table_row_count
 
-    n = load_table(spark, SF, "embeddings").count()
-    assert auto_planes_per_table(n) == PLANES_PER_TABLE, (
-        "sf0.01 embedding count moved off the static oracle sizing", n
+    n_meta = table_row_count(SF, "embeddings")
+    assert n_meta == load_table(spark, SF, "embeddings").count()
+    expected = embedding_neardup_lsh_sql(
+        qa.NEARDUP_COS_T, planes_per_table=auto_planes_per_table(n_meta)
     )
+    assert REGISTRY["dedup_embedding_lsh"].oracle == expected
 
 
 def test_auto_sized_lsh_oracle_exact_at_sf01(spark):
