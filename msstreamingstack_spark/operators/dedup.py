@@ -219,11 +219,23 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-jaccard verification.
     Bands explode to (band_idx, band_key) and bucket-join — the
-    scalable alternative to an all-pairs signature comparison."""
-    sh = doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
+    scalable alternative to an all-pairs signature comparison.
+
+    ``shingles_df`` lets a caller that already holds the (doc_id, h)
+    shingle table (and OWNS its persist lifecycle — e.g. the per-batch
+    ``minhash_increment``, which must unpersist deterministically in
+    continuous ingest) supply it instead of having this function
+    persist a fresh one it can never release."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
+    )
     sig = minhash_signatures(sh)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(

@@ -43,6 +43,26 @@ def _store_has_data(store_dir: str) -> bool:
     return False
 
 
+def release_checkpoint(*dfs: DataFrame) -> None:
+    """Free the materialized localCheckpoint blocks of DataFrames whose
+    consumers are DONE with them (the data becomes unreadable).
+
+    The increment operators snapshot their results with
+    ``localCheckpoint(eager=True)`` before touching the store; Spark
+    only releases those blocks when the driver GC collects the RDD
+    (ContextCleaner), so a continuous ingest running one increment per
+    micro-batch accumulates checkpoint blocks indefinitely. Callers
+    that fully consume the returned frames inside the batch (the
+    corpus-ingest ``foreachBatch``) release them here deterministically.
+    Best-effort: a frame that is not a plain checkpointed LogicalRDD is
+    left alone."""
+    for df in dfs:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+
 def dedup_increment(
     new_docs: DataFrame,
     store_dir: str,
@@ -145,88 +165,108 @@ def minhash_increment(
         new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
         id_col = "doc_id"
 
-    # 1. in-increment near-dup (exact-jaccard verified): drop the
-    #    non-canonical side of every pair
-    in_pairs = (
-        minhash_lsh_pairs(new_docs, threshold, text_col=text_col)
-        .select("d2")
-        .distinct()
-    )
-    kept = new_docs.join(
-        in_pairs.withColumnRenamed("d2", id_col), id_col, "left_anti"
-    )
-
-    sig_new = minhash_signatures(
-        doc_shingle_hashes(kept, text_col=text_col, persist=False)
-    )
-
-    def banded(sig: DataFrame, idc: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "_",
-                        *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
-                    ).alias("key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        return sig.select(
-            F.col("doc_id").alias(idc), F.explode(bands).alias("bk")
-        ).select(idc, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    if _store_has_data(store_dir):
-        sig_old = (
-            spark.read.parquet(store_dir)
-            .filter(F.col("increment") != increment_id)
-            .select("doc_id", *mh_cols)
-        )
-        cand = (
-            banded(sig_new, "new_id")
-            .join(banded(sig_old.withColumnRenamed("doc_id", "doc_id"), "old_id"),
-                  ["band", "key"])
-            .select("new_id", "old_id")
+    # ONE shingle pass for the whole increment, persisted HERE so this
+    # function owns the release: the in-increment LSH reads it 3-6x and
+    # sig_new reuses it via a semi-join on the kept ids (previously a
+    # second full re-shingle of the kept docs). Without the explicit
+    # unpersist in the finally, continuous ingest (one increment per
+    # micro-batch) accumulated a cached shingle table per batch until
+    # driver GC — a slow memory/disk leak in the long-running mode.
+    sh_all = doc_shingle_hashes(new_docs, text_col=text_col)
+    try:
+        # 1. in-increment near-dup (exact-jaccard verified): drop the
+        #    non-canonical side of every pair
+        in_pairs = (
+            minhash_lsh_pairs(
+                new_docs, threshold, text_col=text_col, shingles_df=sh_all
+            )
+            .select("d2")
             .distinct()
         )
-        agree = sum(
-            (F.col(f"n.mh_{i}") == F.col(f"o.mh_{i}")).cast("int")
-            for i in range(NUM_HASHES)
+        kept = new_docs.join(
+            in_pairs.withColumnRenamed("d2", id_col), id_col, "left_anti"
         )
-        matches = (
-            cand.join(
-                sig_new.alias("n"), cand.new_id == F.col("n.doc_id")
-            )
-            .join(sig_old.alias("o"), cand.old_id == F.col("o.doc_id"))
-            .withColumn(
-                "est_jaccard", agree.cast("double") / F.lit(float(NUM_HASHES))
-            )
-            .filter(F.col("est_jaccard") >= threshold)
-            .select("new_id", "old_id", "est_jaccard")
-        )
-        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
-        fresh = kept.join(dup_ids, id_col, "left_anti")
-    else:
-        id_type = dict(new_docs.dtypes)[id_col]
-        matches = spark.createDataFrame(
-            [], f"new_id {id_type}, old_id {id_type}, est_jaccard double"
-        )
-        fresh = kept
 
-    fresh = fresh.localCheckpoint(eager=True)  # snapshot before store write
-    matches = matches.localCheckpoint(eager=True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        # register the FRESH docs' signatures; reuse sig_new (semi-join)
-        # instead of re-shingling the subset
-        sig_new.join(fresh.select(id_col), id_col, "left_semi")
-        .withColumn("increment", F.lit(increment_id))
-        .write.mode("overwrite")
-        .partitionBy("increment")
-        .parquet(store_dir)
-    )
-    return fresh, matches
+        sig_new = minhash_signatures(
+            sh_all.join(kept.select(id_col), id_col, "left_semi")
+        )
+
+        def banded(sig: DataFrame, idc: str) -> DataFrame:
+            bands = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * BAND_SIZE + j}")
+                                for j in range(BAND_SIZE)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+            return sig.select(
+                F.col("doc_id").alias(idc), F.explode(bands).alias("bk")
+            ).select(
+                idc, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+            )
+
+        if _store_has_data(store_dir):
+            sig_old = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("increment") != increment_id)
+                .select("doc_id", *mh_cols)
+            )
+            cand = (
+                banded(sig_new, "new_id")
+                .join(banded(sig_old, "old_id"), ["band", "key"])
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            agree = sum(
+                (F.col(f"n.mh_{i}") == F.col(f"o.mh_{i}")).cast("int")
+                for i in range(NUM_HASHES)
+            )
+            matches = (
+                cand.join(
+                    sig_new.alias("n"), cand.new_id == F.col("n.doc_id")
+                )
+                .join(sig_old.alias("o"), cand.old_id == F.col("o.doc_id"))
+                .withColumn(
+                    "est_jaccard", agree.cast("double") / F.lit(float(NUM_HASHES))
+                )
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("new_id", "old_id", "est_jaccard")
+            )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            fresh = kept.join(dup_ids, id_col, "left_anti")
+        else:
+            id_type = dict(new_docs.dtypes)[id_col]
+            matches = spark.createDataFrame(
+                [], f"new_id {id_type}, old_id {id_type}, est_jaccard double"
+            )
+            fresh = kept
+
+        fresh = fresh.localCheckpoint(eager=True)  # snapshot before store write
+        matches = matches.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            # register the FRESH docs' signatures; reuse sig_new (semi-join)
+            # instead of re-shingling the subset
+            sig_new.join(fresh.select(id_col), id_col, "left_semi")
+            .withColumn("increment", F.lit(increment_id))
+            .write.mode("overwrite")
+            .partitionBy("increment")
+            .parquet(store_dir)
+        )
+        return fresh, matches
+    finally:
+        # deterministic per-increment release: the store write above is
+        # the last consumer of the cached shingle table; continuous
+        # ingest must not wait for the ContextCleaner
+        sh_all.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -213,6 +213,7 @@ def run_corpus_ingest(
 
     def fan_out(df: DataFrame, batch_id: int) -> None:
         df.persist()
+        checkpoints = []  # released after the sinks consume them
         try:
             bad = df.filter(F.col("gate_fail").isNotNull()).withColumn(
                 "reject_reason", F.col("gate_fail")
@@ -255,6 +256,7 @@ def run_corpus_ingest(
                     digest_store_dir,
                     increment_id=f"{run_label}-b{batch_id:09d}",
                 )
+                checkpoints.append(fresh)
                 store_dups = accepted.join(
                     fresh.select("doc_id"), "doc_id", "left_anti"
                 ).select(*cols, F.lit("store_duplicate").alias("reject_reason"))
@@ -265,12 +267,13 @@ def run_corpus_ingest(
                     minhash_increment,
                 )
 
-                nd_fresh, _matches = minhash_increment(
+                nd_fresh, nd_matches = minhash_increment(
                     accepted,
                     neardup_store_dir,
                     increment_id=f"{run_label}-b{batch_id:09d}",
                     threshold=neardup_threshold,
                 )
+                checkpoints.extend((nd_fresh, nd_matches))
                 neardup_rejects = accepted.join(
                     nd_fresh.select("doc_id"), "doc_id", "left_anti"
                 ).select(*cols, F.lit("near_duplicate").alias("reject_reason"))
@@ -292,6 +295,15 @@ def run_corpus_ingest(
             )
         finally:
             df.unpersist()
+            if checkpoints:
+                # both sinks are written — the increments' checkpoint
+                # blocks have no consumers left; free them now instead
+                # of leaking one set per micro-batch in continuous mode
+                from msstreamingstack_spark.operators.incremental import (
+                    release_checkpoint,
+                )
+
+                release_checkpoint(*checkpoints)
 
     writer = (
         unioned.writeStream.outputMode("append")

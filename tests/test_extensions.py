@@ -346,6 +346,45 @@ def test_minhash_increment_nondefault_columns(spark, tmp_path):
     assert {(r["new_id"], r["old_id"]) for r in m2.collect()} == {(10, 1)}
 
 
+def test_minhash_increment_releases_caches(spark, tmp_path):
+    """Continuous-ingest leak regression (ADVICE round-4): every
+    minhash_increment call persisted a shingle table it never released
+    and left two localCheckpoint RDDs to driver GC — one cached set per
+    micro-batch in long-running mode. Pin that (a) the shingle cache is
+    released inside the call, so the only blocks left behind are the
+    checkpoint snapshots of the RETURNED frames, and (b)
+    release_checkpoint frees those deterministically."""
+    from msstreamingstack_spark.operators.incremental import (
+        minhash_increment,
+        release_checkpoint,
+    )
+
+    def persistent_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        s = set()
+        while it.hasNext():
+            s.add(it.next())
+        return s
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    store = str(tmp_path / "sig_store_leak")
+    base = persistent_ids()  # prior tests' leftovers may GC mid-test —
+    handles = []             # compare by id SET, not global count
+    for i in range(3):  # 3 "micro-batches", store non-empty from #2 on
+        text = " ".join(f"w{i}x{j} y{j * 7 % 31} z{j % 13}" for j in range(20))
+        f, m = minhash_increment(docs([(i, text)]), store, f"inc{i}")
+        f.collect(), m.collect()
+        handles.extend((f, m))
+    # exactly the returned frames' checkpoint blocks remain — the
+    # per-call shingle persist must NOT survive the call
+    assert len(persistent_ids() - base) == len(handles)
+    release_checkpoint(*handles)
+    assert not (persistent_ids() - base)
+
+
 def test_embedding_increment_semantic_dedup(spark, tmp_path):
     """Semantic dedup across increments: a near-identical embedding in
     increment 2 must match increment 1's stored int8+SRP representation
