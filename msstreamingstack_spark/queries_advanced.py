@@ -2061,3 +2061,82 @@ def q_sql_frontend_window_join_parity(
     from msstreamingstack_spark.sql_frontend import run_sql
 
     return run_sql(spark, sf_dir, _SEGTOP_SQL_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end, round 5: subquery shapes and grouping sets through the
+# open SQL surface — IDENTICAL text on both engines.
+# ---------------------------------------------------------------------------
+# Scalar subquery kept float-deterministic the _dec_sum way: exact
+# DECIMAL sum cast to DOUBLE, then one double division — both engines
+# produce the same 64-bit threshold, so no order is ever on a
+# rounding-dependent side of the comparison.
+_SUBQUERY_SQL_TEXT = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_above_avg,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders o
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                             / COUNT(*) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "sql_frontend_subquery_parity",
+    _SUBQUERY_SQL_TEXT,
+    tags=("extension", "sql-frontend", "subquery", "parity"),
+    doc="SQL front-end on the SUBQUERY shapes: one query text carrying "
+    "an uncorrelated scalar subquery (decimal-exact global average "
+    "price — the float-discipline part), an IN subquery (segment "
+    "membership) and a correlated NOT EXISTS (no returned lineitem), "
+    "run verbatim on both engines. Spark plans the scalar subquery as "
+    "a one-row broadcast, IN as a left-semi and NOT EXISTS as a "
+    "left-anti join — all shuffle-free on the dim side at scale; the "
+    "driver hash-compare gates dialect drift on all three "
+    "decorrelation paths.",
+)
+def q_sql_frontend_subquery_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _SUBQUERY_SQL_TEXT)
+
+
+# COALESCE sentinels are unambiguous: the fixture's status/priority
+# values are non-null (enforced by the oracle running the same text).
+_GSETS_SQL_TEXT = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+@register(
+    "sql_frontend_grouping_sets_parity",
+    _GSETS_SQL_TEXT,
+    tags=("extension", "sql-frontend", "grouping-sets", "parity"),
+    doc="SQL front-end on GROUPING SETS: detail, per-status subtotal "
+    "and grand total from ONE scan (Spark expands the sets into a "
+    "single Expand + hash aggregate — no union of three scans), sums "
+    "routed through exact DECIMAL on both engines. Identical text on "
+    "DuckDB; driver hash-compare is the cross-dialect gate for the "
+    "multi-grouping surface the curated grouping_sets_revenue query "
+    "covers DataFrame-side.",
+)
+def q_sql_frontend_grouping_sets_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _GSETS_SQL_TEXT)
