@@ -62,6 +62,12 @@ QUERIES = (
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",   # round-4 banded bucket join: must scale ~linearly now
     "lang_shingle_overlap",  # round-4: (lang, h) distinct + bounded self-join
+    # round-5 additions: the r4-perf-flagged kernel (absent from both
+    # r4 sweeps) and the remaining heavy hitters never scale-certified
+    "dedup_jaccard_dfcapped",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "decontaminate_eval_overlap",
 )
 
 TABLES = (

@@ -745,6 +745,26 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5)
 
 
+@register(
+    "similarity_ann_ivf_ml",
+    None,  # approximate + init differs from Lloyd → rows-only
+    tags=("extension", "similarity", "ann", "ivf", "ml"),
+    doc="IVF ANN top-5 with the pyspark.ml KMeans coarse quantizer "
+    "(k-means|| init, tree-reduced updates — the fit that scales past "
+    "a few thousand cells where the hand Lloyd loop's K×DIM driver "
+    "round-trips stop being the bottleneck and in-JVM updates win). "
+    "Probe/assign kernels are byte-identical to similarity_ann_ivf; "
+    "registered so the large-K fit path carries a recorded bench "
+    "number, recall bound asserted in tests/test_advanced.py.",
+)
+def q_similarity_ann_ivf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, fit="ml")
+
+
 # ---------------------------------------------------------------------------
 # Correlated scalar subquery (decorrelation surface)
 # ---------------------------------------------------------------------------

@@ -885,17 +885,35 @@ def q_quality_chartrigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.functions.text import char_trigrams
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    tri = d.select(
-        "doc_id", F.explode(char_trigrams(F.col("text"))).alias("t")
+    # round 5 plan (same algebra, same hash): fold the explode to
+    # per-(doc, trigram) COUNTS first — Σc·cnt / Σc ≡ the occurrence-
+    # row mean the oracle states, on the same exact integers. The
+    # corpus-freq table re-aggregates the (doc, t) counts instead of a
+    # SECOND trigram explosion (the old plan exploded every document
+    # twice and joined at occurrence granularity — the worst 16×
+    # scaler in SCALE16 at 4.53×), and the broadcast join + final agg
+    # now move |distinct (doc, t)| rows, not |occurrences|.
+    from pyspark.storagelevel import StorageLevel
+
+    tri_c = (
+        d.select("doc_id", F.explode(char_trigrams(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        # referenced twice (freq build + join side) and the two
+        # subtrees do NOT exchange-reuse; persisting the folded counts
+        # (≪ occurrence rows, the doc_shingle_hashes discipline) keeps
+        # the explode single-pass
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    freq = tri.groupBy("t").agg(F.count("*").alias("cnt"))
+    freq = tri_c.groupBy("t").agg(F.sum("c").alias("cnt"))
     return (
-        tri.join(F.broadcast(freq), "t")
+        tri_c.join(F.broadcast(freq), "t")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_trigrams"),
+            F.sum("c").alias("n_trigrams"),
             F.round(
-                F.sum("cnt").cast("double") / F.count("*"), 9
+                F.sum(F.col("c") * F.col("cnt")).cast("double") / F.sum("c"),
+                9,
             ).alias("avg_tri_df"),
         )
     )

@@ -17,8 +17,8 @@ Spark-managed state at BUCKET granularity:
    26k shingles: transform()/array_min() lambda bodies evaluate
    interpreted per element.
 2. Explode to the same 8 banded keys the batch LSH uses and group by
-   (band, key): ``applyInPandasWithState`` keeps ONE occupant per
-   bucket — the first-arriving doc's (doc_id, signature). In
+   (band, key): ``applyInPandasWithState`` keeps the first
+   ``K_OCCUPANTS`` arrivals' (doc_id, signature) per bucket. In
    continuous deployments the occupant is evicted after
    ``state_ttl_ms`` idle time (ProcessingTimeTimeout), bounding state
    by the re-crawl window exactly like
@@ -38,11 +38,14 @@ exact-jaccard — the state store cannot hold every prior doc's shingle
 set, and does not need to: identical shingle sets share all 16
 components (est = 1.0), so an exact re-crawl is flagged whenever its
 original (or any ≥13/16-matching doc) occupies at least one of its 8
-buckets — which first-arrival occupancy makes the overwhelmingly
-common case, though an adversarial arrival order can pre-claim ALL of
-a doc's buckets with low-match occupants (single-occupant state is
-the price of O(buckets) memory; the batch sweep downstream remains
-the completeness backstop). The 13/16 threshold catches light edits
+buckets. With K_OCCUPANTS slots per bucket (round 5; K=1 before), a
+doc misses its slot in a band only when K earlier docs hit that SAME
+bucket first — an adversary must now win the pre-claim race K times
+in all 8 bands instead of once each, which the adversarial
+arrival-order test shows defeats the K=1 semantics and not K≥2.
+Occupancy stays O(buckets·K) signatures; the batch sweep downstream
+remains the completeness backstop for whatever residue survives.
+The 13/16 threshold catches light edits
 with the standard MinHash estimator error (sd ≈ 0.1 at j = 0.8).
 Everything is deterministic (fixed permutations, deterministic tie
 order), so the
@@ -53,8 +56,9 @@ the bucket keys to ``minhash_lsh_pairs``' candidate generator.
 
 Scale: per-row signature is O(shingles × 16) inside the scan stage;
 the only shuffle is the (band, key) state partitioning — 8 small rows
-per doc (band, key, id, 16 longs), no text. Bucket state is one
-occupant per distinct band key, TTL-bounded.
+per doc (band, key, id, 16 longs), no text. Bucket state is at most
+K_OCCUPANTS (id, signature) entries per distinct band key,
+TTL-bounded.
 """
 
 from __future__ import annotations
@@ -93,6 +97,16 @@ def minhash_signature_expr(text: Column, shingle_n: int = 3) -> Column:
     min-over-permutations does the same 26k shingles in ~0.1 s.
     int64 bounds: h < 2^48, A < 2^14, B < 2^61 ⇒ h·A + B < 2^63.
 
+    Batch-vectorized (round 5, was a per-doc generator loop): each
+    DISTINCT shingle of the whole Arrow batch is md5-hashed ONCE
+    (boilerplate shingles repeat across the docs of a batch), the
+    16 permutations run once over that unique-hash matrix, and the
+    per-doc mins fall out of one ``np.minimum.reduceat`` over the
+    gathered rows — the only remaining per-doc Python is tokenize +
+    gram-set build. ``digest()[:6]`` big-endian == ``hexdigest()[:12]``
+    parsed hex, so hash48 bit-parity with the batch kernel is
+    untouched (pinned by the parity test).
+
     Empty shingle set (< 3 tokens) → null (such docs have no batch
     signature row either — callers filter)."""
     import hashlib
@@ -104,30 +118,51 @@ def minhash_signature_expr(text: Column, shingle_n: int = 3) -> Column:
     b = np.array(MINHASH_B, dtype=np.int64)
 
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
+        uniq: dict[str, int] = {}   # gram -> unique index (batch-wide)
+        flat_idx: list[int] = []    # per-doc gram rows, concatenated
+        counts: list[int] = []      # grams per doc; -1 = null row
         for t in texts:
             if t is None:
-                out.append(None)
+                counts.append(-1)
                 continue
             toks = t.split(" ")
             if len(toks) < shingle_n:
-                out.append(None)
+                counts.append(-1)
                 continue
             grams = {
                 " ".join(toks[i : i + shingle_n])
                 for i in range(len(toks) - shingle_n + 1)
             }
+            for g in grams:
+                flat_idx.append(uniq.setdefault(g, len(uniq)))
+            counts.append(len(grams))
+        mins = None
+        if uniq:
             hs = np.fromiter(
                 (
-                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:12], 16)
-                    for g in grams
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:6], "big"
+                    )
+                    for g in uniq
                 ),
                 dtype=np.int64,
-                count=len(grams),
+                count=len(uniq),
             )
-            # (len, 16): permute every hash under all 16 maps at once
-            perms = (hs[:, None] * a[None, :] + b[None, :]) % MOD_HASH
-            out.append(perms.min(axis=0))
+            # (U, 16): permute every UNIQUE hash under all 16 maps once
+            perms_u = (hs[:, None] * a[None, :] + b[None, :]) % MOD_HASH
+            gathered = perms_u[np.asarray(flat_idx, dtype=np.int64)]
+            valid = np.asarray([c for c in counts if c >= 0], dtype=np.int64)
+            offsets = np.zeros(len(valid), dtype=np.int64)
+            np.cumsum(valid[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(gathered, offsets, axis=0)
+        out = []
+        vi = 0
+        for c in counts:
+            if c < 0:
+                out.append(None)
+            else:
+                out.append(mins[vi])
+                vi += 1
         return pd.Series(out)
 
     return pandas_udf(_sig, "array<long>")(text)
@@ -155,10 +190,24 @@ def banded_keys_expr(sig: Column) -> Column:
     )
 
 
+# occupants kept per (band, key) bucket. K = 1 (round 4) had a
+# DOCUMENTED adversarial recall gap: an arrival order that pre-claims
+# all 8 of a doc's buckets with low-match occupants lets the doc — and
+# every later re-crawl of it — sail through, because the true partner
+# never got a slot anywhere. With K slots the pre-claimer must win the
+# race K times per band × 8 bands before the partner arrives; the
+# first K arrivals all get slots, so the partner doc itself occupies
+# one unless K earlier docs hit the SAME bucket first. State cost is
+# K× (still O(buckets), sigs only, TTL-bounded); per-doc output stays
+# ONE row per band (best occupant).
+K_OCCUPANTS = 3
+
+# sigs stored FLAT (occupant i owns [i*NUM_HASHES, (i+1)*NUM_HASHES))
+# — nested array<array<long>> state round-trips are avoided on purpose
 _BUCKET_STATE = T.StructType(
     [
-        T.StructField("occupant", T.LongType()),
-        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("occupants", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -175,7 +224,20 @@ def _sig_matches(a: list, b: list) -> int:
     return sum(1 for x, y in zip(a, b) if x == y)
 
 
-def _make_bucket_fn(ttl_ms: int | None):
+def _best_occupant(
+    sig: list[int], occupants: list[int], sigs: list[list[int]]
+) -> tuple[int, int]:
+    """(matched_doc, n_match) vs the current occupants: max match,
+    ties → smallest occupant id (flag_neardups' tie order)."""
+    best_n, best_id = -1, None
+    for occ, osig in zip(occupants, sigs):
+        n = _sig_matches(sig, osig)
+        if n > best_n or (n == best_n and occ < best_id):
+            best_n, best_id = n, occ
+    return best_id, best_n
+
+
+def _make_bucket_fn(ttl_ms: int | None, k_occupants: int = K_OCCUPANTS):
     def _bucket_fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -190,18 +252,27 @@ def _make_bucket_fn(ttl_ms: int | None):
         if not chunks:
             return
         rows = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
-        occupant, occ_sig = (
-            (state.get[0], list(state.get[1])) if state.exists else (None, None)
-        )
+        if state.exists:
+            occupants = list(state.get[0])
+            flat = list(state.get[1])
+            sigs = [
+                flat[i * NUM_HASHES : (i + 1) * NUM_HASHES]
+                for i in range(len(occupants))
+            ]
+        else:
+            occupants, sigs = [], []
         out = []
         for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
-            sig = [int(x) for x in sig]
-            if occupant is None:
-                occupant, occ_sig = int(doc_id), sig
-                out.append((int(doc_id), None, None))
+            doc_id, sig = int(doc_id), [int(x) for x in sig]
+            if occupants:
+                mid, n = _best_occupant(sig, occupants, sigs)
+                out.append((doc_id, mid, n))
             else:
-                out.append((int(doc_id), occupant, _sig_matches(sig, occ_sig)))
-        state.update((occupant, occ_sig))
+                out.append((doc_id, None, None))
+            if len(occupants) < k_occupants:  # claim a free slot
+                occupants.append(doc_id)
+                sigs.append(sig)
+        state.update((occupants, [x for s in sigs for x in s]))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "matched_doc", "n_match"])
@@ -316,14 +387,20 @@ def run_neardup_stream(
 # ---------------------------------------------------------------------------
 # Sequential reference twin (test oracle)
 # ---------------------------------------------------------------------------
-def neardup_twin(ordered_docs: list[tuple[int, list[int]]]) -> dict[int, bool]:
+def neardup_twin(
+    ordered_docs: list[tuple[int, list[int]]],
+    k_occupants: int = K_OCCUPANTS,
+) -> dict[int, bool]:
     """The detector's EXACT semantics as a sequential loop:
     ``ordered_docs`` is [(doc_id, 16-signature)] in arrival order
     (batch order, doc_id within batch). Returns doc_id → flagged.
     Deterministic twin for property tests — must agree with the
-    streamed pipeline bit-for-bit on the same drained corpus."""
+    streamed pipeline bit-for-bit on the same drained corpus.
+    ``k_occupants`` mirrors the bucket-state slot count (pass 1 to
+    reproduce the round-4 single-occupant semantics the adversarial
+    arrival-order test demonstrates against)."""
     n_bands = NUM_HASHES // BAND_SIZE
-    buckets: dict[tuple[int, str], tuple[int, list[int]]] = {}
+    buckets: dict[tuple[int, str], list[tuple[int, list[int]]]] = {}
     flagged: dict[int, bool] = {}
     for doc_id, sig in ordered_docs:
         best = 0
@@ -331,10 +408,10 @@ def neardup_twin(ordered_docs: list[tuple[int, list[int]]]) -> dict[int, bool]:
             key = "_".join(
                 str(sig[b * BAND_SIZE + j]) for j in range(BAND_SIZE)
             )
-            occ = buckets.get((b, key))
-            if occ is None:
-                buckets[(b, key)] = (doc_id, sig)
-            else:
-                best = max(best, _sig_matches(sig, occ[1]))
+            occs = buckets.setdefault((b, key), [])
+            for _occ_id, occ_sig in occs:
+                best = max(best, _sig_matches(sig, occ_sig))
+            if len(occs) < k_occupants:
+                occs.append((doc_id, sig))
         flagged[doc_id] = best >= SIG_MATCH_MIN
     return flagged

@@ -364,7 +364,16 @@ def test_chartrigram_freq_join_is_broadcast(spark):
     """The trigram->corpus-frequency join must broadcast the freq side:
     char-trigram cardinality is alphabet-bounded at any corpus size,
     and leaving it to AQE re-shuffled the full exploded trigram
-    relation (2.93x scale ratio at 4x data, SCALE_r02)."""
+    relation (2.93x scale ratio at 4x data, SCALE_r02). Round 5: the
+    explode is folded to per-(doc, trigram) counts FIRST and runs
+    exactly once — one parquet scan feeding the persisted counts
+    (InMemoryTableScan everywhere else); freq + join both read the
+    fold, moving |distinct (doc,t)| rows instead of |occurrences|
+    (4.53x -> 1.73x at 16x data, SCALE16_r5)."""
+    import re
+
     f = plan_facts(REGISTRY["quality_chartrigram_df"].builder(spark, SF))
     assert f.broadcast_joins >= 1, f.text
     assert "SortMergeJoin" not in f.text, f.text
+    assert "InMemoryTableScan" in f.text
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text

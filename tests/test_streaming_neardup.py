@@ -21,6 +21,7 @@ from msstreamingstack_spark.operators.dedup import (
 )
 from msstreamingstack_spark.sources.tables import load_table
 from msstreamingstack_spark.streaming.neardup import (
+    K_OCCUPANTS,
     SIG_MATCH_MIN,
     flag_neardups,
     minhash_signature_expr,
@@ -136,6 +137,70 @@ def test_stream_flags_match_sequential_twin(spark, staged_doc_drops, tmp_path):
                 1 for a, b in zip(sigs[d], sigs[partner]) if a == b
             )
             assert n_match >= SIG_MATCH_MIN, (d, partner, n_match)
+
+
+def _band_twin_sig(sig: list[int], band: int, filler_base: int) -> list[int]:
+    """A signature agreeing with ``sig`` EXACTLY in band ``band``'s two
+    components and nowhere else — the pre-claimer shape: it lands in
+    the same (band, key) bucket but matches only 2/16 overall."""
+    out = [filler_base + i for i in range(NUM_HASHES)]
+    out[band * 2] = sig[band * 2]
+    out[band * 2 + 1] = sig[band * 2 + 1]
+    return out
+
+
+def test_adversarial_preclaim_order_caught_by_k_occupants():
+    """THE round-4 recall gap, reproduced and closed: an arrival order
+    that pre-claims every one of a doc's 8 buckets with low-match
+    occupants hides a later verbatim re-crawl under single-occupant
+    state (K=1 — the twin must NOT flag it, demonstrating the gap),
+    while K_OCCUPANTS >= 2 gives the original doc a slot in each
+    bucket and the re-crawl is flagged."""
+    n_bands = NUM_HASHES // 2
+    sig_b = [100 + 7 * i for i in range(NUM_HASHES)]  # the original doc
+    preclaimers = [
+        (i + 1, _band_twin_sig(sig_b, i, 10_000 * (i + 1)))
+        for i in range(n_bands)
+    ]
+    # sanity: each pre-claimer matches B in exactly 2 components
+    for _pid, psig in preclaimers:
+        assert sum(1 for a, b in zip(psig, sig_b) if a == b) == 2
+    ordered = [*preclaimers, (100, sig_b), (200, list(sig_b))]
+
+    k1 = neardup_twin(ordered, k_occupants=1)
+    assert k1[100] is False
+    assert k1[200] is False, (
+        "K=1 must MISS the re-crawl here — if this starts flagging, the "
+        "adversarial construction no longer matches the bucket keys"
+    )
+
+    for k in (2, K_OCCUPANTS):
+        kk = neardup_twin(ordered, k_occupants=k)
+        assert kk[100] is False          # the original is not a dup
+        assert kk[200] is True, f"K={k} must catch the re-crawl"
+
+
+def test_twin_k_slots_bound_preclaim_resistance():
+    """K slots resist exactly K-1 pre-claimers per bucket: with K
+    same-bucket pre-claimers arriving first in EVERY band, the
+    original doc gets no slot anywhere and the re-crawl escapes again
+    — the state/recall trade is a dial, not a cliff."""
+    n_bands = NUM_HASHES // 2
+    sig_b = [100 + 7 * i for i in range(NUM_HASHES)]
+    ordered = []
+    next_id = 1
+    for i in range(n_bands):
+        for j in range(K_OCCUPANTS):  # fill ALL K slots of B's bucket
+            ordered.append(
+                (next_id, _band_twin_sig(sig_b, i, 10_000 * next_id))
+            )
+            next_id += 1
+    ordered += [(100, sig_b), (200, list(sig_b))]
+    res = neardup_twin(ordered, k_occupants=K_OCCUPANTS)
+    assert res[200] is False  # all slots pre-claimed -> documented residue
+    # one more slot would have caught it
+    res2 = neardup_twin(ordered, k_occupants=K_OCCUPANTS + 1)
+    assert res2[200] is True
 
 
 def test_flag_neardups_threshold_and_partner_tiebreak(spark):
