@@ -170,6 +170,12 @@ def main() -> None:
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip the scaled-dataset build if its directory already "
+        "exists (pair with --keep for fast iteration)",
+    )
+    ap.add_argument(
         "--queries",
         default=None,
         help="comma-separated subset of the default query list",
@@ -183,7 +189,8 @@ def main() -> None:
     spark = get_spark(app_name="msstreamingstack-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = f"/tmp/msstream_scale_{args.scale}x"
-    build_scaled(spark, scaled_dir, args.scale)
+    if not (args.reuse and os.path.isdir(scaled_dir)):
+        build_scaled(spark, scaled_dir, args.scale)
     try:
         results = {}
         for name in queries:

@@ -78,11 +78,14 @@ def test_first_occupant_recall(sigs, data):
 
 
 def test_adversarial_preclaim_gap_is_real():
-    """Documents the single-occupant limitation EXACTLY: pre-claim all
-    8 of a doc's band keys with 8 low-match occupants (each matching
-    the target on one band = 2 components only), then send the target
-    and an exact duplicate — the duplicate stays unflagged because
-    every bucket verdict compares against a low-match occupant."""
+    """Documents the round-4 single-occupant limitation EXACTLY:
+    pre-claim all 8 of a doc's band keys with 8 low-match occupants
+    (each matching the target on one band = 2 components only), then
+    send the target and an exact duplicate — under k_occupants=1 the
+    duplicate stays unflagged because every bucket verdict compares
+    against a low-match occupant. Round 5: the DEFAULT K-occupant
+    state closes exactly this construction (the target claims a free
+    slot in each of its buckets), which is why K>1 exists."""
     target = [7] * NUM_HASHES
     n_bands = NUM_HASHES // BAND_SIZE
     occupants = []
@@ -92,12 +95,16 @@ def test_adversarial_preclaim_gap_is_real():
             sig[b * BAND_SIZE + j] = 7  # ...except target's band b key
         occupants.append(sig)
     ordered = list(enumerate(occupants + [target, [7] * NUM_HASHES]))
-    flagged = neardup_twin(ordered)
     # each occupant matches target on only BAND_SIZE components
     assert all(
         _sig_matches(o, target) == BAND_SIZE < SIG_MATCH_MIN for o in occupants
     )
-    # the exact duplicate of `target` is NOT flagged: the gap exists
-    assert flagged[len(occupants) + 1] is False
-    # and the downstream batch kernel remains the completeness backstop
-    # (documented in streaming/neardup.py)
+    # the historical K=1 semantics MISS the exact duplicate: the gap
+    # was real...
+    flagged_k1 = neardup_twin(ordered, k_occupants=1)
+    assert flagged_k1[len(occupants) + 1] is False
+    # ...and the round-5 default closes this exact construction (the
+    # batch kernel stays the backstop for K-deep pre-claims — see
+    # tests/test_streaming_neardup.py)
+    flagged = neardup_twin(ordered)
+    assert flagged[len(occupants) + 1] is True
