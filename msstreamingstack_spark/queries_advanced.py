@@ -621,10 +621,11 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup cluster resolution (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
-def _cc_oracle_sql(threshold: float) -> str:
-    """Recursive-CTE oracle: component = min reachable id. The Spark
-    side computes the same fixpoint iteratively (operators/
-    components.py) — both are checked equal."""
+def _cc_comps_cte(threshold: float) -> str:
+    """Shared recursive-CTE prefix: ngram-jaccard pairs → undirected
+    edges → reachability fixpoint → ``comps(node, comp)`` with comp =
+    min reachable id. Composed by the cluster-resolution oracle and
+    the canonical-selection oracle so the two can never drift."""
     from msstreamingstack_spark.operators.dedup import doc_shingle_hashes_sql
 
     return f"""
@@ -650,7 +651,15 @@ walk(node, comp) AS (
   UNION
   SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.node
 ),
-comps AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)
+comps AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node)"""
+
+
+def _cc_oracle_sql(threshold: float) -> str:
+    """Recursive-CTE oracle: component = min reachable id. The Spark
+    side computes the same fixpoint iteratively (operators/
+    components.py) — both are checked equal."""
+    return f"""
+{_cc_comps_cte(threshold)}
 SELECT d.doc_id,
        COALESCE(c.comp, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
@@ -675,6 +684,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
     return dedup_keep_list(docs, pairs)
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+{_cc_comps_cte(0.8)},
+assign AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+         CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+FROM assign
+""",
+    tags=("extension", "dedup", "iterative", "pipeline"),
+    doc="Quality-priority canonical selection over dedup clusters: "
+    "instead of dedup_clusters' keep-min-id policy, keep the LONGEST "
+    "document of each near-dup cluster (tie → min id) — the standard "
+    "'keep the most complete variant' pretraining policy (truncated "
+    "crawls and paywall stubs lose to their full-text siblings). One "
+    "ranking window over the cluster assignment; integer-only "
+    "compare keys so the verdict is exactly cross-engine. At scale "
+    "the window partitions by cluster_id — cluster sizes are bounded "
+    "by the near-dup relation, so no partition outgrows an executor.",
+)
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.operators.components import dedup_keep_list
+    from msstreamingstack_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
+    assign = dedup_keep_list(docs, pairs).select("doc_id", "cluster_id")
+    withq = assign.join(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return withq.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -965,6 +965,83 @@ def q_quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_bigram_lm",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM t WHERE len(t) >= 2
+),
+dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(c) AS c12 FROM dbc GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(round(
+           -log2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * c, 9)
+         AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
+         AS bits_per_bigram
+FROM dbc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+    tags=("extension", "text", "quality", "lm"),
+    doc="Corpus-trained bigram-LM cross-entropy per document — the "
+    "perplexity-style quality filter (CCNet's wiki-LM score) without "
+    "an external model: P(w2|w1) = c(w1,w2)/c(w1·) from the corpus "
+    "itself, score = mean -log2 P over the doc's bigram occurrences "
+    "(low = typical fluent text, high = junk/outlier vocabulary). "
+    "Plan: ONE bigram explode (aligned arrays_zip slices, no HOF "
+    "lambda) folded to per-(doc, bigram) counts; the LM count tables "
+    "re-aggregate the fold (never a second explode); occurrence terms "
+    "round-then-DECIMAL-sum so the float fold is order-free "
+    "cross-engine. Joins stay keyed on the bigram — the LM table is "
+    "NOT broadcast because bigram vocabulary, unlike char trigrams, "
+    "is corpus-sized at 100 TB.",
+)
+def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    d2 = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bi = d2.select(
+        "doc_id",
+        F.explode(
+            F.expr("arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))")
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.col("bg").getField("0").alias("w1"),
+        F.col("bg").getField("1").alias("w2"),
+    )
+    dbc = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # chartrigram discipline:
+        # referenced by the LM build AND the scoring join
+    )
+    c12 = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = F.round(
+        -F.log2(F.col("c12").cast("double") / F.col("c1").cast("double"))
+        * F.col("c"),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        dbc.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("c").cast("double"), 9
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
 TOP_NGRAMS_K = 5
 
 

@@ -203,6 +203,105 @@ def test_twin_k_slots_bound_preclaim_resistance():
     assert res2[200] is True
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driving _bucket_fn directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _mk_sig(seed: int) -> list[int]:
+    return [seed * 31 + i for i in range(NUM_HASHES)]
+
+
+def test_bucket_fn_chunk_order_invariance():
+    """applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+    chunks in arbitrary order; _bucket_fn must concat-then-sort so
+    chunk boundaries never change who claims a slot. Drive the
+    function directly: adversarially-chunked input == single-chunk
+    input, row-for-row and state-for-state."""
+    import pandas as pd
+
+    from msstreamingstack_spark.streaming.neardup import _make_bucket_fn
+
+    rows = [(5, _mk_sig(5)), (1, _mk_sig(1)), (3, _mk_sig(3)), (9, _mk_sig(1))]
+
+    def run(chunking):
+        state = _FakeState()
+        pdfs = (
+            pd.DataFrame(
+                [(d, s) for d, s in chunk], columns=["doc_id", "sig"]
+            )
+            for chunk in chunking
+        )
+        out = list(_make_bucket_fn(None)(("b", "k"), pdfs, state))
+        rows_out = [
+            tuple(None if pd.isna(v) else v for v in r)
+            for r in pd.concat(out).itertuples(index=False, name=None)
+        ]
+        return rows_out, state._value
+
+    single_out, single_state = run([rows])
+    chunked_out, chunked_state = run([rows[:1], [], rows[1:3], rows[3:]])
+    assert single_out == chunked_out
+    assert single_state == chunked_state
+    # deterministic order: 1 claims first, then 3, then 5 (K=3 full);
+    # 9 (same sig as 1) matches 1 on all components
+    occupants = single_state[0]
+    assert occupants == [1, 3, 5]
+    by_doc = {r[0]: r for r in single_out}
+    assert by_doc[1][1] is None            # first arrival: empty bucket
+    assert by_doc[9][1] == 1 and by_doc[9][2] == NUM_HASHES
+
+
+def test_bucket_fn_ttl_and_state_roundtrip():
+    """Timed-out state is removed with no output; an existing
+    (occupants, flat sigs) state is decoded, compared against and
+    extended; the TTL is re-armed on every update."""
+    import pandas as pd
+
+    from msstreamingstack_spark.streaming.neardup import _make_bucket_fn
+
+    fn = _make_bucket_fn(60_000)
+    timed = _FakeState(timed_out=True)
+    assert list(fn(("b", "k"), iter([]), timed)) == []
+    assert timed.removed
+
+    prior = _FakeState(value=([7], list(_mk_sig(7))))
+    out = list(
+        fn(
+            ("b", "k"),
+            iter([pd.DataFrame([(8, _mk_sig(7))], columns=["doc_id", "sig"])]),
+            prior,
+        )
+    )[0]
+    assert out.iloc[0].tolist() == [8, 7, NUM_HASHES]  # full match vs 7
+    occupants, flat = prior._value
+    assert occupants == [7, 8] and len(flat) == 2 * NUM_HASHES
+    assert prior.timeout_set == 60_000
+
+
 def test_flag_neardups_threshold_and_partner_tiebreak(spark):
     """flag_neardups: max match wins; ties pick the smallest partner;
     below-threshold stays unflagged with est carried."""
