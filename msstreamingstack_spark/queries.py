@@ -290,10 +290,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
     "tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers",
-    # ...and family representatives, plus the two late-round-5 queries
-    # (canonical selection, bigram-LM quality) needing first rows
-    "dedup_exact", "similarity_ann_srp", "sql_frontend_q1_parity",
-    "multimodal_stats", "pack_sequences_greedy",
+    # ...and family representatives, plus the four late-round-5
+    # queries (canonical selection, bigram-LM quality, VARIANT
+    # extraction, quality-weighted budget sampler) needing first rows
+    "similarity_ann_srp", "sql_frontend_q1_parity",
+    "multimodal_stats", "variant_props_profile",
+    "token_budget_quality_sample",
     "dedup_cluster_canonical", "quality_bigram_lm", "dq_report",
 )
 

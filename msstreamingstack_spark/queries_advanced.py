@@ -824,6 +824,56 @@ def q_similarity_ann_ivf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured (VARIANT) surface — Spark 4 parse_json/variant_get
+# ---------------------------------------------------------------------------
+@register(
+    "variant_props_profile",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+FROM events
+GROUP BY event_type
+""",
+    tags=("extension", "advanced", "variant", "semistructured"),
+    doc="Semi-structured event properties through Spark 4's VARIANT "
+    "type: parse_json once into a variant column, then typed "
+    "variant_get path extraction ($.k as long; an absent path yields "
+    "NULL, profiled per group) and a relational aggregate on top. "
+    "This is the modern replacement for the reference's "
+    "infer-schema-from-a-sample-file approach "
+    "(StructuredStreaming.scala:70-76) when the payload is genuinely "
+    "open-schema: VARIANT keeps the binary-encoded value columnar "
+    "(shreddable at the scan at 100 TB) instead of re-parsing JSON "
+    "text per query or freezing an inferred schema that next week's "
+    "events violate. Oracle: DuckDB json_extract over the same "
+    "strings — the values, not the encoding, are the contract.",
+)
+def q_variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "long").alias("k"),
+        F.variant_get(F.col("v"), "$.missing", "long").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias(
+            "n_missing_path"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated scalar subquery (decorrelation surface)
 # ---------------------------------------------------------------------------
 @register(

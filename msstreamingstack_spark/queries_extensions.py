@@ -965,9 +965,9 @@ def q_quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_bigram_lm",
-    """
+# Shared by quality_bigram_lm and the quality-weighted budget sampler
+# (identical text on both engines is the no-drift guarantee).
+BIGRAM_LM_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bi AS (
   SELECT doc_id,
@@ -985,25 +985,15 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
          AS bits_per_bigram
 FROM dbc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
-""",
-    tags=("extension", "text", "quality", "lm"),
-    doc="Corpus-trained bigram-LM cross-entropy per document — the "
-    "perplexity-style quality filter (CCNet's wiki-LM score) without "
-    "an external model: P(w2|w1) = c(w1,w2)/c(w1·) from the corpus "
-    "itself, score = mean -log2 P over the doc's bigram occurrences "
-    "(low = typical fluent text, high = junk/outlier vocabulary). "
-    "Plan: ONE bigram explode (aligned arrays_zip slices, no HOF "
-    "lambda) folded to per-(doc, bigram) counts; the LM count tables "
-    "re-aggregate the fold (never a second explode); occurrence terms "
-    "round-then-DECIMAL-sum so the float fold is order-free "
-    "cross-engine. Joins stay keyed on the bigram — the LM table is "
-    "NOT broadcast because bigram vocabulary, unlike char trigrams, "
-    "is corpus-sized at 100 TB.",
-)
-def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def bigram_lm_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, bits_per_bigram) — the Spark twin of
+    BIGRAM_LM_SQL; see q_quality_bigram_lm's docstring for the plan
+    rationale."""
     from pyspark.storagelevel import StorageLevel
 
-    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     d2 = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
     bi = d2.select(
@@ -1039,6 +1029,82 @@ def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(term).cast("double") / F.sum("c").cast("double"), 9
             ).alias("bits_per_bigram"),
         )
+    )
+
+
+@register(
+    "quality_bigram_lm",
+    BIGRAM_LM_SQL,
+    tags=("extension", "text", "quality", "lm"),
+    doc="Corpus-trained bigram-LM cross-entropy per document — the "
+    "perplexity-style quality filter (CCNet's wiki-LM score) without "
+    "an external model: P(w2|w1) = c(w1,w2)/c(w1·) from the corpus "
+    "itself, score = mean -log2 P over the doc's bigram occurrences "
+    "(low = typical fluent text, high = junk/outlier vocabulary). "
+    "Plan: ONE bigram explode (aligned arrays_zip slices, no HOF "
+    "lambda) folded to per-(doc, bigram) counts; the LM count tables "
+    "re-aggregate the fold (never a second explode); occurrence terms "
+    "round-then-DECIMAL-sum so the float fold is order-free "
+    "cross-engine. Joins stay keyed on the bigram — the LM table is "
+    "NOT broadcast because bigram vocabulary, unlike char trigrams, "
+    "is corpus-sized at 100 TB.",
+)
+def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(spread(load_table(spark, sf_dir, "documents")))
+
+
+QUALITY_BUDGET_PER_SOURCE = 2000
+
+
+@register(
+    "token_budget_quality_sample",
+    f"""
+WITH q AS ({BIGRAM_LM_SQL}),
+t AS (
+  SELECT d.doc_id, d.source, {token_count_sql('d.text')} AS n_tokens,
+         q.bits_per_bigram
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, source, n_tokens, bits_per_bigram,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY bits_per_bigram ASC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, bits_per_bigram, cum_tokens
+FROM c WHERE cum_tokens <= {QUALITY_BUDGET_PER_SOURCE}
+""",
+    tags=("extension", "pipeline", "sampling", "lm"),
+    doc="Quality-weighted token-budget curation — the composition the "
+    "plain token_budget_sample (largest-first) lacks: per source, "
+    f"spend a {QUALITY_BUDGET_PER_SOURCE}-token budget on the most "
+    "FLUENT documents first (lowest bigram-LM cross-entropy, tie → "
+    "id), the 'budget to the best data' corpus-mixing policy. The "
+    "LM score and the running-sum window are both existing oracled "
+    "kernels; ordering on the score is exact cross-engine because "
+    "the score doubles are themselves bit-identical (driver-proven "
+    "by quality_bigram_lm). One extra shuffle over the plain "
+    "sampler (the score join).",
+)
+def q_token_budget_quality_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    ).join(bigram_lm_scores(d).select("doc_id", "bits_per_bigram"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bits_per_bigram").asc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= QUALITY_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "bits_per_bigram", "cum_tokens")
     )
 
 
