@@ -67,7 +67,11 @@ QUERIES = (
     "dedup_jaccard_dfcapped",
     "dedup_clusters",
     "dedup_ngram_jaccard",
-    "decontaminate_eval_overlap",
+    # round-5 late additions
+    "dedup_cluster_canonical",
+    "quality_bigram_lm",
+    "token_budget_quality_sample",
+    "variant_props_profile",
 )
 
 TABLES = (
