@@ -314,6 +314,29 @@ def test_chartrigram_quality_no_python_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in f.text
 
 
+def test_sql_frontend_subquery_decorrelates(spark):
+    """The ad-hoc subquery parity text must plan as decorrelated key
+    joins — IN → LeftSemi, NOT EXISTS → LeftAnti, the scalar subquery
+    as a one-row subquery broadcast — never a nested-loop re-execution
+    per row (the shape that dies at 100 TB)."""
+    f = plan_facts(REGISTRY["sql_frontend_subquery_parity"].builder(spark, SF))
+    assert "LeftSemi" in f.text
+    assert "LeftAnti" in f.text
+    assert "Subquery" in f.text
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_sql_frontend_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan as ONE Expand + hash aggregate over a
+    single scan — not a union of three scans of orders."""
+    import re
+
+    f = plan_facts(REGISTRY["sql_frontend_grouping_sets_parity"].builder(spark, SF))
+    assert "Expand" in f.text
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text
+
+
 def test_top_ngrams_partial_agg_no_join(spark):
     """Per-lang n-gram counts: partial-then-final aggregation over the
     explode, a window for top-k, and nothing else."""
