@@ -92,9 +92,14 @@ def main() -> None:
     # as last as possible) AND a durable file copy the driver/judge can
     # read even if stdout capture truncates.
     line = json.dumps(payload, separators=(",", ":"))
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
-    with open(out_path, "w") as fh:
-        fh.write(line + "\n")
+    if not subset:
+        # only FULL runs own the durable copy — a BENCH_QUERIES subset
+        # run would silently clobber the full-registry record
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        )
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)

@@ -967,6 +967,17 @@ def q_quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by quality_bigram_lm and the quality-weighted budget sampler
 # (identical text on both engines is the no-drift guarantee).
+#
+# LEAVE-ONE-OUT + Laplace: the naive self-trained estimator
+# P(w2|w1) = c12/c1 rates a document of globally-UNIQUE bigrams as
+# perfectly predictable (its own occurrences are the only support:
+# c12 = c1 ⇒ P = 1 ⇒ 0 bits — gibberish would score BEST). Each
+# doc's own counts are therefore subtracted from the numerator and
+# denominator (e12 = c12 − c, e1 = c1 − d1c) and the estimate is
+# Laplace-smoothed over the second-word vocabulary:
+# P = (e12 + 1)/(e1 + V). Unsupported bigrams now cost ≈ log2(V)
+# bits; text echoed across the corpus stays cheap. All inputs are
+# exact BIGINTs, so the doubles agree bit-for-bit cross-engine.
 BIGRAM_LM_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bi AS (
@@ -977,21 +988,25 @@ bi AS (
 ),
 dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
 c12 AS (SELECT w1, w2, SUM(c) AS c12 FROM dbc GROUP BY 1, 2),
-c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+d1 AS (SELECT doc_id, w1, SUM(c) AS d1c FROM dbc GROUP BY 1, 2),
+v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM dbc)
 SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
        round(CAST(SUM(CAST(round(
-           -log2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * c, 9)
+           -log2(CAST(c12 - c + 1 AS DOUBLE)
+                 / CAST(c1 - d1c + vsz AS DOUBLE)) * c, 9)
          AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
          AS bits_per_bigram
 FROM dbc JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+     JOIN d1 USING (doc_id, w1) CROSS JOIN v
 GROUP BY doc_id
 """
 
 
 def bigram_lm_scores(d: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, bits_per_bigram) — the Spark twin of
-    BIGRAM_LM_SQL; see q_quality_bigram_lm's docstring for the plan
-    rationale."""
+    BIGRAM_LM_SQL (leave-one-out + Laplace; see the constant's comment
+    and q_quality_bigram_lm's docstring for the plan rationale)."""
     from pyspark.storagelevel import StorageLevel
 
     toks = F.split(F.col("text"), " ")
@@ -1010,18 +1025,28 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
         bi.groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # chartrigram discipline:
-        # referenced by the LM build AND the scoring join
+        # referenced by the LM build, the per-doc counts AND the
+        # scoring join
     )
     c12 = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    d1 = dbc.groupBy("doc_id", "w1").agg(F.sum("c").alias("d1c"))
+    # scalar |vocab(w2)| broadcast into every row (explicit-broadcast
+    # scalar total — the house crossJoin discipline)
+    vsz = dbc.agg(F.countDistinct("w2").alias("vsz"))
     term = F.round(
-        -F.log2(F.col("c12").cast("double") / F.col("c1").cast("double"))
+        -F.log2(
+            (F.col("c12") - F.col("c") + F.lit(1)).cast("double")
+            / (F.col("c1") - F.col("d1c") + F.col("vsz")).cast("double")
+        )
         * F.col("c"),
         9,
     ).cast("decimal(28,9)")
     return (
         dbc.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
+        .join(d1, ["doc_id", "w1"])
+        .crossJoin(F.broadcast(vsz))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),
@@ -1038,9 +1063,12 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
     tags=("extension", "text", "quality", "lm"),
     doc="Corpus-trained bigram-LM cross-entropy per document — the "
     "perplexity-style quality filter (CCNet's wiki-LM score) without "
-    "an external model: P(w2|w1) = c(w1,w2)/c(w1·) from the corpus "
+    "an external model: LEAVE-ONE-OUT Laplace estimate "
+    "P(w2|w1) = (c12 − own + 1)/(c1 − own + V) from the corpus "
     "itself, score = mean -log2 P over the doc's bigram occurrences "
-    "(low = typical fluent text, high = junk/outlier vocabulary). "
+    "(low = text echoed across the corpus, high = junk/outlier "
+    "vocabulary; without LOO a doc of globally-unique bigrams is its "
+    "own only support and would score a perfect 0 bits). "
     "Plan: ONE bigram explode (aligned arrays_zip slices, no HOF "
     "lambda) folded to per-(doc, bigram) counts; the LM count tables "
     "re-aggregate the fold (never a second explode); occurrence terms "

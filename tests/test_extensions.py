@@ -424,3 +424,29 @@ def test_embedding_increment_semantic_dedup(spark, tmp_path):
     f2r, m2r = embedding_increment(embs([(10, near), (11, ortho)]), store, "inc2")
     assert {r["vec_id"] for r in f2r.collect()} == {11}
     assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
+
+
+def test_bigram_lm_ranks_gibberish_above_echoed_text(spark):
+    """SEMANTIC pin for the leave-one-out Laplace estimator: a naive
+    self-trained bigram LM (P = c12/c1) rates a doc of globally-unique
+    bigrams as perfectly predictable (its own counts are the only
+    support ⇒ 0 bits — gibberish would be the BEST-scoring doc). With
+    LOO + Laplace, corpus-supported text must score strictly fewer
+    bits than the unsupported-gibberish doc."""
+    import msstreamingstack_spark.queries  # noqa: F401 — full registry first
+    from msstreamingstack_spark.queries_extensions import bigram_lm_scores
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, fluent) for i in range(6)]  # echoed across the corpus
+    rows.append((100, "zq1 xv7 kkj9 wpm2 bbr4 ncx8 qql3 vvt6 hzd5 jfy0"))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bits_per_bigram"] for r in bigram_lm_scores(d).collect()}
+    assert got[100] > got[0], got
+    # the gibberish doc has zero external support: every bigram costs
+    # about log2(V) bits
+    import math
+
+    v = len(set(" ".join([fluent] * 1 + [rows[-1][1]]).split()))  # loose bound
+    assert got[100] > 0.5 * math.log2(max(v, 2))
+    # echoed text is cheap: well under half the gibberish cost
+    assert got[0] < got[100] / 2
