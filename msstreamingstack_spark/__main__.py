@@ -384,6 +384,8 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         fmt=args.fmt,
         digest_store_dir=args.digest_store,
         neardup_store_dir=args.neardup_store,
+        lm_store_dir=args.lm_store,
+        lm_max_bits=args.lm_max_bits,
     )
     q.awaitTermination()
     return 0
@@ -542,6 +544,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="persisted MinHash-signature store dir: reject "
                    "NEAR-duplicate re-crawls (lightly-edited copies the "
                    "exact digest misses) with reason near_duplicate")
+    i.add_argument("--lm-store",
+                   help="persisted bigram-LM count store dir: reject docs "
+                   "scoring above --lm-max-bits cross-entropy against the "
+                   "accepted corpus's LM with reason low_quality_lm")
+    i.add_argument("--lm-max-bits", type=float, default=8.0,
+                   help="bits-per-bigram ceiling for the --lm-store gate")
     i.add_argument("--threshold", type=float, default=0.30,
                    help="contamination overlap-fraction threshold")
     i.add_argument("--files-per-trigger", type=int, default=1)

@@ -283,3 +283,34 @@ def dup_ngram_fraction_sql(text_sql: str, n: int = 3) -> str:
         f"CASE WHEN {total} > 0 THEN 1.0 - CAST({distinct} AS DOUBLE) / "
         f"CAST({total} AS DOUBLE) ELSE 0.0 END"
     )
+
+
+def doc_bigram_counts(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, w1, w2, c) — per-document bigram TYPE counts. One explode
+    via aligned ``arrays_zip(slice, slice)`` (native array functions —
+    no interpreted HOF lambda), folded immediately to type counts so
+    downstream joins move |distinct (doc, bigram)| rows, never
+    occurrences. Shared by the corpus bigram-LM quality score
+    (queries_extensions.bigram_lm_scores) and the LM-gated ingest
+    increment (operators/incremental.py). Docs with fewer than 2
+    tokens yield no rows."""
+    toks = F.split(F.col(text_col), " ")
+    d2 = docs.select(id_col, toks.alias("t")).filter(F.size("t") >= 2)
+    return (
+        d2.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            id_col,
+            F.col("bg").getField("0").alias("w1"),
+            F.col("bg").getField("1").alias("w2"),
+        )
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )

@@ -426,3 +426,133 @@ def embedding_increment(
         .parquet(store_dir)
     )
     return fresh, matches
+
+
+# ---------------------------------------------------------------------------
+# Incremental QUALITY gate: persisted corpus bigram-LM count store
+# ---------------------------------------------------------------------------
+def bigram_lm_increment(
+    new_docs: DataFrame,
+    store_dir: str,
+    increment_id: str,
+    max_bits: float = 8.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Quality counterpart of :func:`dedup_increment`: score each new
+    document's bigram cross-entropy against the LM built from EVERY
+    previously accepted document's bigram counts, reject docs above
+    ``max_bits``, and register the accepted docs' counts. The store
+    grows by (w1, w2, c) count rows only — vocabulary-bounded, never
+    text.
+
+    Estimator: Laplace over the STORE's second-word vocabulary,
+    P(w2|w1) = (c12_store + 1)/(c1_store + V_store). No leave-one-out
+    is needed here (unlike the batch ``quality_bigram_lm``): the store
+    is external to the scored batch by construction, so a gibberish
+    doc has zero support and pays ≈ log2(V) bits per bigram while
+    text echoing the accepted corpus stays cheap.
+
+    Policy edges: an EMPTY store accepts everything (no LM to judge
+    against yet — the first crawl drop defines the corpus); docs too
+    short to produce a bigram are accepted (the stateless token-floor
+    gate owns that rejection) and appear in ``scored`` with null
+    ``bits_per_bigram``.
+
+    Returns ``(accepted_docs, scored)`` where ``scored`` is
+    (doc_id, n_bigrams, bits_per_bigram) for every input doc.
+    Store idempotence follows the other increments: accepted counts
+    land under ``increment=<label>`` with overwrite and the LM side
+    excludes the current label, so replays recompute identically.
+    """
+    from msstreamingstack_spark.functions.text import doc_bigram_counts
+
+    spark = new_docs.sparkSession
+    if id_col != "doc_id":
+        new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
+
+    dbc = doc_bigram_counts(new_docs, text_col=text_col).persist()
+    try:
+        if _store_has_data(store_dir):
+            lm12 = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("increment") != increment_id)
+                .groupBy("w1", "w2")
+                .agg(F.sum("c").alias("c12"))
+            )
+            lm1 = lm12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+            vsz = lm12.agg(
+                F.countDistinct("w2").cast("long").alias("vsz")
+            )
+            term = F.round(
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz")
+                    ).cast("double")
+                )
+                * F.col("c"),
+                9,
+            ).cast("decimal(28,9)")
+            per_doc = (
+                dbc.join(lm12, ["w1", "w2"], "left")
+                .join(lm1, ["w1"], "left")
+                .crossJoin(F.broadcast(vsz))
+                .groupBy(id_col)
+                .agg(
+                    F.sum("c").cast("long").alias("n_bigrams"),
+                    F.round(
+                        F.sum(term).cast("double")
+                        / F.sum("c").cast("double"),
+                        9,
+                    ).alias("bits_per_bigram"),
+                )
+            )
+            scored = new_docs.select(id_col).join(
+                per_doc, id_col, "left"
+            )
+            accepted = new_docs.join(
+                scored.filter(
+                    F.col("bits_per_bigram").isNull()
+                    | (F.col("bits_per_bigram") <= max_bits)
+                ).select(id_col),
+                id_col,
+                "left_semi",
+            )
+        else:
+            per_doc = dbc.groupBy(id_col).agg(
+                F.sum("c").cast("long").alias("n_bigrams")
+            )
+            scored = (
+                new_docs.select(id_col)
+                .join(per_doc, id_col, "left")
+                .withColumn(
+                    "bits_per_bigram", F.lit(None).cast("double")
+                )
+            )
+            accepted = new_docs
+
+        # snapshot before the store write: accepted's plan reads the
+        # store through the scoring join (own label is excluded, but
+        # the snapshot also caches the heavy scoring subtree for the
+        # caller's multiple consumers)
+        accepted = accepted.localCheckpoint(eager=True)
+        scored = scored.localCheckpoint(eager=True)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            dbc.join(accepted.select(id_col), id_col, "left_semi")
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").alias("c"))
+            .withColumn("increment", F.lit(increment_id))
+            .write.mode("overwrite")
+            .partitionBy("increment")
+            .parquet(store_dir)
+        )
+        return accepted, scored
+    finally:
+        dbc.unpersist()

@@ -1009,22 +1009,10 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
     and q_quality_bigram_lm's docstring for the plan rationale)."""
     from pyspark.storagelevel import StorageLevel
 
-    toks = F.split(F.col("text"), " ")
-    d2 = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
-    bi = d2.select(
-        "doc_id",
-        F.explode(
-            F.expr("arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))")
-        ).alias("bg"),
-    ).select(
-        "doc_id",
-        F.col("bg").getField("0").alias("w1"),
-        F.col("bg").getField("1").alias("w2"),
-    )
-    dbc = (
-        bi.groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # chartrigram discipline:
+    from msstreamingstack_spark.functions.text import doc_bigram_counts
+
+    dbc = doc_bigram_counts(d).persist(
+        StorageLevel.MEMORY_AND_DISK  # chartrigram discipline:
         # referenced by the LM build, the per-doc counts AND the
         # scoring join
     )

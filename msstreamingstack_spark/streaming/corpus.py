@@ -127,6 +127,8 @@ def run_corpus_ingest(
     digest_store_dir: str | None = None,
     neardup_store_dir: str | None = None,
     neardup_threshold: float = 0.8,
+    lm_store_dir: str | None = None,
+    lm_max_bits: float = 8.0,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -154,6 +156,17 @@ def run_corpus_ingest(
     signatures under the same idempotent increment label. This is the
     corpus-lifetime backstop for the in-stream bucket-state detector
     (streaming/neardup.py), whose state is TTL-bounded.
+
+    ``lm_store_dir`` (optional) adds the QUALITY analogue
+    (``bigram_lm_increment``): surviving docs are scored against the
+    bigram LM built from every previously accepted doc's counts and
+    rejected as ``low_quality_lm`` above ``lm_max_bits`` — the
+    corpus-adaptive junk filter the stateless gates (length,
+    repetition) cannot express, because "junk" is defined relative to
+    what the corpus actually looks like. The first drop (empty store)
+    defines the corpus and is accepted wholesale; the store grows by
+    vocabulary-bounded (w1, w2, c) count rows under the same
+    idempotent increment labels.
     """
     # static side, computed once and persisted across micro-batches
     eval_h = (
@@ -278,6 +291,23 @@ def run_corpus_ingest(
                     nd_fresh.select("doc_id"), "doc_id", "left_anti"
                 ).select(*cols, F.lit("near_duplicate").alias("reject_reason"))
                 accepted = nd_fresh.select(*cols)
+            lm_rejects = None
+            if lm_store_dir is not None:
+                from msstreamingstack_spark.operators.incremental import (
+                    bigram_lm_increment,
+                )
+
+                lm_ok, lm_scored = bigram_lm_increment(
+                    accepted,
+                    lm_store_dir,
+                    increment_id=f"{run_label}-b{batch_id:09d}",
+                    max_bits=lm_max_bits,
+                )
+                checkpoints.extend((lm_ok, lm_scored))
+                lm_rejects = accepted.join(
+                    lm_ok.select("doc_id"), "doc_id", "left_anti"
+                ).select(*cols, F.lit("low_quality_lm").alias("reject_reason"))
+                accepted = lm_ok.select(*cols)
             # batch-id-scoped overwrite, not raw append: foreachBatch is
             # at-least-once, so a replayed batch must land in the SAME
             # directory and overwrite itself (idempotent sink — the
@@ -290,6 +320,8 @@ def run_corpus_ingest(
                 rejects = rejects.unionByName(store_dups)
             if neardup_rejects is not None:
                 rejects = rejects.unionByName(neardup_rejects)
+            if lm_rejects is not None:
+                rejects = rejects.unionByName(lm_rejects)
             rejects.write.mode("overwrite").parquet(
                 os.path.join(reject_dir, f"batch_id={batch_id}")
             )

@@ -450,3 +450,48 @@ def test_bigram_lm_ranks_gibberish_above_echoed_text(spark):
     assert got[100] > 0.5 * math.log2(max(v, 2))
     # echoed text is cheap: well under half the gibberish cost
     assert got[0] < got[100] / 2
+
+
+def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
+    """LM-gated ingest increment: an empty store accepts everything
+    (the first drop defines the corpus); afterwards a doc echoing the
+    accepted corpus scores low and passes while unsupported gibberish
+    pays ~log2(V) bits and is rejected; too-short docs pass with a
+    null score (the token-floor gate owns them); replaying an
+    increment under the same label recomputes identically; the
+    returned frames' checkpoint blocks release cleanly."""
+    from msstreamingstack_spark.operators.incremental import (
+        bigram_lm_increment,
+        release_checkpoint,
+    )
+
+    store = str(tmp_path / "lm_store")
+    fluent = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = spark.createDataFrame(
+        [(i, fluent) for i in range(5)], ["doc_id", "text"]
+    )
+    a1, s1 = bigram_lm_increment(b1, store, "inc1")
+    assert a1.count() == 5  # cold start: no LM to judge against
+    assert all(r["bits_per_bigram"] is None for r in s1.collect())
+
+    b2 = spark.createDataFrame(
+        [
+            (10, fluent),  # echoes the accepted corpus
+            (11, "zq1 xv7 kkj9 wpm2 bbr4 ncx8 qql3 vvt6 hzd5 jfy0"),
+            (12, "hi"),    # too short to score
+        ],
+        ["doc_id", "text"],
+    )
+    a2, s2 = bigram_lm_increment(b2, store, "inc2", max_bits=3.0)
+    scores = {r["doc_id"]: r["bits_per_bigram"] for r in s2.collect()}
+    assert scores[10] is not None and scores[10] <= 3.0
+    assert scores[11] is not None and scores[11] > 3.0
+    assert scores[12] is None
+    assert sorted(r["doc_id"] for r in a2.collect()) == [10, 12]
+
+    # replay: same label -> own counts excluded -> identical verdicts
+    a2r, s2r = bigram_lm_increment(b2, store, "inc2", max_bits=3.0)
+    assert sorted(r["doc_id"] for r in a2r.collect()) == [10, 12]
+    assert {r["doc_id"]: r["bits_per_bigram"] for r in s2r.collect()} == scores
+
+    release_checkpoint(a1, s1, a2, s2, a2r, s2r)

@@ -350,3 +350,60 @@ def test_neardup_store_survives_all_rejected_batch(spark, tmp_path):
     }
     assert acc == {3}
     assert rej == {1: "too_short", 2: "too_repetitive"}
+
+
+def test_lm_store_gates_junk_after_corpus_established(spark, tmp_path):
+    """Quality-LM ingest stage: the first drop (empty LM store) is
+    accepted wholesale and defines the corpus; in the second run a
+    doc echoing the accepted corpus passes while unsupported-
+    vocabulary junk — which sails through the stateless gates (long
+    enough, non-repetitive) AND both dedup stores (genuinely new
+    content) — is rejected with reason low_quality_lm."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    lm_store = str(tmp_path / "lm_counts")
+
+    def run(drop_dir, leg):
+        q = run_corpus_ingest(
+            spark,
+            drop_dir,
+            eval_docs,
+            str(tmp_path / f"accept{leg}"),
+            str(tmp_path / f"reject{leg}"),
+            checkpoint_dir=str(tmp_path / f"cp{leg}"),
+            lm_store_dir=lm_store,
+            lm_max_bits=3.0,
+        )
+        q.awaitTermination(120)
+        acc = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"accept{leg}")).collect()
+        }
+        rej = {
+            r["doc_id"]: r["reject_reason"]
+            for r in spark.read.parquet(str(tmp_path / f"reject{leg}")).collect()
+        }
+        return acc, rej
+
+    fluent = ("w%d " * 60 % tuple(i % 20 for i in range(60))).strip()
+    d1 = tmp_path / "lm_drops1"
+    d1.mkdir()
+    _write_drop(
+        d1 / "a.parquet", [(1, fluent), (2, fluent + " w0 w1")],
+        1_700_000_000,
+    )
+    acc1, rej1 = run(str(d1), 1)
+    assert acc1 == {1, 2} and rej1 == {}  # cold store accepts all
+
+    d2 = tmp_path / "lm_drops2"
+    d2.mkdir()
+    echoed = fluent + " w2 w3"  # new digest, bigrams all corpus-known
+    junk = "qzx1 vbn2 mlp3 ktr4 hgs5 fwd6 jcy7 nue8 rio9 paz0"
+    _write_drop(d2 / "b.parquet", [(10, echoed), (11, junk)], 1_700_000_100)
+    acc2, rej2 = run(str(d2), 2)
+    assert 10 in acc2, (acc2, rej2)
+    assert rej2.get(11) == "low_quality_lm", (acc2, rej2)
