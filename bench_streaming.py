@@ -51,6 +51,7 @@ from msstreamingstack_spark.streaming.stateful import sessionize_stream  # noqa:
 def bench_corpus_ingest(
     spark, sf_dir: str, sf: float, replicate: int = 10,
     neardup_store: bool = False,
+    full_gauntlet: bool = False,
 ) -> None:
     """docs/sec through the full ingest query. The documents table is
     replicated with disjoint ids and per-replica token salting so
@@ -61,7 +62,11 @@ def bench_corpus_ingest(
     signature store under the stream (per-batch minhash_increment) —
     the replica prefix defeats the exact digest but keeps shingle
     jaccard ~0.95, so most replicas reject as near_duplicate: the
-    metric prices the full near-dup-gated ingest."""
+    metric prices the full near-dup-gated ingest.
+
+    ``full_gauntlet=True`` runs ALL THREE persisted stores (exact
+    digest + near-dup signatures + quality LM) — the maximal ingest
+    configuration, priced as its own metric."""
     from pyspark.sql import functions as F
 
     from msstreamingstack_spark.sources.tables import spread
@@ -104,19 +109,32 @@ def bench_corpus_ingest(
             available_now=True,
             max_files_per_trigger=4,
             neardup_store_dir=(
-                os.path.join(work, "sigs") if neardup_store else None
+                os.path.join(work, "sigs")
+                if (neardup_store or full_gauntlet)
+                else None
+            ),
+            digest_store_dir=(
+                os.path.join(work, "digests") if full_gauntlet else None
+            ),
+            lm_store_dir=(
+                os.path.join(work, "lm") if full_gauntlet else None
             ),
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
         n_out = spark.read.parquet(os.path.join(work, "accept")).count()
         n_rej = spark.read.parquet(os.path.join(work, "reject")).count()
+        metric = (
+            "streaming_corpus_ingest_gauntlet_throughput"
+            if full_gauntlet
+            else "streaming_corpus_ingest_neardup_throughput"
+            if neardup_store
+            else "streaming_corpus_ingest_throughput"
+        )
         print(
             json.dumps(
                 {
-                    "metric": "streaming_corpus_ingest_neardup_throughput"
-                    if neardup_store
-                    else "streaming_corpus_ingest_throughput",
+                    "metric": metric,
                     "value": round(n_rows / wall, 1),
                     "unit": "rows/sec",
                     "rows": n_rows,
@@ -265,6 +283,7 @@ def main() -> None:
 
     bench_corpus_ingest(spark, sf_dir, sf)
     bench_corpus_ingest(spark, sf_dir, sf, replicate=4, neardup_store=True)
+    bench_corpus_ingest(spark, sf_dir, sf, replicate=4, full_gauntlet=True)
     bench_neardup_stream(spark, sf_dir, sf)
 
 
