@@ -72,6 +72,7 @@ QUERIES = (
     "quality_bigram_lm",
     "token_budget_quality_sample",
     "variant_props_profile",
+    "chunk_dup_fraction",
 )
 
 TABLES = (

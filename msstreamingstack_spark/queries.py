@@ -296,7 +296,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ann_srp", "sql_frontend_q1_parity",
     "multimodal_stats", "variant_props_profile",
     "token_budget_quality_sample",
-    "dedup_cluster_canonical", "quality_bigram_lm", "dq_report",
+    "dedup_cluster_canonical", "quality_bigram_lm", "chunk_dup_fraction",
 )
 
 

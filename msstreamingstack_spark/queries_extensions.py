@@ -1069,6 +1069,97 @@ def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(spread(load_table(spark, sf_dir, "documents")))
 
 
+CHUNK_DUP_TOKENS = 32
+
+
+@register(
+    "chunk_dup_fraction",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_DUP_TOKENS}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM t
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         {hash48_sql(
+             "array_to_string(toks[chunk_idx * " + str(CHUNK_DUP_TOKENS)
+             + " + 1 : (chunk_idx + 1) * " + str(CHUNK_DUP_TOKENS)
+             + "], chr(32))"
+         )} AS h
+  FROM idx
+),
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS shared_frac
+FROM ch JOIN dfreq USING (h)
+GROUP BY doc_id
+""",
+    tags=("extension", "dedup", "text", "pipeline", "chunking"),
+    doc=f"Chunk-level duplication profile: fraction of each document's "
+    f"fixed {CHUNK_DUP_TOKENS}-token chunks whose content appears in "
+    "at least one OTHER document — the template/boilerplate detector "
+    "that document-level dedup misses (two distinct pages sharing a "
+    "footer are not near-dups, but their shared chunks are). Chunking "
+    "is pure JVM (sequence explode + slice + concat_ws — the UDTF "
+    "chunker's algebraic twin, no Python in the plan); only 48-bit "
+    "chunk hashes shuffle, the chunk-doc-frequency aggregate is "
+    "map-side combined, and the scoring join is keyed on the hash.",
+)
+def q_chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+
+    k = CHUNK_DUP_TOKENS
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    ch = (
+        t.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.ceil(F.size("t") / F.lit(float(k))) - 1).cast("long"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            hash48(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("t"),
+                        (F.col("chunk_idx") * k + 1).cast("int"),
+                        k,
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    dfreq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        ch.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            shared.cast("long").alias("n_shared_chunks"),
+            F.round(
+                shared.cast("double") / F.count("*"), 9
+            ).alias("shared_frac"),
+        )
+    )
+
+
 QUALITY_BUDGET_PER_SOURCE = 2000
 
 

@@ -495,3 +495,36 @@ def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
     assert {r["doc_id"]: r["bits_per_bigram"] for r in s2r.collect()} == scores
 
     release_checkpoint(a1, s1, a2, s2, a2r, s2r)
+
+
+def test_bigram_lm_increment_nondefault_columns(spark, tmp_path):
+    """text_col/id_col must thread through scoring, acceptance and the
+    store registration (the minhash increment regression, round 2)."""
+    from msstreamingstack_spark.operators.incremental import (
+        bigram_lm_increment,
+    )
+
+    store = str(tmp_path / "lm_store_alt")
+    fluent = "the quick brown fox jumps over the lazy dog near the bank"
+    decoy = "decoy decoy decoy"
+    d1 = spark.createDataFrame(
+        [(i, fluent, decoy) for i in range(4)], ["uid", "body", "text"]
+    )
+    a1, s1 = bigram_lm_increment(
+        d1, store, "inc1", text_col="body", id_col="uid"
+    )
+    assert a1.count() == 4
+
+    d2 = spark.createDataFrame(
+        [
+            (10, fluent, decoy),
+            (11, "zz1 yy2 xx3 ww4 vv5 uu6 tt7 ss8 rr9 qq0", decoy),
+        ],
+        ["uid", "body", "text"],
+    )
+    a2, s2 = bigram_lm_increment(
+        d2, store, "inc2", max_bits=3.0, text_col="body", id_col="uid"
+    )
+    assert sorted(r["doc_id"] for r in a2.collect()) == [10]
+    scores = {r["doc_id"]: r["bits_per_bigram"] for r in s2.collect()}
+    assert scores[10] <= 3.0 < scores[11]
