@@ -5,8 +5,9 @@ applyInPandasWithState sessionization → foreachBatch sink), plus
 docs/sec through the corpus-ingest query (quality gates → watermarked
 exact dedup → decontamination → accept/reject sinks).
 
-Prints FOUR JSON lines (sessionize, exact-only ingest, near-dup-gated
-ingest, in-stream near-dup detector):
+Prints FIVE JSON lines (sessionize, exact-only ingest, near-dup-gated
+ingest, full-gauntlet ingest — all three persisted stores — and the
+in-stream near-dup detector):
   {"metric": "streaming_sessionize_throughput", "value": <rows/sec>,
    "unit": "rows/sec", "rows": N, "wall_sec": S, "batches": B,
    "sf": 0.1}
