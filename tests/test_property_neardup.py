@@ -13,11 +13,13 @@ Guarantees under test:
   flagged (>= 13 matches => <= 3 mismatching components => <= 3
   mismatching bands => >= 5 of 8 exactly-equal band keys, all
   occupied by the first doc — pigeonhole, deterministic).
-- The adversarial gap is REAL and stays documented: with every bucket
-  pre-claimed by low-match occupants, an exact duplicate can go
-  unflagged (single-occupant state's price) — the test constructs it
-  so a future "fix" that silently changes occupancy semantics gets
-  flagged for re-review.
+- The round-4 adversarial gap is REAL under k_occupants=1 and CLOSED
+  by the round-5 K-occupant default for the exact construction that
+  demonstrated it (pre-claim every bucket with low-match occupants,
+  then send the target and a verbatim copy).
+- K-MONOTONICITY: occupant lists are the first-K prefix of a claim
+  order that does not depend on K, so raising K can only ADD flags —
+  recall is a dial that never trades away an existing catch.
 """
 
 from __future__ import annotations
@@ -108,3 +110,19 @@ def test_adversarial_preclaim_gap_is_real():
     # tests/test_streaming_neardup.py)
     flagged = neardup_twin(ordered)
     assert flagged[len(occupants) + 1] is True
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(sig_strategy, min_size=1, max_size=30))
+def test_k_occupants_monotone_recall(sigs):
+    """flags(K) ⊆ flags(K+1) for every arrival stream: each bucket's
+    occupant list is the first-K prefix of a claim order independent
+    of K, so more slots can only surface MORE matches — never flip a
+    flagged doc back to clean."""
+    ordered = list(enumerate(sigs))
+    prev = None
+    for k in (1, 2, 3, 4):
+        cur = {d for d, f in neardup_twin(ordered, k_occupants=k).items() if f}
+        if prev is not None:
+            assert prev <= cur, (k, prev - cur)
+        prev = cur
