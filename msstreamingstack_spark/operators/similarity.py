@@ -901,6 +901,31 @@ def ivf_fit_ml(
     )
 
 
+def ivf_index_save(centroids, spark, path: str) -> None:
+    """Persist a fitted coarse quantizer as a (cell, centroid) parquet
+    — the IVF index LIFECYCLE piece: fit once over the (bounded)
+    sample, reuse across query batches/sessions/jobs instead of
+    re-running Lloyd or KMeans per search. K×DIM doubles — metadata-
+    sized at any corpus scale."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def ivf_index_load(spark, path: str):
+    """Load a quantizer saved by :func:`ivf_index_save` back into the
+    K×DIM ndarray the probe/assign kernels take — bit-identical to
+    the array that was saved (doubles round-trip parquet exactly)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    assert [r["cell"] for r in rows] == list(range(len(rows))), (
+        "corrupt IVF index: non-contiguous cell ids"
+    )
+    return np.array([r["centroid"] for r in rows], dtype="float64")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -909,19 +934,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit: str = "lloyd",
+    centroids=None,
 ) -> DataFrame:
     """IVF probe search: exact cosine only inside the nprobe nearest
     cells of each query. Approximate (recall < 1 when the true
     neighbor lives in an unprobed cell) — recall bound asserted in
     tests, same policy as SRP. ``fit="ml"`` swaps the centroid fit to
     pyspark.ml KMeans (the >few-thousand-K path); probe/assign kernels
-    are identical either way."""
+    are identical either way. Pass ``centroids`` (a K×DIM ndarray,
+    e.g. from :func:`ivf_index_load`) to skip the fit entirely — the
+    persisted-index path for repeated query batches."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.pandas.functions import pandas_udf
 
-    if fit == "ml":
+    if centroids is not None:
+        pass
+    elif fit == "ml":
         centroids = ivf_fit_ml(corpus, vec_col=vec_col)
     else:
         centroids = ivf_fit(corpus, id_col=id_col, vec_col=vec_col)

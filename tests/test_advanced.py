@@ -194,3 +194,37 @@ def test_ivf_ml_fit_recall(spark, sf_correctness):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_correctness, tmp_path):
+    """Index lifecycle: fit once, persist, reload — the loaded
+    quantizer is bit-identical (doubles round-trip parquet exactly)
+    and the probe search over it returns EXACTLY the rows the
+    fit-inline path returns."""
+    import numpy as np
+
+    from msstreamingstack_spark.operators.similarity import (
+        ivf_fit,
+        ivf_index_load,
+        ivf_index_save,
+        ivf_topk,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf_fit(emb)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_save(centroids, spark, path)
+    loaded = ivf_index_load(spark, path)
+    assert np.array_equal(centroids, loaded)
+
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, centroids=centroids).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in ivf_topk(emb, queries, k=5, centroids=loaded).collect()
+    )
+    assert want == got and len(got) > 0
