@@ -443,6 +443,45 @@ def _cmd_dedup_increment(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ann(args: argparse.Namespace) -> int:
+    """IVF ANN index lifecycle: ``--fit`` trains the coarse quantizer
+    over the embeddings table and persists it; ``--search`` loads a
+    persisted index and answers top-k for the given query ids without
+    re-fitting."""
+    from msstreamingstack_spark.operators.similarity import (
+        ivf_fit,
+        ivf_fit_ml,
+        ivf_index_load,
+        ivf_index_save,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="msstreamingstack-ann")
+    spark.sparkContext.setLogLevel("WARN")
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    if args.fit:
+        fit = ivf_fit_ml if args.ml else ivf_fit
+        centroids = fit(emb)
+        ivf_index_save(centroids, spark, args.index)
+        print(
+            f"fitted {'ml-' if args.ml else ''}IVF quantizer "
+            f"({centroids.shape[0]}x{centroids.shape[1]}) -> {args.index}"
+        )
+        return 0
+    centroids = ivf_index_load(spark, args.index)
+    query_ids = [int(x) for x in args.query_ids.split(",")]
+    queries = emb.filter(F.col("vec_id").isin(query_ids))
+    out = ivf_topk(emb, queries, k=args.k, centroids=centroids)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    out.orderBy("query_id", "rank").show(args.k * len(query_ids), truncate=False)
+    return 0
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.session import get_spark
     from msstreamingstack_spark.sql_frontend import run_sql
@@ -583,6 +622,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="increment id (retries with the same label are idempotent)")
     di.add_argument("--out", help="write the fresh (first-seen) docs here")
     di.set_defaults(fn=_cmd_dedup_increment)
+
+    an = sub.add_parser(
+        "ann",
+        help="IVF ANN index lifecycle: fit+persist the quantizer, or "
+        "search top-k with a persisted index (no re-fit)",
+    )
+    an.add_argument("--index", required=True, help="index directory")
+    an.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    mode = an.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--fit", action="store_true",
+                      help="fit the coarse quantizer and persist it")
+    mode.add_argument("--search", action="store_true",
+                      help="top-k search using the persisted index")
+    an.add_argument("--ml", action="store_true",
+                    help="fit with pyspark.ml KMeans (large-K path)")
+    an.add_argument("--query-ids", default="0,1,2",
+                    help="comma-separated vec_ids to search for")
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--out", help="write results parquet here")
+    an.set_defaults(fn=_cmd_ann)
 
     sq = sub.add_parser("sql", help="run ad-hoc SQL over the fixture tables")
     sq.add_argument("query")
