@@ -87,10 +87,15 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
-    # Compact single line (the driver parses stdout; round-2's run
-    # survived only as a truncated tail, so keep the line as small and
-    # as last as possible) AND a durable file copy the driver/judge can
-    # read even if stdout capture truncates.
+    # The driver records only the last 2000 chars of stdout and
+    # json-parses from that tail — a single 5 KB line with all 126
+    # queries can therefore NEVER parse (BENCH_r04/r05 recorded
+    # "parsed": null). Emit TWO lines: the full payload first (and as
+    # the durable BENCH.json copy), then a compact LAST line bounded
+    # well under the tail window so the driver's parse always
+    # succeeds; its "queries" map carries as many per-query timings as
+    # fit, slowest first (the informative ones), with the full map in
+    # the file the "full" key points at.
     line = json.dumps(payload, separators=(",", ":"))
     if not subset:
         # only FULL runs own the durable copy — a BENCH_QUERIES subset
@@ -100,9 +105,28 @@ def main() -> None:
         )
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "median_sec": round(sorted(timings.values())[len(timings) // 2], 4)
+        if timings
+        else 0.0,
+        "full": "BENCH.json",
+    }
+    budget = 1800  # tail window is 2000; leave headroom
+    for qname, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][qname] = secs
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][qname]
+            break
+    print(line, flush=True)
     sys.stdout.flush()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -255,17 +255,48 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                 data = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        rows = data.get("queries") or {}
+        parsed = data.get("parsed")
+        rows = (
+            data.get("queries")
+            or (isinstance(parsed, dict) and parsed.get("queries"))
+            or {}
+        )
         if not rows and isinstance(data.get("tail"), str):
-            # driver-written BENCH_r*.json wraps the bench line as a
-            # TRUNCATED "tail" string — recover the per-query seconds
-            # it does contain from "name":sec pairs
-            rows = {
-                m.group(1): float(m.group(2))
-                for m in re.finditer(
-                    r'"([A-Za-z_][A-Za-z0-9_]{3,})":([0-9]+\.[0-9]+)', data["tail"]
-                )
-            }
+            # driver-written BENCH_r*.json wraps the bench stdout as a
+            # HEAD-TRUNCATED "tail" string. Preferred recovery: the
+            # compact last line bench.py now prints is complete JSON —
+            # parse it. Legacy fallback (r04/r05 single-line format):
+            # regex "name":sec pairs, but ONLY inside the queries
+            # object — stop at its closing '}' so scalar fields after
+            # it ("value", "sf", "median_sec"…) can't masquerade as
+            # query timings — and skip a head-cut first pair.
+            tail = data["tail"]
+            for seg in reversed(tail.strip().splitlines()):
+                try:
+                    obj = json.loads(seg)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(obj, dict) and isinstance(
+                    obj.get("queries"), dict
+                ):
+                    rows = obj["queries"]
+                    break
+            if not rows:
+                qend = tail.find("}")  # head is cut ⇒ first '}' closes
+                body = tail if qend < 0 else tail[:qend]
+                if not tail[:1] == '"':
+                    # first pair may begin mid-name/mid-value: the
+                    # regex's leading quote skips a cut name, but a
+                    # cut VALUE would still match — drop to the first
+                    # pair that follows a complete ',' boundary
+                    body = body[body.find(",") + 1:]
+                rows = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"([A-Za-z_][A-Za-z0-9_]{3,})":([0-9]+\.[0-9]+)',
+                        body,
+                    )
+                }
         for name, sec in rows.items():
             bench.setdefault(name, sec)
     return driver, bench

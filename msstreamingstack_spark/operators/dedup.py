@@ -87,6 +87,7 @@ def doc_shingle_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
+    slot: str | None = None,
 ) -> DataFrame:
     """(doc_id, h) — 48-bit shingle hashes, unique per doc WITHOUT a
     distinct shuffle: ``shingles()`` already applies ``array_distinct``
@@ -107,14 +108,22 @@ def doc_shingle_hashes(
     orders of magnitude smaller than the text it came from; at
     cluster scale MEMORY_AND_DISK spills, which still beats
     re-shingling 100 TB several times. Callers doing a single pass
-    can opt out with ``persist=False``.
+    can opt out with ``persist=False``; registry call sites pass a
+    ``slot`` so repeat invocations rotate ONE cache entry per site
+    (msstreamingstack_spark.caching) instead of leaking one per call.
     """
     from pyspark.storagelevel import StorageLevel
 
     sh = docs.select(
         id_col, F.explode(shingles(F.col(text_col))).alias("sh")
     ).select(id_col, hash48(F.col("sh")).alias("h"))
-    return sh.persist(StorageLevel.MEMORY_AND_DISK) if persist else sh
+    if not persist:
+        return sh
+    if slot is not None:
+        from msstreamingstack_spark.caching import rotating_persist
+
+        return rotating_persist(sh, slot)
+    return sh.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def doc_shingle_hashes_sql(doc_rel: str = "documents") -> str:
@@ -163,7 +172,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     (d1, d2) count aggregate straight away — no materialized candidate
     set, no second pass over the shingle table. |∩| from the join,
     |∪| = n1 + n2 − |∩| from per-doc sizes."""
-    sh = doc_shingle_hashes(docs)
+    sh = doc_shingle_hashes(docs, slot="ngram_jaccard.sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # shuffle_hash: see _jaccard_on_pairs — keep pair generation
     # partitioned by h (broadcast pair-gen can't skew-split and does
@@ -234,7 +243,9 @@ def minhash_lsh_pairs(
     sh = (
         shingles_df
         if shingles_df is not None
-        else doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
+        else doc_shingle_hashes(
+            docs, text_col=text_col, id_col=id_col, slot="minhash.sh"
+        )
     )
     sig = minhash_signatures(sh)
     n_bands = NUM_HASHES // BAND_SIZE
@@ -464,7 +475,7 @@ def dfcapped_shingle_hashes(
     and the filter-join are both partitioned on ``h``, the same key
     the pair join shuffles on, so AQE reuses the exchange.
     """
-    sh = doc_shingle_hashes(docs)
+    sh = doc_shingle_hashes(docs, slot="dfcapped_jaccard.sh")
     keep = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -558,7 +569,9 @@ def eval_overlap_stats(
     for every doc NOT matching ``eval_pred``; docs too short to shingle
     get (0, 0, 0.0, 0).
     """
-    sh = doc_shingle_hashes(docs, text_col=text_col, id_col=id_col)
+    sh = doc_shingle_hashes(
+        docs, text_col=text_col, id_col=id_col, slot="decontaminate.sh"
+    )
     eval_ids = docs.filter(eval_pred).select(id_col)
     eval_h = (
         sh.join(F.broadcast(eval_ids), id_col).select("h").distinct()

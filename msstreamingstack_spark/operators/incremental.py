@@ -43,6 +43,35 @@ def _store_has_data(store_dir: str) -> bool:
     return False
 
 
+def _store_has_foreign_data(store_dir: str, increment_id: str) -> bool:
+    """True iff the store holds parquet rows under any ``increment=``
+    partition OTHER than ``increment_id``.
+
+    This is the branch test for operators whose warm path divides by
+    store-derived statistics (the bigram LM): a replay of the very
+    FIRST increment leaves the store non-empty but containing only the
+    current label's own previous output, so the label-excluded LM is
+    empty (V=0, c1 null) and the Laplace denominator is zero — an ANSI
+    DIVIDE_BY_ZERO that would crash-loop an at-least-once foreachBatch
+    restart. Such a replay must take the cold-start branch, exactly as
+    the original run did. Partition labels are %-unescaped to match
+    Spark's partition-path escaping."""
+    if not os.path.isdir(store_dir):
+        return False
+    from urllib.parse import unquote
+
+    for entry in os.listdir(store_dir):
+        full = os.path.join(store_dir, entry)
+        if not os.path.isdir(full) or not entry.startswith("increment="):
+            continue
+        if unquote(entry[len("increment="):]) == increment_id:
+            continue
+        for _root, _dirs, files in os.walk(full):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+    return False
+
+
 def release_checkpoint(*dfs: DataFrame) -> None:
     """Free the materialized localCheckpoint blocks of DataFrames whose
     consumers are DONE with them (the data becomes unreadable).
@@ -454,7 +483,11 @@ def bigram_lm_increment(
     text echoing the accepted corpus stays cheap.
 
     Policy edges: an EMPTY store accepts everything (no LM to judge
-    against yet — the first crawl drop defines the corpus); docs too
+    against yet — the first crawl drop defines the corpus), and "empty"
+    is judged EXCLUDING the current increment's own label
+    (:func:`_store_has_foreign_data`) so an at-least-once replay of the
+    very first increment re-takes the cold-start branch instead of
+    dividing by an empty LM's zero vocabulary; docs too
     short to produce a bigram are accepted (the stateless token-floor
     gate owns that rejection) and appear in ``scored`` with null
     ``bits_per_bigram``.
@@ -474,7 +507,7 @@ def bigram_lm_increment(
 
     dbc = doc_bigram_counts(new_docs, text_col=text_col).persist()
     try:
-        if _store_has_data(store_dir):
+        if _store_has_foreign_data(store_dir, increment_id):
             lm12 = (
                 spark.read.parquet(store_dir)
                 .filter(F.col("increment") != increment_id)

@@ -920,6 +920,9 @@ def ivf_index_load(spark, path: str):
     import numpy as np
 
     rows = spark.read.parquet(path).orderBy("cell").collect()
+    # an empty directory would pass the contiguity check vacuously and
+    # surface later as an obscure shape error inside the probe kernel
+    assert len(rows) > 0, f"empty/corrupt IVF index at {path}: no centroids"
     assert [r["cell"] for r in rows] == list(range(len(rows))), (
         "corrupt IVF index: non-contiguous cell ids"
     )

@@ -301,9 +301,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 
 def _apply_driver_window() -> None:
-    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
-    if missing:
-        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    """Reorder REGISTRY so DRIVER_WINDOW names come first.
+
+    Import-order tolerant: when a query module is imported DIRECTLY
+    (e.g. ``import msstreamingstack_spark.queries_extensions``), that
+    module's import of :mod:`queries` re-enters here while its own
+    registrations are still pending — missing names then mean
+    "registration in flight", not a typo, so this is a no-op and the
+    partially-imported module re-applies the window at its bottom.
+    The strict guarantee (window complete and REGISTRY starts with it)
+    is pinned by tests/test_smoke_all_queries.py.
+    """
+    if any(n not in REGISTRY for n in DRIVER_WINDOW):
+        return
     ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
     for n, spec in REGISTRY.items():
         if n not in ordered:

@@ -2268,3 +2268,13 @@ def q_sql_frontend_grouping_sets_parity(
     from msstreamingstack_spark.sql_frontend import run_sql
 
     return run_sql(spark, sf_dir, _GSETS_SQL_TEXT)
+
+
+# Re-apply the driver window: when THIS module was the direct import
+# target, queries.py ran before our registrations existed (see the
+# _apply_driver_window docstring). When we are instead mid-way through
+# queries.py's own bottom imports, the helper isn't defined yet — the
+# getattr no-ops and queries.py's own call applies the window.
+import msstreamingstack_spark.queries as _queries  # noqa: E402
+
+getattr(_queries, "_apply_driver_window", lambda: None)()

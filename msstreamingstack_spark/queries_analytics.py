@@ -838,19 +838,20 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.dedup import doc_shingle_hashes
     from msstreamingstack_spark.sources.tables import spread
 
-    from pyspark.storagelevel import StorageLevel
+    from msstreamingstack_spark.caching import rotating_persist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = doc_shingle_hashes(docs)
+    sh = doc_shingle_hashes(docs, slot="lang_shingle_overlap.sh")
     # (lang, h) is referenced THREE times (totals + both self-join
     # sides); persist it or the lang-join + distinct re-executes per
     # reference. The cached relation is vocabulary-bounded (distinct
-    # hashes per language), far smaller than the corpus.
-    lh = (
+    # hashes per language), far smaller than the corpus. Slot-rotated:
+    # one live cache entry across repeat invocations.
+    lh = rotating_persist(
         sh.join(docs.select("doc_id", "lang"), "doc_id")
         .select("lang", "h")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        "lang_shingle_overlap.lh",
     )
     tot = lh.groupBy("lang").agg(F.count("*").alias("n"))
     a = lh.select(F.col("lang").alias("lang_a"), "h")
@@ -878,3 +879,13 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# Re-apply the driver window: when THIS module was the direct import
+# target, queries.py ran before our registrations existed (see the
+# _apply_driver_window docstring). When we are instead mid-way through
+# queries.py's own bottom imports, the helper isn't defined yet — the
+# getattr no-ops and queries.py's own call applies the window.
+import msstreamingstack_spark.queries as _queries  # noqa: E402
+
+getattr(_queries, "_apply_driver_window", lambda: None)()

@@ -893,17 +893,18 @@ def q_quality_chartrigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice and joined at occurrence granularity — the worst 16×
     # scaler in SCALE16 at 4.53×), and the broadcast join + final agg
     # now move |distinct (doc, t)| rows, not |occurrences|.
-    from pyspark.storagelevel import StorageLevel
+    from msstreamingstack_spark.caching import rotating_persist
 
-    tri_c = (
+    tri_c = rotating_persist(
         d.select("doc_id", F.explode(char_trigrams(F.col("text"))).alias("t"))
         .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
         # referenced twice (freq build + join side) and the two
         # subtrees do NOT exchange-reuse; persisting the folded counts
         # (≪ occurrence rows, the doc_shingle_hashes discipline) keeps
-        # the explode single-pass
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # the explode single-pass; slot-rotated so repeated
+        # invocations hold ONE cache entry, not one per call
+        "quality_chartrigram_df.tri_c",
     )
     freq = tri_c.groupBy("t").agg(F.sum("c").alias("cnt"))
     return (
@@ -1007,15 +1008,14 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, bits_per_bigram) — the Spark twin of
     BIGRAM_LM_SQL (leave-one-out + Laplace; see the constant's comment
     and q_quality_bigram_lm's docstring for the plan rationale)."""
-    from pyspark.storagelevel import StorageLevel
-
+    from msstreamingstack_spark.caching import rotating_persist
     from msstreamingstack_spark.functions.text import doc_bigram_counts
 
-    dbc = doc_bigram_counts(d).persist(
-        StorageLevel.MEMORY_AND_DISK  # chartrigram discipline:
-        # referenced by the LM build, the per-doc counts AND the
-        # scoring join
-    )
+    # chartrigram discipline: referenced by the LM build, the per-doc
+    # counts AND the scoring join; slot-rotated so repeat invocations
+    # (and token_budget_quality_sample, which calls through here)
+    # replace the cache instead of stacking entries
+    dbc = rotating_persist(doc_bigram_counts(d), "bigram_lm_scores.dbc")
     c12 = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     d1 = dbc.groupBy("doc_id", "w1").agg(F.sum("c").alias("d1c"))
@@ -1378,3 +1378,13 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# Re-apply the driver window: when THIS module was the direct import
+# target, queries.py ran before our registrations existed (see the
+# _apply_driver_window docstring). When we are instead mid-way through
+# queries.py's own bottom imports, the helper isn't defined yet — the
+# getattr no-ops and queries.py's own call applies the window.
+import msstreamingstack_spark.queries as _queries  # noqa: E402
+
+getattr(_queries, "_apply_driver_window", lambda: None)()

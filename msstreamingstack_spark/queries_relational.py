@@ -642,3 +642,13 @@ def q_skew_profile_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.sources.tables import load_table
 
     return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
+# Re-apply the driver window: when THIS module was the direct import
+# target, queries.py ran before our registrations existed (see the
+# _apply_driver_window docstring). When we are instead mid-way through
+# queries.py's own bottom imports, the helper isn't defined yet — the
+# getattr no-ops and queries.py's own call applies the window.
+import msstreamingstack_spark.queries as _queries  # noqa: E402
+
+getattr(_queries, "_apply_driver_window", lambda: None)()

@@ -497,6 +497,47 @@ def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
     release_checkpoint(a1, s1, a2, s2, a2r, s2r)
 
 
+def test_bigram_lm_increment_replay_of_first_increment(spark, tmp_path):
+    """An at-least-once restart that replays the VERY FIRST increment
+    finds the store non-empty but holding only its own label's prior
+    output — the label-excluded LM is empty (V=0, c1 null), which under
+    Spark 4 ANSI made the Laplace denominator a DIVIDE_BY_ZERO and
+    crash-looped the ingest. The replay must re-take the cold-start
+    accept-all branch and recompute identically."""
+    from msstreamingstack_spark.operators.incremental import (
+        bigram_lm_increment,
+        release_checkpoint,
+    )
+
+    store = str(tmp_path / "lm_store_first_replay")
+    fluent = "the quick brown fox jumps over the lazy dog near the river"
+    b1 = spark.createDataFrame(
+        [(i, fluent) for i in range(4)], ["doc_id", "text"]
+    )
+    a1, s1 = bigram_lm_increment(b1, store, "inc1")
+    assert a1.count() == 4
+
+    # replay of inc1: store has ONLY increment=inc1 — must not divide
+    # by the empty excluded-LM's zero vocabulary
+    a1r, s1r = bigram_lm_increment(b1, store, "inc1")
+    assert sorted(r["doc_id"] for r in a1r.collect()) == [0, 1, 2, 3]
+    assert all(r["bits_per_bigram"] is None for r in s1r.collect())
+
+    # and the store still holds exactly one copy of inc1's counts:
+    # a later increment scores against the same LM either way
+    a2, s2 = bigram_lm_increment(
+        spark.createDataFrame(
+            [(10, fluent), (11, "zq1 xv7 kkj9 wpm2 bbr4 ncx8 qql3 vvt6")],
+            ["doc_id", "text"],
+        ),
+        store,
+        "inc2",
+        max_bits=3.0,
+    )
+    assert sorted(r["doc_id"] for r in a2.collect()) == [10]
+    release_checkpoint(a1, s1, a1r, s1r, a2, s2)
+
+
 def test_bigram_lm_increment_nondefault_columns(spark, tmp_path):
     """text_col/id_col must thread through scoring, acceptance and the
     store registration (the minhash increment regression, round 2)."""
@@ -528,3 +569,49 @@ def test_bigram_lm_increment_nondefault_columns(spark, tmp_path):
     assert sorted(r["doc_id"] for r in a2.collect()) == [10]
     scores = {r["doc_id"]: r["bits_per_bigram"] for r in s2.collect()}
     assert scores[10] <= 3.0 < scores[11]
+
+
+def test_rotating_persist_bounds_registry_query_caches(spark):
+    """Round-5 ADVICE leak regression: registry query functions persist
+    reused subtrees but return the frame BEFORE any action, so they can
+    never unpersist — each invocation used to stack a session-lifetime
+    cache entry (bigram_lm_scores.dbc, chartrigram tri_c, shingle
+    tables). rotating_persist must bound that to ONE live entry per
+    slot: re-invoking the same query replaces its cache instead of
+    accumulating, and different slots never evict each other."""
+    from msstreamingstack_spark.caching import live_slots, rotating_persist
+    from msstreamingstack_spark.queries_extensions import bigram_lm_scores
+
+    def persistent_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        s = set()
+        while it.hasNext():
+            s.add(it.next())
+        return s
+
+    base = persistent_ids()
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} epsilon zeta") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    for _ in range(4):  # 4 invocations — the old code left 4 caches
+        bigram_lm_scores(d).collect()
+    grown = persistent_ids() - base
+    assert len(grown) <= 1, grown  # one rotated slot, not one per call
+    assert "bigram_lm_scores.dbc" in live_slots(spark)
+
+    # distinct slots coexist (no cross-eviction): persist a second slot
+    # and confirm the first slot's entry survives
+    other = rotating_persist(d.select("doc_id"), "test.other_slot")
+    other.collect()
+    assert "bigram_lm_scores.dbc" in live_slots(spark)
+    after_other = persistent_ids() - base
+    assert len(after_other) <= 2, after_other
+    # rotation of the second slot releases only its own predecessor
+    other2 = rotating_persist(d.select("doc_id", "text"), "test.other_slot")
+    other2.collect()
+    assert len(persistent_ids() - base) <= 2
+    # cleanup: rotate tiny frames through both slots, then unpersist
+    for slot, df in list(live_slots(spark).items()):
+        df.unpersist(blocking=False)
