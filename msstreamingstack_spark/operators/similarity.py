@@ -990,3 +990,186 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinned-index IVF probe (fully oracle-checkable)
+# ---------------------------------------------------------------------------
+# The IVF FIT is floating-point-order dependent (numpy matmul / ml
+# KMeans tree-reduce), so a query that fits in-line can only ever be
+# rows-only checked. The LIFECYCLE design fixes that: fit ONCE over a
+# bounded sample (ivf_fit/ivf_fit_ml), persist the K×DIM quantizer
+# (ivf_index_save / resources/ivf_pinned.json), and serve every probe
+# batch from the pinned index. Given pinned centroids the probe is
+# EXACT arithmetic: cell distances use strictly-sequential dot
+# products (np.cumsum — bit-identical to DuckDB's list_dot_product;
+# verified on real embeddings), cc = ||c||² ships as a literal both
+# engines consume verbatim, and assignment/probe ties break on cell
+# id. The whole assignment→probe→exact-cosine-rescore→rank pipeline
+# is therefore DuckDB-oracle-checkable bit-for-bit — the SRP
+# precedent (srp_ann_sql) applied to IVF. At 100 TB this is also the
+# honest serving shape: indexes are fitted offline and shipped, not
+# refitted per query batch.
+
+_PINNED_IVF_CACHE: dict = {}
+
+
+def load_pinned_ivf(which: str = "lloyd"):
+    """Load the committed pinned quantizer (resources/ivf_pinned.json)
+    as ``(centroids K×DIM float64, cc K float64)``. Pure json+numpy —
+    importable with no Spark session (the oracle SQL generator runs at
+    module import)."""
+    import json
+    import os
+
+    import numpy as np
+
+    if which not in _PINNED_IVF_CACHE:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "resources",
+            "ivf_pinned.json",
+        )
+        with open(path) as fh:
+            data = json.load(fh)[which]
+        _PINNED_IVF_CACHE[which] = (
+            np.array(data["centroids"], dtype="float64"),
+            np.array(data["cc"], dtype="float64"),
+        )
+    return _PINNED_IVF_CACHE[which]
+
+
+def _seq_dots(X, C):
+    """(N,D)×(K,D) → (N,K) dot products with STRICTLY SEQUENTIAL
+    per-pair accumulation (cumsum), bit-matching DuckDB's
+    list_dot_product — never BLAS, whose summation order is a kernel
+    implementation detail."""
+    import numpy as np
+
+    out = np.empty((X.shape[0], C.shape[0]), dtype="float64")
+    # sub-chunk to bound the (chunk, K, D) product tensor at ~8 MB
+    step = max(1, (1 << 20) // (C.shape[0] * C.shape[1]))
+    for s in range(0, X.shape[0], step):
+        e = min(s + step, X.shape[0])
+        out[s:e] = np.cumsum(
+            X[s:e, None, :] * C[None, :, :], axis=2
+        )[:, :, -1]
+    return out
+
+
+def ivf_topk_pinned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    which: str = "lloyd",
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search against the PINNED quantizer ``which`` — same
+    plan shape as :func:`ivf_topk` (broadcast probes → cell equi-join
+    → exact cosine → per-query rank window) but with parity-exact
+    assignment arithmetic, so the result is fully DuckDB-oracled by
+    :func:`ivf_pinned_sql`. Probing a corpus larger than the fit
+    sample (e.g. sf0.1 with the sf0.01-fitted index) is the intended
+    lifecycle, not a mismatch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C, cc = load_pinned_ivf(which)
+
+    def assign(vecs):
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        d = cc[None, :] - 2.0 * _seq_dots(X, C)
+        # argmin = first minimum = lowest cell id on exact ties,
+        # matching the oracle's ORDER BY d, cell
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    def probes(vecs):
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        d = cc[None, :] - 2.0 * _seq_dots(X, C)
+        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        pandas_udf(assign, "int")(F.col(vec_col)).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            pandas_udf(probes, "array<int>")(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_pinned_sql(
+    which: str = "lloyd",
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_pinned`: centroids and their
+    precomputed ||c||² inline as literals (repr round-trips doubles
+    exactly), distances via the same sequential list_dot_product,
+    ties on cell id, exact cosine + rank identical to the Spark
+    window."""
+    C, cc = load_pinned_ivf(which)
+    rows = ",\n    ".join(
+        f"({j}, CAST([{','.join(repr(float(x)) for x in C[j])}] AS DOUBLE[]), "
+        f"{cc[j]!r})"
+        for j in range(C.shape[0])
+    )
+    cos = cosine_sql("p.qv", "a.cv")
+    return f"""
+WITH cent(cell, c, cc) AS (
+  VALUES {rows}
+),
+dist AS (
+  SELECT e.vec_id, e.embedding, t.cell,
+         t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c) AS d
+  FROM embeddings e CROSS JOIN cent t
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, round({cos}, {COS_ROUND}) AS cos
+  FROM probe p JOIN assign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""

