@@ -401,3 +401,17 @@ def test_chartrigram_freq_join_is_broadcast(spark):
     assert "SortMergeJoin" not in f.text, f.text
     assert "InMemoryTableScan" in f.text
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text
+
+
+def test_embedding_cosine_kernel_plan_pinned(spark):
+    """dedup_embedding_cosine's d1 < d2 inequality join has no
+    equi-keys, so the planner picks CartesianProduct vs
+    BroadcastNestedLoopJoin on size estimates — AQE re-picked per run
+    and wall time swung 4x on unchanged code (round-5 VERDICT). The
+    kernel's input is a bounded candidate set by contract (the verify
+    twin of the LSH scale path), so one side is broadcast explicitly:
+    the plan must be the nested-loop-over-broadcast shape, never a
+    CartesianProduct, with no shuffle feeding the join."""
+    f = plan_facts(REGISTRY["dedup_embedding_cosine"].builder(spark, SF))
+    assert "BroadcastNestedLoopJoin" in f.text
+    assert "CartesianProduct" not in f.text
