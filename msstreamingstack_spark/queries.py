@@ -251,52 +251,44 @@ from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-5 rotation (audit basis: regenerated `catalog --audit` over
-# r1-r4 — 115 distinct queries driver-checked, all latest-hash-green).
-# Invariant: no oracled query goes more than 2 rounds without a driver
-# row. This window holds (a) ALL 19 queries whose latest driver row is
-# round 2 (they would go 3 rounds stale otherwise), (b) the round-5
-# additions needing first rows — the two new SQL-front-end parity
-# shapes and the rows-only IVF-ml variant, (c) the queries whose plan
-# or oracle generation changed this round (chartrigram fold,
-# fixture-derived LSH-oracle sizing, shingles_df-refactored minhash
-# kernel, the still-perf-flagged dfcapped jaccard), then (d) fills
-# from the round-3 cohort — all 16 r3 TPC-H shapes plus family
-# representatives — leaving only r3/r4 rows outside the window.
+# Round-6 rotation (audit basis: CORRECTNESS_r1-r5 union — 122
+# distinct queries driver-checked, all latest-hash-green; r5 covered
+# 50, r4 46, r3 26). Invariant: no oracled query goes more than 2
+# rounds without a driver row. This window holds (a) ALL 26 queries
+# whose latest driver row is round 3 (they would go 3 rounds stale
+# otherwise), (b) the IVF pair's FIRST driver rows — newly fully
+# oracled this round via the pinned persisted index, (c) family-slot
+# holders the invariants require (multimodal/grouping-sets/layout/
+# tpch representatives; zorder_cluster_stats is the only oracled
+# layout query so it sits in every window), then (d) fills from the
+# round-4 cohort in registry order — leaving only r4/r5 rows outside.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) round-2-stale — mandatory this round
-    "agg_events_stats", "chunk_documents_udtf", "correlated_max_acctbal",
-    "decontaminate_eval_overlap", "distinct_user_days",
-    "embedding_quantize_int8", "events_new_vs_returning",
-    "filter_purchases_high_value", "pandas_udaf_value_moments",
-    "pipeline_pretrain_corpus", "range_frame_rolling_sum",
-    "salted_agg_user_values", "session_summary", "set_ops_all_lineitem",
-    "text_stats", "timeseries_gapfill", "token_budget_sample",
-    "topk_customers_per_segment", "unpivot_event_counts",
-    # (b) new round-5 queries: first driver rows (the rows-only
-    # similarity_ann_ivf_ml stays OUTSIDE per the window policy above;
-    # zorder_cluster_stats holds the layout-family slot)
-    "sql_frontend_subquery_parity", "sql_frontend_grouping_sets_parity",
-    "zorder_cluster_stats",
-    # (c) changed plan / changed oracle generation / perf-flagged
-    "quality_chartrigram_df", "dedup_embedding_lsh",
-    "dedup_minhash_lsh", "dedup_jaccard_dfcapped",
-    # (d) round-3 cohort fills: all r3 TPC-H shapes...
-    "tpch_q2_min_cost_supplier", "tpch_q3_building",
-    "tpch_q5_regional_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive",
-    "tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers",
-    # ...and family representatives, plus the four late-round-5
-    # queries (canonical selection, bigram-LM quality, VARIANT
-    # extraction, quality-weighted budget sampler) needing first rows
-    "similarity_ann_srp", "sql_frontend_q1_parity",
-    "multimodal_stats", "variant_props_profile",
-    "token_budget_quality_sample",
-    "dedup_cluster_canonical", "quality_bigram_lm", "chunk_dup_fraction",
+    # (a) round-3-stale — mandatory this round
+    "sessionize_events_bucketed", "join_inner_customer_geo",
+    "running_revenue_bucketed", "skew_profile_events_user", "dedup_exact",
+    "text_cleaning", "mix_weighted_sources", "pack_sequences_greedy",
+    "quality_char_entropy", "corpus_version_diff",
+    "percentile_event_values", "hof_component_means", "hof_array_pipeline",
+    "wordcount_frequent", "dq_report", "cohort_retention",
+    "funnel_conversion", "scd2_device_runs", "rolling_zscore_events",
+    "heavy_hitters_exact", "mix_temperature_sources",
+    "distinct_users_sketch_rollup", "ltv_deciles",
+    "inverted_index_sampled", "pydatasource_events_profile",
+    "histogram_event_values",
+    # (b) first driver rows for the newly-oracled pinned-IVF pair
+    "similarity_ann_ivf", "similarity_ann_ivf_ml",
+    # (c) family slots (tpch/multimodal/grouping-sets/layout)
+    "tpch_q18_large_orders", "multimodal_frame_sample",
+    "grouping_sets_revenue", "zorder_cluster_stats",
+    # (d) round-4 cohort fills (registry order)
+    "sessionize_events", "enrich_clickstream", "tpch_q1",
+    "join_left_orders_customer", "join_anti_customers_no_orders",
+    "join_semi_customers_with_orders", "top_orders_by_price",
+    "running_revenue_per_customer", "rollup_lineitem_flags",
+    "cube_orders_status_priority", "pivot_event_type_counts",
+    "set_ops_customers", "order_priority_check", "user_state_table",
+    "device_transitions", "langid_heuristic", "doc_fingerprints",
+    "dedup_ngram_jaccard",
 )
 
 
