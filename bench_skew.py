@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Skew-twin crossover bench: the proof that the bucketed window twins
+earn their stitching overhead.
+
+The skew-bounded twins (`sessionize_events_bucketed`,
+`running_revenue_bucketed`) pay ~1.8-2.35x at UNIFORM 16x data — the
+cost of a second event shuffle plus a per-(key, bucket) summary pass.
+Their justification is the hot-key regime: a per-user/per-customer
+window puts the whole hot key in ONE task, so a bot user with 30% of
+events serializes 30% of the table through a single core while 31
+cores idle. The bucketed twin keys the event shuffle on
+(key, time-bucket), bounding any task at one key-bucket of rows.
+
+This bench builds two fixtures from sf0.1 at --scale x rows:
+  uniform — scaled with disjoint per-replica keys (bench_scale.py's
+            derivation; no key exceeds its natural share)
+  hotkey  — same rows, but ~30% of events/orders reassigned to ONE
+            key (ids preserved, timestamps spread over the natural
+            span so the hot key covers every time bucket)
+and times plain vs bucketed on both. Expected shape: plain ~flat vs
+bucketed on uniform (bucketed pays its overhead), plain DEGRADES on
+hotkey while bucketed stays near its uniform number — the crossover.
+
+Prints one JSON line:
+  {"metric": "skew_crossover", "scale": k, "hot_frac": 0.3,
+   "families": {name: {"uniform": {"plain": s, "bucketed": s},
+                        "hotkey": {"plain": s, "bucketed": s},
+                        "plain_degradation": r, "bucketed_degradation": r}}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from msstreamingstack_spark.queries import REGISTRY  # noqa: E402
+from msstreamingstack_spark.session import get_spark  # noqa: E402
+from msstreamingstack_spark.sources.tables import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+HOT_FRAC = 0.3
+FAMILIES = {
+    "sessionize": ("sessionize_events", "sessionize_events_bucketed"),
+    "running_revenue": (
+        "running_revenue_per_customer",
+        "running_revenue_bucketed",
+    ),
+}
+
+
+def _link_base(out_dir: str, skip: set[str]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t in skip:
+            continue
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+
+
+def _scaled_events(spark, k: int, hot: bool):
+    ev = load_table(spark, BASE_SF, "events")
+    parts = []
+    for i in range(k):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if hot:
+        # ~30% of rows become user 0 — ids/timestamps untouched, so
+        # the hot user spans the full 30-day window (≈30 day-buckets)
+        out = out.withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(0))
+            .otherwise(F.col("user_id")),
+        )
+    return out
+
+
+def _scaled_orders(spark, k: int, hot: bool):
+    o = load_table(spark, BASE_SF, "orders")
+    parts = []
+    for i in range(k):
+        parts.append(
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if hot:
+        out = out.withColumn(
+            "o_custkey",
+            F.when(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) < 3, F.lit(0))
+            .otherwise(F.col("o_custkey")),
+        )
+    return out
+
+
+def build_fixture(spark, out_dir: str, k: int, hot: bool) -> None:
+    _link_base(out_dir, skip={"events", "orders"})
+    _scaled_events(spark, k, hot).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    _scaled_orders(spark, k, hot).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+
+def timed(spark, name: str, sf_dir: str, repeat: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=32)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/skew_bench")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="msstreamingstack-skewbench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for kind, hot in (("uniform", False), ("hotkey", True)):
+        d = os.path.join(args.workdir, kind)
+        build_fixture(spark, d, args.scale, hot)
+        dirs[kind] = d
+        print(f"# built {kind} fixture at {d}", file=sys.stderr)
+
+    out: dict = {}
+    for fam, (plain, bucketed) in FAMILIES.items():
+        res = {}
+        for kind in ("uniform", "hotkey"):
+            res[kind] = {
+                "plain": timed(spark, plain, dirs[kind]),
+                "bucketed": timed(spark, bucketed, dirs[kind]),
+            }
+            print(f"# {fam}/{kind}: {res[kind]}", file=sys.stderr)
+        res["plain_degradation"] = round(
+            res["hotkey"]["plain"] / res["uniform"]["plain"], 2
+        )
+        res["bucketed_degradation"] = round(
+            res["hotkey"]["bucketed"] / res["uniform"]["bucketed"], 2
+        )
+        out[fam] = res
+
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "skew_crossover",
+                "scale": args.scale,
+                "hot_frac": HOT_FRAC,
+                "families": out,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
