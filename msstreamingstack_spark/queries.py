@@ -287,8 +287,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "running_revenue_per_customer", "rollup_lineitem_flags",
     "cube_orders_status_priority", "pivot_event_type_counts",
     "set_ops_customers", "order_priority_check", "user_state_table",
-    "device_transitions", "langid_heuristic", "doc_fingerprints",
-    "dedup_ngram_jaccard",
+    "device_transitions", "dedup_ngram_jaccard",
+    # (e) first rows for the round-6 SQL-front-end parity shapes
+    "sql_frontend_exists_parity", "sql_frontend_setops_all_parity",
 )
 
 

@@ -2285,6 +2285,85 @@ def q_sql_frontend_grouping_sets_parity(
     return run_sql(spark, sf_dir, _GSETS_SQL_TEXT)
 
 
+# ---------------------------------------------------------------------------
+# SQL front-end, round 6: correlated EXISTS pair and multiset set-ops
+# through the open SQL surface — IDENTICAL text on both engines.
+# ---------------------------------------------------------------------------
+_EXISTS_SQL_TEXT = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 50000)
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "sql_frontend_exists_parity",
+    _EXISTS_SQL_TEXT,
+    tags=("extension", "sql-frontend", "subquery", "parity"),
+    doc="SQL front-end on the correlated-EXISTS pair: one query text "
+    "carrying a correlated EXISTS (has an urgent order) AND a "
+    "correlated NOT EXISTS with a compound predicate (no cheap "
+    "finished order), run verbatim on both engines. Spark decorrelates "
+    "EXISTS to a left-semi and NOT EXISTS to a left-anti join on "
+    "o_custkey — both shuffle-keyed on the correlation column, the "
+    "only shape that exists at 100 TB (no per-row subquery "
+    "execution); account-balance sum routed through exact DECIMAL so "
+    "the driver hash-compare gates both decorrelation paths.",
+)
+def q_sql_frontend_exists_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _EXISTS_SQL_TEXT)
+
+
+# Multiset semantics are the point: INTERSECT ALL keeps min(m1, m2)
+# copies per key, EXCEPT ALL keeps m1 - m2 — the GROUP BY multiplicity
+# output makes those counts (not just membership) the compared value.
+_SETOPS_SQL_TEXT = """
+WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+both_ms AS (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM urgent),
+only_hi AS (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM urgent)
+SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS multiplicity
+FROM both_ms GROUP BY o_custkey
+UNION ALL
+SELECT 'except_all' AS op, o_custkey, COUNT(*) AS multiplicity
+FROM only_hi GROUP BY o_custkey
+"""
+
+
+@register(
+    "sql_frontend_setops_all_parity",
+    _SETOPS_SQL_TEXT,
+    tags=("extension", "sql-frontend", "set-ops", "parity"),
+    doc="SQL front-end on the MULTISET set-ops: INTERSECT ALL "
+    "(min-multiplicity per key) and EXCEPT ALL (multiplicity "
+    "difference) over two filtered projections of orders, identical "
+    "text on both engines, with per-key multiplicities emitted so the "
+    "hash compare checks bag semantics, not just membership. Spark "
+    "plans both as single hash-partitioned counting joins on "
+    "o_custkey (no row-by-row bag subtraction) — the DataFrame-side "
+    "set_ops_* queries cover the API route; this gates the dialect.",
+)
+def q_sql_frontend_setops_all_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _SETOPS_SQL_TEXT)
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through
