@@ -24,6 +24,11 @@ reference's two runnable apps plus a query runner:
             with partition-pruned upsert) from event drops
   compact   compact a small-file parquet directory (MV / streaming
             sink tails) into target-sized files at a new location
+  compact-store
+            fold an increment store's per-batch partitions (digest /
+            minhash-signature / bigram-LM) into one __base partition
+            so store reads stop paying listing overhead linear in
+            micro-batch count; run at a quiescent point
 
 Examples:
   python -m msstreamingstack_spark produce --out /tmp/drops \\
@@ -563,6 +568,17 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact_store(args: argparse.Namespace) -> int:
+    from msstreamingstack_spark.operators.incremental import compact_store
+    from msstreamingstack_spark.session import get_spark
+
+    spark = get_spark(app_name="msstreamingstack-compact-store")
+    spark.sparkContext.setLogLevel("WARN")
+    n = compact_store(spark, args.store, agg=args.agg)
+    print(f"compacted increment store {args.store}: {n} rows in base")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -697,6 +713,21 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--dst", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    cs = sub.add_parser(
+        "compact-store",
+        help="fold an increment store's partitions into one __base "
+        "partition (run at a quiescent point; see compact_store docs)",
+    )
+    cs.add_argument("--store", required=True)
+    cs.add_argument(
+        "--agg",
+        choices=["counts", "dedup"],
+        default=None,
+        help="counts: re-aggregate (w1,w2,c) LM rows; dedup: collapse "
+        "identical rows (digest store); default keeps rows as-is",
+    )
+    cs.set_defaults(fn=_cmd_compact_store)
 
     vf = sub.add_parser(
         "verify", help="run the DuckDB-oracle correctness gate locally"

@@ -589,3 +589,83 @@ def bigram_lm_increment(
         return accepted, scored
     finally:
         dbc.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Store compaction
+# ---------------------------------------------------------------------------
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    agg: str | None = None,
+) -> int:
+    """Fold every ``increment=*`` partition into ONE base partition.
+
+    Every increment writes its own ``increment=<label>`` partition dir
+    (the idempotent-replay contract), so a long-running ingest grows
+    the store by one directory + ≥1 file per micro-batch — after the
+    50-batch soak, 50 dirs. Store READS (every increment scans the
+    whole store) then pay listing + footer overhead linear in batch
+    COUNT rather than data size. Compaction rewrites the union of all
+    partitions under a single ``increment=__base_<n>`` label:
+
+    - the label starts with ``__base``, which no live increment id
+      uses, so the label-exclusion filter in every increment keeps
+      treating compacted rows as FOREIGN (prior corpus) — semantics
+      of subsequent increments are unchanged (equality-tested);
+    - ``agg="counts"`` additionally re-aggregates (w1, w2) count rows
+      (the LM store), shrinking rows as well as files; ``agg="dedup"``
+      collapses byte-identical rows (digest store re-crawl dedupe
+      across runs); default keeps rows as-is (signature/embedding
+      stores: one row per doc, already minimal);
+    - CONTRACT: compact at a quiescent point (between micro-batches /
+      with the ingest stopped) and never reuse a pre-compaction
+      increment label afterwards — a replay of a folded label would
+      see its own first-attempt rows as foreign. This is the same
+      rule checkpoint-recovery already imposes: replays only ever
+      re-run labels derived from the CURRENT checkpoint, and a store
+      compacted mid-recovery would violate quiescence anyway.
+
+    Returns the number of rows in the compacted store. The rewrite is
+    atomic-enough for the quiescent contract: data lands in a temp dir
+    first, then swaps in via two renames.
+    """
+    import shutil
+
+    if not _store_has_data(store_dir):
+        return 0
+    df = spark.read.parquet(store_dir)
+    cols = [c for c in df.columns if c != "increment"]
+    base = df.select(*cols)
+    if agg == "counts":
+        keys = [c for c in cols if c != "c"]
+        base = base.groupBy(*keys).agg(F.sum("c").alias("c")).select(*cols)
+    elif agg == "dedup":
+        base = base.distinct()
+    # next base index, so repeated compactions never reuse a label
+    n = (
+        max(
+            (
+                int(m.group(1))
+                for e in os.listdir(store_dir)
+                if (m := __import__("re").match(r"increment=__base_(\d+)", e))
+            ),
+            default=-1,
+        )
+        + 1
+    )
+    tmp = store_dir.rstrip("/") + ".__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        base.withColumn("increment", F.lit(f"__base_{n}"))
+        .write.mode("overwrite")
+        .partitionBy("increment")
+        .parquet(tmp)
+    )
+    rows = spark.read.parquet(tmp).count()
+    old = store_dir.rstrip("/") + ".__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return rows

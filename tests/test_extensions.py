@@ -615,3 +615,113 @@ def test_rotating_persist_bounds_registry_query_caches(spark):
     # cleanup: rotate tiny frames through both slots, then unpersist
     for slot, df in list(live_slots(spark).items()):
         df.unpersist(blocking=False)
+
+
+def test_compact_store_preserves_increment_semantics(spark, tmp_path):
+    """Compaction folds N increment partitions into one __base
+    partition WITHOUT changing what later increments compute: the
+    compacted store must drive bit-identical accept/reject decisions
+    vs an uncompacted twin, shrink the partition-dir count to 1, and
+    (for the LM store) re-aggregate count rows. Repeated compaction
+    must mint fresh __base_<n> labels."""
+    import os
+
+    from msstreamingstack_spark.operators.incremental import (
+        bigram_lm_increment,
+        compact_store,
+        dedup_increment,
+        minhash_increment,
+        release_checkpoint,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog by the river"
+    junk = "zq1 xv7 kkj9 wpm2 bbr4 ncx8 qql3 vvt6 hzd5 jfy0"
+
+    def doc_text(i):
+        # per-doc disjoint vocabulary so the in-increment near-dup
+        # gate keeps every doc (the LM-side batches reuse `fluent`)
+        return " ".join(f"v{i}w{k}" for k in range(12))
+
+    def batches(texts=None):
+        return [
+            spark.createDataFrame(
+                [
+                    (b * 10 + j,
+                     texts(b * 10 + j) if texts else f"{fluent} tail{b * 10 + j}")
+                    for j in range(3)
+                ],
+                ["doc_id", "text"],
+            )
+            for b in range(3)
+        ]
+
+    def dirs(store):
+        return sorted(
+            e for e in os.listdir(store) if e.startswith("increment=")
+        )
+
+    handles = []
+    # --- LM store: counts aggregate + verdict equality --------------
+    lm_a, lm_b = str(tmp_path / "lm_a"), str(tmp_path / "lm_b")
+    for store in (lm_a, lm_b):
+        for i, b in enumerate(batches()):
+            a, s = bigram_lm_increment(b, store, f"inc{i}")
+            a.count()
+            handles.extend((a, s))
+    rows_before = spark.read.parquet(lm_a).count()
+    compact_store(spark, lm_a, agg="counts")
+    assert dirs(lm_a) == ["increment=__base_0"]
+    assert spark.read.parquet(lm_a).count() < rows_before  # re-aggregated
+    probe = spark.createDataFrame(
+        [(100, fluent), (101, junk)], ["doc_id", "text"]
+    )
+    va, sa = bigram_lm_increment(probe, lm_a, "probe", max_bits=3.0)
+    vb, sb = bigram_lm_increment(probe, lm_b, "probe", max_bits=3.0)
+    score = lambda s: sorted(
+        (r["doc_id"], r["bits_per_bigram"]) for r in s.collect()
+    )
+    assert score(sa) == score(sb)  # identical LM despite compaction
+    assert sorted(r["doc_id"] for r in va.collect()) == [100]
+    handles.extend((va, sa, vb, sb))
+
+    # --- digest store: dedup agg + foreign-label semantics ----------
+    dg_a, dg_b = str(tmp_path / "dg_a"), str(tmp_path / "dg_b")
+    for store in (dg_a, dg_b):
+        for i, b in enumerate(batches()):
+            f = dedup_increment(b, store, f"inc{i}")
+            f.count()
+            handles.append(f)
+    compact_store(spark, dg_a, agg="dedup")
+    assert dirs(dg_a) == ["increment=__base_0"]
+    recrawl = spark.createDataFrame(
+        [(200, f"{fluent} tail0"), (201, "completely fresh words here")],
+        ["doc_id", "text"],
+    )
+    fa = dedup_increment(recrawl, dg_a, "probe")
+    fb = dedup_increment(recrawl, dg_b, "probe")
+    assert (
+        sorted(r["doc_id"] for r in fa.collect())
+        == sorted(r["doc_id"] for r in fb.collect())
+        == [201]  # the re-crawl of tail0 is caught either way
+    )
+    handles.extend((fa, fb))
+
+    # --- signature store + repeated compaction labels ---------------
+    sg = str(tmp_path / "sg")
+    for i, b in enumerate(batches(texts=doc_text)):
+        f, m = minhash_increment(b, sg, f"inc{i}")
+        assert f.count() == 3  # disjoint vocab: nothing deduped
+        handles.extend((f, m))
+    compact_store(spark, sg)
+    f2, m2 = minhash_increment(
+        spark.createDataFrame(
+            [(300, doc_text(11) + " extra")], ["doc_id", "text"]
+        ),
+        sg,
+        "probe",
+    )
+    assert {r["old_id"] for r in m2.collect()} == {11}  # edited re-crawl
+    handles.extend((f2, m2))
+    compact_store(spark, sg)
+    assert dirs(sg) == ["increment=__base_1"]  # fresh label each time
+    release_checkpoint(*handles)
