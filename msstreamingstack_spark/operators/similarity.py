@@ -1067,6 +1067,36 @@ def _seq_dots(X, C):
     return out
 
 
+def pinned_cell_assign(vec_col: Column, which: str = "lloyd") -> Column:
+    """Column: the pinned quantizer's cell id for an embedding —
+    parity-exact (sequential-fold distances, cc literals, lowest-cell
+    ties), so any query built on it shares the IVF oracle's cent-CTE
+    assignment (``PINNED_CENT_CTE_SQL`` + ``PINNED_ASSIGN_RN_SQL``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C, cc = load_pinned_ivf(which)
+
+    def assign(vecs):
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        d = cc[None, :] - 2.0 * _seq_dots(X, C)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return pandas_udf(assign, "int")(vec_col)
+
+
+def pinned_cent_cte_sql(which: str = "lloyd") -> str:
+    """The (cell, c, cc) VALUES rows shared by every pinned-quantizer
+    oracle — centroids and their precomputed ||c||² as literals."""
+    C, cc = load_pinned_ivf(which)
+    return ",\n    ".join(
+        f"({j}, CAST([{','.join(repr(float(x)) for x in C[j])}] AS DOUBLE[]), "
+        f"{cc[j]!r})"
+        for j in range(C.shape[0])
+    )
+
+
 def ivf_topk_pinned(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1090,13 +1120,6 @@ def ivf_topk_pinned(
 
     C, cc = load_pinned_ivf(which)
 
-    def assign(vecs):
-        X = np.stack(vecs.to_numpy()).astype("float64")
-        d = cc[None, :] - 2.0 * _seq_dots(X, C)
-        # argmin = first minimum = lowest cell id on exact ties,
-        # matching the oracle's ORDER BY d, cell
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
-
     def probes(vecs):
         X = np.stack(vecs.to_numpy()).astype("float64")
         d = cc[None, :] - 2.0 * _seq_dots(X, C)
@@ -1106,7 +1129,7 @@ def ivf_topk_pinned(
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        pandas_udf(assign, "int")(F.col(vec_col)).alias("cell"),
+        pinned_cell_assign(F.col(vec_col), which).alias("cell"),
     )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1144,12 +1167,7 @@ def ivf_pinned_sql(
     exactly), distances via the same sequential list_dot_product,
     ties on cell id, exact cosine + rank identical to the Spark
     window."""
-    C, cc = load_pinned_ivf(which)
-    rows = ",\n    ".join(
-        f"({j}, CAST([{','.join(repr(float(x)) for x in C[j])}] AS DOUBLE[]), "
-        f"{cc[j]!r})"
-        for j in range(C.shape[0])
-    )
+    rows = pinned_cent_cte_sql(which)
     cos = cosine_sql("p.qv", "a.cv")
     return f"""
 WITH cent(cell, c, cc) AS (

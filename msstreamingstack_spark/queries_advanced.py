@@ -2285,6 +2285,69 @@ def q_sql_frontend_grouping_sets_parity(
     return run_sql(spark, sf_dir, _GSETS_SQL_TEXT)
 
 
+def _topic_balance_oracle() -> str:
+    from msstreamingstack_spark.operators.similarity import (
+        pinned_cent_cte_sql,
+    )
+
+    return f"""
+WITH cent(cell, c, cc) AS (
+  VALUES {pinned_cent_cte_sql('lloyd')}
+),
+assign AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT e.vec_id, e.label, t.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c),
+             t.cell) AS rn
+    FROM embeddings e CROSS JOIN cent t) WHERE rn = 1
+),
+tot AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT cell, label, COUNT(*) AS n_vecs,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS corpus_share
+FROM assign GROUP BY cell, label
+"""
+
+
+@register(
+    "corpus_topic_balance",
+    _topic_balance_oracle(),
+    tags=("extension", "similarity", "ivf", "pipeline", "analytics"),
+    doc="Topic-balance histogram over the PINNED IVF quantizer: every "
+    "embedding assigned to its nearest cell (the same parity-exact "
+    "kernel the ANN queries probe with), counted per (cell, label) "
+    "with corpus share — the data-mixing view of the index. At 100 TB "
+    "this is how a pretraining pipeline checks cluster/topic balance "
+    "before sampling: one narrow scan + a K×|labels|-row aggregate, "
+    "no joins, the assignment UDF Arrow-batched. Index reuse is the "
+    "point — fit once, then the SAME centroids serve search "
+    "(similarity_ann_ivf) and corpus analytics, bit-identically on "
+    "both engines.",
+)
+def q_corpus_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import (
+        pinned_cell_assign,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # corpus total as an explicit-broadcast scalar (house crossJoin
+    # discipline) — no driver-side action in the builder
+    tot = emb.agg(F.count("*").alias("_n"))
+    return (
+        emb.select(
+            pinned_cell_assign(F.col("embedding")).alias("cell"), "label"
+        )
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "corpus_share",
+            F.col("n_vecs").cast("double") / F.col("_n").cast("double"),
+        )
+        .drop("_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL front-end, round 6: correlated EXISTS pair and multiset set-ops
 # through the open SQL surface — IDENTICAL text on both engines.
