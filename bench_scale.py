@@ -73,6 +73,12 @@ QUERIES = (
     "token_budget_quality_sample",
     "variant_props_profile",
     "chunk_dup_fraction",
+    # round-6 additions: the pinned-IVF probe (plan changed — fit
+    # moved offline), its analytics reuse, and the new SQL shapes
+    "similarity_ann_ivf",
+    "corpus_topic_balance",
+    "sql_frontend_exists_parity",
+    "sql_frontend_setops_all_parity",
 )
 
 TABLES = (
