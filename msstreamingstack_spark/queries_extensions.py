@@ -10,7 +10,7 @@ baseline (tests/test_extensions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from msstreamingstack_spark.functions.text import (
     BPE_RE,
@@ -1067,6 +1067,153 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
 )
 def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(spread(load_table(spark, sf_dir, "documents")))
+
+
+SUBSTR_DUP_W = 16
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(32)) AS toks,
+         len(string_split(text, chr(32))) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(range(0, n_tokens - {SUBSTR_DUP_W} + 1)) AS w
+  FROM t WHERE n_tokens >= {SUBSTR_DUP_W}
+),
+h AS (
+  SELECT doc_id, n_tokens, w,
+         {hash48_sql(
+             "array_to_string(toks[w + 1 : w + " + str(SUBSTR_DUP_W)
+             + "], chr(32))"
+         )} AS h
+  FROM w
+),
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY h),
+dup AS (
+  SELECT doc_id, n_tokens, w,
+         MAX(w + {SUBSTR_DUP_W}) OVER (
+           PARTITION BY doc_id ORDER BY w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM h JOIN dfreq USING (h) WHERE nd > 1
+),
+cov AS (
+  SELECT doc_id, n_tokens, COUNT(*) AS n_dup_windows,
+         CAST(SUM(w + {SUBSTR_DUP_W}
+                  - greatest(coalesce(prev_end, 0), w)) AS BIGINT)
+           AS dup_token_cov
+  FROM dup GROUP BY doc_id, n_tokens
+),
+nw AS (
+  SELECT doc_id, n_tokens,
+         CAST(greatest(n_tokens - {SUBSTR_DUP_W} + 1, 0) AS BIGINT)
+           AS n_windows
+  FROM t
+)
+SELECT nw.doc_id, nw.n_tokens AS n_tokens, nw.n_windows,
+       CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(cov.dup_token_cov, 0) AS BIGINT) AS dup_token_cov,
+       CAST(coalesce(cov.dup_token_cov, 0) AS DOUBLE) / nw.n_tokens
+         AS dup_token_fraction
+FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id
+""",
+    tags=("extension", "dedup", "text", "pipeline", "chunking"),
+    doc=f"Substring-duplication spans: slide a {SUBSTR_DUP_W}-token "
+    "window at stride 1 over every document, flag windows whose "
+    "content appears in at least one OTHER document, and report the "
+    "fraction of token POSITIONS covered by the union of duplicated "
+    "windows (interval-union via an ordered prev-end window — exact "
+    "integer algebra on both engines). This is the any-alignment "
+    "duplication signal fixed-chunk dedup (chunk_dup_fraction) "
+    "misses: a copied paragraph straddling a chunk boundary hides "
+    "from chunk hashing but lights up every sliding window it "
+    "contains — the exact-substring criterion of "
+    "training-data-dedup practice. Plan: windows explode 1 row per "
+    "token position (linear; only 48-bit hashes shuffle), window-df "
+    "aggregate is map-side combined, coverage union is one ordered "
+    "window per doc; short docs (< W tokens) keep a zero row via the "
+    "left join.",
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+
+    W = SUBSTR_DUP_W
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).withColumn("n_tokens", F.size("t").cast("long"))
+    wins = (
+        t.filter(F.col("n_tokens") >= W)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n_tokens") - W
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "w",
+            hash48(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), (F.col("w") + 1).cast("int"), W)
+                )
+            ).alias("h"),
+        )
+    )
+    dfreq = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = wins.join(dfreq, "h").filter(F.col("nd") > 1)
+    prev_end = F.max(F.col("w") + W).over(
+        Window.partitionBy("doc_id")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dup.withColumn("prev_end", prev_end)
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum(
+                F.col("w")
+                + W
+                - F.greatest(F.coalesce(F.col("prev_end"), F.lit(0)), F.col("w"))
+            )
+            .cast("long")
+            .alias("dup_token_cov"),
+        )
+        .select("doc_id", "n_dup_windows", "dup_token_cov")
+    )
+    nw = t.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - W + 1, F.lit(0).cast("long")).alias(
+            "n_windows"
+        ),
+    )
+    return nw.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce(F.col("dup_token_cov"), F.lit(0)).cast("long").alias(
+            "dup_token_cov"
+        ),
+        (
+            F.coalesce(F.col("dup_token_cov"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_fraction"),
+    )
 
 
 CHUNK_DUP_TOKENS = 32

@@ -725,3 +725,55 @@ def test_compact_store_preserves_increment_semantics(spark, tmp_path):
     compact_store(spark, sg)
     assert dirs(sg) == ["increment=__base_1"]  # fresh label each time
     release_checkpoint(*handles)
+
+
+def test_substring_dup_spans_alignment_and_coverage(spark):
+    """The sliding-window substring detector must (a) catch a copied
+    span at ANY alignment — including one placed to straddle a
+    32-token chunk boundary, where chunk_dup_fraction sees nothing —
+    and (b) report interval-union token coverage, not window counts
+    (overlapping dup windows must not double-count positions)."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import SUBSTR_DUP_W
+
+    copied = " ".join(f"c{i}" for i in range(20))  # 20-token span
+    docs = [
+        # doc 0: the span sits at tokens 22..41 — straddles the 32-token
+        # chunk boundary, so neither fixed chunk equals any chunk of doc 1
+        (0, " ".join(f"a{i}" for i in range(22)) + " " + copied + " "
+            + " ".join(f"b{i}" for i in range(22))),
+        # doc 1: same span at offset 0 plus distinct tail
+        (1, copied + " " + " ".join(f"z{i}" for i in range(44))),
+        # doc 2: fully unique, longer than W
+        (2, " ".join(f"q{i}" for i in range(40))),
+        # doc 3: shorter than W -> zero row
+        (3, "tiny doc under window"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.createOrReplaceTempView("documents")
+
+    import duckdb
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    df.toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["substring_dup_spans"].builder(spark, tmp).collect()
+    }
+    # (a) both carriers flagged; W=16 windows inside a 20-token copy:
+    # 20-16+1 = 5 fully-contained windows each
+    assert out[0]["n_dup_windows"] == 5 and out[1]["n_dup_windows"] == 5
+    # (b) interval union: 5 overlapping windows cover exactly the
+    # 20 copied positions, not 5*16
+    assert out[0]["dup_token_cov"] == 20 == out[1]["dup_token_cov"]
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_token_cov"] == 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_token_fraction"] == 0.0
+    assert abs(out[0]["dup_token_fraction"] - 20 / 64) < 1e-12
+
+    # the chunk detector misses this alignment entirely
+    chunk = {
+        r["doc_id"]: r["n_shared_chunks"]
+        for r in REGISTRY["chunk_dup_fraction"].builder(spark, tmp).collect()
+    }
+    assert chunk[0] == 0 and chunk[1] == 0
