@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from msstreamingstack_spark.plans.inspect import assert_scan_pruned, plan_facts
 from msstreamingstack_spark.queries import REGISTRY
 
@@ -415,3 +417,44 @@ def test_embedding_cosine_kernel_plan_pinned(spark):
     f = plan_facts(REGISTRY["dedup_embedding_cosine"].builder(spark, SF))
     assert "BroadcastNestedLoopJoin" in f.text
     assert "CartesianProduct" not in f.text
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """At 100 TB the lineitem side of a selective dim join is a
+    multi-TB scan, and Spark's runtime bloom filter (default-on,
+    size-gated) injects a might_contain() predicate on the fact side
+    built from the filtered dim — row groups that cannot match never
+    leave the scan. The size gates (10 GB application-side scan)
+    correctly DON'T fire at test scale, so this pin lowers them to
+    prove the engine session supports the injection path end-to-end;
+    on defaults the same plan stays clean (no per-join overhead
+    locally). Broadcast is disabled in-test because bloom filters
+    only apply to shuffle joins (a broadcast join already prunes)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF}/part.parquet").filter(
+            F.col("p_type") == "SMALL"
+        )
+        df = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        f = plan_facts(df)
+        assert "might_contain" in f.text, "runtime bloom filter not injected"
+        # correctness unaffected by the injected filter
+        assert df.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
