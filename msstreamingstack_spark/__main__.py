@@ -422,6 +422,7 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         neardup_store_dir=args.neardup_store,
         lm_store_dir=args.lm_store,
         lm_max_bits=args.lm_max_bits,
+        compact_every=args.compact_every,
     )
     q.awaitTermination()
     return 0
@@ -636,6 +637,10 @@ def main(argv: list[str] | None = None) -> int:
                    "accepted corpus's LM with reason low_quality_lm")
     i.add_argument("--lm-max-bits", type=float, default=8.0,
                    help="bits-per-bigram ceiling for the --lm-store gate")
+    i.add_argument("--compact-every", type=int, default=None,
+                   help="fold each store's increment partitions into one "
+                   "__base partition every N batches, in-stream (current "
+                   "batch's label excluded so crash-replay stays sound)")
     i.add_argument("--threshold", type=float, default=0.30,
                    help="contamination overlap-fraction threshold")
     i.add_argument("--files-per-trigger", type=int, default=1)

@@ -598,6 +598,7 @@ def compact_store(
     spark: SparkSession,
     store_dir: str,
     agg: str | None = None,
+    exclude_labels: tuple[str, ...] = (),
 ) -> int:
     """Fold every ``increment=*`` partition into ONE base partition.
 
@@ -626,6 +627,16 @@ def compact_store(
       re-run labels derived from the CURRENT checkpoint, and a store
       compacted mid-recovery would violate quiescence anyway.
 
+    ``exclude_labels`` keeps the named increments OUT of the fold (their
+    partitions survive untouched): the live-ingest integration passes
+    the CURRENT batch's label, because the streaming checkpoint may
+    replay exactly that batch after a crash between compaction and the
+    offset commit — a replay whose own rows were folded into the base
+    would see its first attempt as foreign. Labels older than the
+    current batch are commit-protected (a checkpoint only ever replays
+    the last uncommitted batch), so folding them mid-stream is safe —
+    that is what makes in-stream compaction sound without a stop.
+
     Returns the number of rows in the compacted store. The rewrite is
     atomic-enough for the quiescent contract: data lands in a temp dir
     first, then swaps in via two renames.
@@ -635,6 +646,10 @@ def compact_store(
     if not _store_has_data(store_dir):
         return 0
     df = spark.read.parquet(store_dir)
+    if exclude_labels:
+        df = df.filter(~F.col("increment").isin(*exclude_labels))
+        if df.limit(1).count() == 0:
+            return 0  # nothing foldable yet
     cols = [c for c in df.columns if c != "increment"]
     base = df.select(*cols)
     if agg == "counts":
@@ -662,6 +677,17 @@ def compact_store(
         .partitionBy("increment")
         .parquet(tmp)
     )
+    # excluded (still-replayable) partitions survive the swap verbatim
+    from urllib.parse import unquote
+
+    for entry in os.listdir(store_dir):
+        full = os.path.join(store_dir, entry)
+        if (
+            os.path.isdir(full)
+            and entry.startswith("increment=")
+            and unquote(entry[len("increment="):]) in exclude_labels
+        ):
+            shutil.copytree(full, os.path.join(tmp, entry))
     rows = spark.read.parquet(tmp).count()
     old = store_dir.rstrip("/") + ".__compact_old"
     shutil.rmtree(old, ignore_errors=True)

@@ -129,6 +129,7 @@ def run_corpus_ingest(
     neardup_threshold: float = 0.8,
     lm_store_dir: str | None = None,
     lm_max_bits: float = 8.0,
+    compact_every: int | None = None,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -167,6 +168,13 @@ def run_corpus_ingest(
     defines the corpus and is accepted wholesale; the store grows by
     vocabulary-bounded (w1, w2, c) count rows under the same
     idempotent increment labels.
+
+    ``compact_every`` (optional) folds each store's accumulated
+    increment partitions into one ``__base_<n>`` partition every N
+    batches, IN-STREAM: the current batch's label is excluded from the
+    fold (it is the only label a checkpoint recovery can replay), so
+    crash-replay idempotence is preserved while store reads stop
+    paying listing overhead linear in batch count.
     """
     # static side, computed once and persisted across micro-batches
     eval_h = (
@@ -325,6 +333,26 @@ def run_corpus_ingest(
             rejects.write.mode("overwrite").parquet(
                 os.path.join(reject_dir, f"batch_id={batch_id}")
             )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                # in-stream store compaction: fold everything EXCEPT
+                # the current batch's label — the checkpoint may
+                # replay exactly this batch after a crash between here
+                # and the offset commit, and a replay whose own rows
+                # were folded would see its first attempt as foreign.
+                # Older labels are commit-protected, so folding them
+                # under the live stream is sound (compact_store docs).
+                from msstreamingstack_spark.operators.incremental import (
+                    compact_store,
+                )
+
+                cur = (f"{run_label}-b{batch_id:09d}",)
+                for sd, agg in (
+                    (digest_store_dir, "dedup"),
+                    (neardup_store_dir, None),
+                    (lm_store_dir, "counts"),
+                ):
+                    if sd is not None:
+                        compact_store(spark, sd, agg=agg, exclude_labels=cur)
         finally:
             df.unpersist()
             if checkpoints:

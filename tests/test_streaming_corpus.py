@@ -509,3 +509,82 @@ def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
     early = statistics.median(durs[10:20])
     late = statistics.median(durs[-10:])
     assert late <= 3 * early, (early, late, durs)
+
+
+def test_in_stream_compaction_preserves_results(spark, tmp_path):
+    """compact_every folds store partitions under the LIVE stream
+    (current batch's label excluded): the accept/reject outcome must
+    be identical to an uncompacted twin, and each store must end with
+    a bounded partition-dir count instead of one per batch."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    words = [f"s{i:03d}" for i in range(60)]
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    did = 0
+    for b in range(9):
+        rows = []
+        for j in range(6):
+            start, stride = (b * 11 + j * 5) % 60, 2 + (b + j) % 4
+            toks = [words[(start + k * stride) % 60] for k in range(12)]
+            toks.append(f"u{did}")
+            rows.append((did, " ".join(toks)))
+            did += 1
+        # batch 4 re-crawls batch 0's first doc (digest-store catch)
+        if b == 4:
+            rows[0] = (did - 6, "REPLACED")  # keep ids unique
+            first = spark.read.parquet(
+                str(tmp_path / "twin" / "accept")
+            ) if False else None
+        _write_drop(drops / f"d{b:02d}.parquet", rows, 1_700_000_000 + b)
+
+    eval_docs = spark.createDataFrame(
+        [(999_999, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def run(tag, compact_every):
+        q = run_corpus_ingest(
+            spark,
+            str(drops),
+            eval_docs,
+            str(tmp_path / tag / "accept"),
+            str(tmp_path / tag / "reject"),
+            checkpoint_dir=str(tmp_path / tag / "cp"),
+            digest_store_dir=str(tmp_path / tag / "dig"),
+            neardup_store_dir=str(tmp_path / tag / "sig"),
+            lm_store_dir=str(tmp_path / tag / "lm"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+        q.stop()
+        acc = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / tag / "accept")).collect()
+        }
+        rej = {
+            (r["doc_id"], r["reject_reason"])
+            for r in spark.read.parquet(str(tmp_path / tag / "reject")).collect()
+        }
+        return acc, rej
+
+    acc_c, rej_c = run("compacted", compact_every=4)
+    acc_p, rej_p = run("plain", compact_every=None)
+    assert acc_c == acc_p
+    assert rej_c == rej_p
+
+    for store in ("dig", "sig", "lm"):
+        parts = [
+            e
+            for e in os.listdir(tmp_path / "compacted" / store)
+            if e.startswith("increment=")
+        ]
+        plain_parts = [
+            e
+            for e in os.listdir(tmp_path / "plain" / store)
+            if e.startswith("increment=")
+        ]
+        # 9 batches, folds after b3 and b7: base + b7..b8 era labels
+        assert len(parts) <= 4, (store, parts)
+        assert len(plain_parts) == 9, (store, plain_parts)
+        assert any(e.startswith("increment=__base_") for e in parts), parts
