@@ -285,11 +285,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_orders_customer", "join_anti_customers_no_orders",
     "join_semi_customers_with_orders", "top_orders_by_price",
     "running_revenue_per_customer", "rollup_lineitem_flags",
-    "cube_orders_status_priority", "pivot_event_type_counts",
-    "set_ops_customers", "order_priority_check", "user_state_table",
+    "cube_orders_status_priority", "order_priority_check", "user_state_table",
     "device_transitions", "dedup_ngram_jaccard",
-    # (e) first rows for the round-6 SQL-front-end parity shapes
+    # (e) first rows for the round-6 additions: SQL-front-end parity
+    # shapes, the pinned-quantizer analytics reuse, and the
+    # sliding-window substring detector
     "sql_frontend_exists_parity", "sql_frontend_setops_all_parity",
+    "corpus_topic_balance", "substring_dup_spans",
 )
 
 
