@@ -283,7 +283,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (d) round-4 cohort fills (registry order)
     "sessionize_events", "enrich_clickstream", "tpch_q1",
     "join_left_orders_customer", "join_anti_customers_no_orders",
-    "join_semi_customers_with_orders", "top_orders_by_price",
+    "join_semi_customers_with_orders",
     "running_revenue_per_customer", "rollup_lineitem_flags",
     "cube_orders_status_priority", "order_priority_check", "user_state_table",
     "device_transitions", "dedup_ngram_jaccard",
@@ -292,6 +292,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sliding-window substring detector
     "sql_frontend_exists_parity", "sql_frontend_setops_all_parity",
     "corpus_topic_balance", "substring_dup_spans",
+    "quality_ensemble_score",
 )
 
 

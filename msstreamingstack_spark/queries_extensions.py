@@ -1069,6 +1069,149 @@ def q_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(spread(load_table(spark, sf_dir, "documents")))
 
 
+def _ensemble_oracle() -> str:
+    from msstreamingstack_spark.queries import REGISTRY
+
+    ent = REGISTRY["quality_char_entropy"].oracle
+    rep = REGISTRY["repetition_quality"].oracle
+    lm = REGISTRY["quality_bigram_lm"].oracle
+
+    def zterm(x, mu, sd, null_ok=False):
+        guard = f"{x} IS NOT NULL AND {sd} > 0" if null_ok else f"{sd} > 0"
+        return f"(CASE WHEN {guard} THEN ({x} - {mu}) / {sd} ELSE 0.0 END)"
+
+    return f"""
+WITH sig AS (
+  SELECT r.doc_id, e.char_entropy, l.bits_per_bigram, r.distinct_tok_ratio
+  FROM ({rep}) r
+  JOIN ({ent}) e ON r.doc_id = e.doc_id
+  LEFT JOIN ({lm}) l ON r.doc_id = l.doc_id
+),
+m AS (
+  SELECT
+    CAST(SUM(CAST(char_entropy AS DECIMAL(28,9))) AS DOUBLE)
+      / COUNT(char_entropy) AS mu_e,
+    CAST(SUM(CAST(char_entropy * char_entropy AS DECIMAL(38,18))) AS DOUBLE)
+      / COUNT(char_entropy) AS m2_e,
+    CAST(SUM(CAST(bits_per_bigram AS DECIMAL(28,9))) AS DOUBLE)
+      / COUNT(bits_per_bigram) AS mu_l,
+    CAST(SUM(CAST(bits_per_bigram * bits_per_bigram AS DECIMAL(38,18))) AS DOUBLE)
+      / COUNT(bits_per_bigram) AS m2_l,
+    CAST(SUM(CAST(distinct_tok_ratio AS DECIMAL(28,9))) AS DOUBLE)
+      / COUNT(distinct_tok_ratio) AS mu_r,
+    CAST(SUM(CAST(distinct_tok_ratio * distinct_tok_ratio AS DECIMAL(38,18))) AS DOUBLE)
+      / COUNT(distinct_tok_ratio) AS m2_r
+  FROM sig
+),
+sd AS (
+  SELECT mu_e, sqrt(greatest(m2_e - mu_e * mu_e, 0.0)) AS sd_e,
+         mu_l, sqrt(greatest(m2_l - mu_l * mu_l, 0.0)) AS sd_l,
+         mu_r, sqrt(greatest(m2_r - mu_r * mu_r, 0.0)) AS sd_r
+  FROM m
+),
+z AS (
+  SELECT doc_id, char_entropy, bits_per_bigram, distinct_tok_ratio,
+         round({zterm('char_entropy', 'mu_e', 'sd_e')}
+               - {zterm('bits_per_bigram', 'mu_l', 'sd_l', null_ok=True)}
+               + {zterm('distinct_tok_ratio', 'mu_r', 'sd_r')}, 9) AS qscore
+  FROM sig CROSS JOIN sd
+)
+SELECT doc_id, char_entropy, bits_per_bigram, distinct_tok_ratio, qscore,
+       CAST(ntile(10) OVER (ORDER BY qscore DESC, doc_id) AS BIGINT)
+         AS quality_decile
+FROM z
+"""
+
+
+@register(
+    "quality_ensemble_score",
+    _ensemble_oracle(),
+    tags=("extension", "text", "quality", "pipeline", "lm"),
+    doc="Composite quality classifier: z-score three independent "
+    "oracled signals over the corpus — char entropy (up = natural "
+    "text), bigram-LM cross-entropy (down = fluent), distinct-token "
+    "ratio (up = non-repetitive) — and sum them into one qscore with "
+    "a decile assignment, the standard shape of a pretraining "
+    "quality-bucketing stage (CCNet-style ensembling without an "
+    "external model). Cross-engine exactness: corpus moments go "
+    "through exact DECIMAL sums (means and second moments), so "
+    "mu/sd are identical doubles and every z is the same IEEE "
+    "expression on both engines; docs too short for an LM score "
+    "contribute z=0 instead of poisoning the composite. The decile "
+    "ntile is a global sort over one row per doc — fine for the "
+    "bucket-assignment OUTPUT; at 100 TB swap it for "
+    "approx-quantile thresholds if the per-doc frame itself is the "
+    "product.",
+)
+def q_quality_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        q_repetition_quality(spark, sf_dir)
+        .select("doc_id", "distinct_tok_ratio")
+        .join(q_quality_char_entropy(spark, sf_dir), "doc_id")
+        .join(
+            q_quality_bigram_lm(spark, sf_dir).select(
+                "doc_id", "bits_per_bigram"
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+
+    def m2(c):
+        return (
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,18)")).cast("double")
+            / F.count(c)
+        )
+
+    def mu(c):
+        return (
+            F.sum(F.col(c).cast("decimal(28,9)")).cast("double") / F.count(c)
+        )
+
+    moments = sig.agg(
+        mu("char_entropy").alias("mu_e"),
+        m2("char_entropy").alias("m2_e"),
+        mu("bits_per_bigram").alias("mu_l"),
+        m2("bits_per_bigram").alias("m2_l"),
+        mu("distinct_tok_ratio").alias("mu_r"),
+        m2("distinct_tok_ratio").alias("m2_r"),
+    ).select(
+        "mu_e",
+        F.sqrt(F.greatest(F.col("m2_e") - F.col("mu_e") * F.col("mu_e"), F.lit(0.0))).alias("sd_e"),
+        "mu_l",
+        F.sqrt(F.greatest(F.col("m2_l") - F.col("mu_l") * F.col("mu_l"), F.lit(0.0))).alias("sd_l"),
+        "mu_r",
+        F.sqrt(F.greatest(F.col("m2_r") - F.col("mu_r") * F.col("mu_r"), F.lit(0.0))).alias("sd_r"),
+    )
+
+    def z(c, mu_c, sd_c, null_ok=False):
+        guard = F.col(sd_c) > 0
+        if null_ok:
+            guard = F.col(c).isNotNull() & guard
+        return F.when(
+            guard, (F.col(c) - F.col(mu_c)) / F.col(sd_c)
+        ).otherwise(F.lit(0.0))
+
+    scored = sig.crossJoin(F.broadcast(moments)).withColumn(
+        "qscore",
+        F.round(
+            z("char_entropy", "mu_e", "sd_e")
+            - z("bits_per_bigram", "mu_l", "sd_l", null_ok=True)
+            + z("distinct_tok_ratio", "mu_r", "sd_r"),
+            9,
+        ),
+    )
+    w = Window.orderBy(F.col("qscore").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id",
+        "char_entropy",
+        "bits_per_bigram",
+        "distinct_tok_ratio",
+        "qscore",
+        F.ntile(10).over(w).cast("long").alias("quality_decile"),
+    )
+
+
 SUBSTR_DUP_W = 16
 
 
