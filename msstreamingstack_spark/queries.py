@@ -280,12 +280,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (c) family slots (tpch/multimodal/grouping-sets/layout)
     "tpch_q18_large_orders", "multimodal_frame_sample",
     "grouping_sets_revenue", "zorder_cluster_stats",
-    # (d) round-4 cohort fills (registry order)
+    # (d) round-4 cohort fills (registry order; three were displaced
+    # late in round 6 by (f) below — join_semi_customers_with_orders,
+    # running_revenue_per_customer, cube_orders_status_priority stay
+    # r4-latest and MUST be in the round-7 window)
     "sessionize_events", "enrich_clickstream", "tpch_q1",
     "join_left_orders_customer", "join_anti_customers_no_orders",
-    "join_semi_customers_with_orders",
-    "running_revenue_per_customer", "rollup_lineitem_flags",
-    "cube_orders_status_priority", "order_priority_check", "user_state_table",
+    "rollup_lineitem_flags",
+    "order_priority_check", "user_state_table",
     "device_transitions", "dedup_ngram_jaccard",
     # (e) first rows for the round-6 additions: SQL-front-end parity
     # shapes, the pinned-quantizer analytics reuse, and the
@@ -293,6 +295,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_frontend_exists_parity", "sql_frontend_setops_all_parity",
     "corpus_topic_balance", "substring_dup_spans",
     "quality_ensemble_score",
+    # (f) first rows for the late round-6 additions: SemDeDup over the
+    # pinned quantizer, CCNet chunk-rewrite, DSIR importance weights
+    "dedup_semantic", "dedup_chunk_rewrite", "dsir_importance_weights",
 )
 
 

@@ -2427,6 +2427,128 @@ def q_sql_frontend_setops_all_parity(
     return run_sql(spark, sf_dir, _SETOPS_SQL_TEXT)
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup over the pinned quantizer (SemDeDup shape)
+# ---------------------------------------------------------------------------
+SEMDEDUP_COS_T = 0.35  # near-orthogonal fixture vectors; 0.35 yields a
+                       # sparse-but-nonempty in-cell duplicate relation
+
+
+def _semantic_dedup_oracle(tau: float) -> str:
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        cosine_sql,
+        pinned_cent_cte_sql,
+    )
+
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+WITH cent(cell, c, cc) AS (
+  VALUES {pinned_cent_cte_sql('lloyd')}
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, t.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c),
+             t.cell) AS rn
+    FROM embeddings e CROSS JOIN cent t) WHERE rn = 1
+),
+pair AS (
+  SELECT a.vec_id, round({cos}, {COS_ROUND}) AS cosr
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+),
+nbr AS (
+  SELECT vec_id, COUNT(*) AS n_nbrs, MAX(cosr) AS top_cos
+  FROM pair WHERE cosr >= {tau!r} GROUP BY vec_id
+)
+SELECT s.vec_id, s.cell,
+       COALESCE(n.n_nbrs, 0) AS n_nbrs,
+       COALESCE(n.top_cos, -1.0) AS top_cos,
+       CAST(CASE WHEN n.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_semdup
+FROM assign s LEFT JOIN nbr n USING (vec_id)
+"""
+
+
+@register(
+    "dedup_semantic",
+    _semantic_dedup_oracle(SEMDEDUP_COS_T),
+    tags=("extension", "dedup", "embedding", "ivf", "semantic"),
+    doc="SemDeDup-shaped semantic dedup (Abbas et al. 2023): embeddings "
+    "are assigned to their pinned-quantizer cell (the SAME parity-exact "
+    "kernel the IVF ANN queries probe with), pairwise exact cosine runs "
+    "ONLY within a cell, and a vector is a semantic duplicate when an "
+    "earlier (lower-id) cell-mate sits within cos >= 0.35 — the "
+    "keep-first-by-id rule, deterministic on both engines. Output is "
+    "one row per vector (cell, duplicate-neighbor count, top cosine, "
+    "flag), i.e. the keep/drop decision a pretraining pipeline consumes. "
+    "Scale: the quadratic stage is per-cell and the quantizer is sized "
+    "so cells stay bounded (K grows with N; at 100 TB you fit/shard "
+    "more cells, never widen one) — candidate generation is an "
+    "equi-join on cell with ids+vectors only, exactly the published "
+    "SemDeDup recipe. Cosines are rounded before the threshold compare "
+    "and the MAX fold, so the driver hash-compare is bit-stable "
+    "cross-engine. Cites reference scope: the ref engine has no "
+    "embedding surface at all (SURVEY.md §2.5 ABSENT) — this is "
+    "north-star extension surface.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        cosine,
+        pinned_cell_assign,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # assignment runs the Arrow-batched quantizer UDF once; the frame
+    # feeds both self-join sides and the final left join, so persist it
+    # under a rotating slot (house cache discipline)
+    assigned = rotating_persist(
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            pinned_cell_assign(F.col("embedding")).alias("cell"),
+        ),
+        "dedup_semantic.assigned",
+    )
+    earlier = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+    )
+    pair = (
+        assigned.join(earlier, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("bv")), COS_ROUND).alias("cosr"),
+        )
+        .filter(F.col("cosr") >= F.lit(SEMDEDUP_COS_T))
+    )
+    nbr = pair.groupBy("vec_id").agg(
+        F.count("*").alias("n_nbrs"), F.max("cosr").alias("top_cos")
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(nbr, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_nbrs"), F.lit(0).cast("long")).alias("n_nbrs"),
+            # -1.0 sentinel for "no duplicate neighbor" (cosine is
+            # always >= -1; real hits are >= the threshold): keeps the
+            # column non-null, so the Arrow null/NaN asymmetry between
+            # engines can't touch the driver hash
+            F.coalesce(F.col("top_cos"), F.lit(-1.0)).alias("top_cos"),
+            F.when(F.col("n_nbrs").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_semdup"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -1670,6 +1670,227 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Chunk-dedup rewrite (CCNet-style shared-passage removal)
+# ---------------------------------------------------------------------------
+DEDUP_CHUNK_REWRITE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(32)) AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_DUP_TOKENS}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM t
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[chunk_idx * {CHUNK_DUP_TOKENS} + 1 :
+                              (chunk_idx + 1) * {CHUNK_DUP_TOKENS}], chr(32))
+           AS chunk_text
+  FROM idx
+),
+rk AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk_text, chr(32) ORDER BY chunk_idx) AS kept_text
+  FROM rk WHERE rn = 1 GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_chunks, COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.kept_text, '') AS kept_text
+FROM cnt c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "dedup_chunk_rewrite",
+    DEDUP_CHUNK_REWRITE_SQL,
+    tags=("extension", "dedup", "text", "pipeline", "chunking", "rewrite"),
+    doc="CCNet-style shared-passage REMOVAL (Wenzek et al. 2020): every "
+    f"{CHUNK_DUP_TOKENS}-token chunk keeps only its first corpus-wide "
+    "occurrence (rank over (doc_id, chunk_idx) within equal chunk "
+    "content), and each document is REASSEMBLED from its surviving "
+    "chunks in order — the rewrite step that strips boilerplate from "
+    "later documents instead of dropping them whole, which doc-level "
+    "dedup (dedup_exact) and profiling (chunk_dup_fraction) don't do. "
+    "Plan: the same pure-JVM chunker as chunk_dup_fraction (sequence "
+    "explode + slice + concat_ws, no Python), ONE rank window keyed on "
+    "chunk content (the only corpus-wide shuffle; at 100 TB the key is "
+    "the chunk digest and the payload rides the same exchange — text "
+    "must shuffle anyway for reassembly), then a per-doc ordered fold "
+    "(array_sort over (idx, text) structs == string_agg ORDER BY). "
+    "All-integer/string output — no float parity surface at all.",
+)
+def q_dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+
+    k = CHUNK_DUP_TOKENS
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    ch = rotating_persist(
+        t.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.ceil(F.size("t") / F.lit(float(k))) - 1).cast("long"),
+                )
+            ).alias("chunk_idx"),
+        ).select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("t"), (F.col("chunk_idx") * k + 1).cast("int"), k),
+            ).alias("chunk_text"),
+        ),
+        "dedup_chunk_rewrite.ch",
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    kept = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    cnt = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return cnt.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+# Hashed n-gram importance weights (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by how much more likely its hashed-unigram profile is under
+# the TARGET distribution (here: the English slice) than under the raw
+# corpus — log w(d) = Σ_b c_b(d) · log( p̂_t(b) / p̂_r(b) ) with
+# Laplace-smoothed bucket probabilities. The bucket table is O(B)
+# regardless of corpus size — that's the whole trick at 100 TB: the
+# "language model" ships as a broadcastable B-row table, and scoring
+# is one explode → per-(doc,bucket) fold → broadcast join.
+DSIR_BUCKETS = 32
+DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+         TRY_CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b,
+         COUNT(*) AS c
+  FROM w GROUP BY 1, 2, 3
+),
+raw AS (SELECT b, SUM(c) AS cr FROM f GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+nt AS (SELECT SUM(c) AS n_t FROM f WHERE lang = 'en'),
+nr AS (SELECT SUM(c) AS n_r FROM f)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(round(
+           c * log2(CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                    / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)), 9)
+         AS DECIMAL(28,9))) AS DOUBLE) AS dsir_logratio
+FROM f JOIN raw USING (b) LEFT JOIN tgt USING (b)
+     CROSS JOIN nt CROSS JOIN nr
+GROUP BY doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    DSIR_SQL,
+    tags=("extension", "pipeline", "quality", "sampling", "dsir"),
+    doc="DSIR importance weights (Xie et al. 2023): per-document "
+    "log-importance of the target (English-slice) hashed-unigram "
+    "distribution over the raw corpus distribution, Laplace-smoothed "
+    "— the data-selection score a pipeline feeds into importance "
+    "resampling (emitted with n_tokens so consumers normalize per "
+    "token themselves). Plan: ONE word explode folded to "
+    "per-(doc, bucket) counts; the target/raw bucket tables are "
+    "B-row aggregates of that SAME fold (never a second explode) and "
+    "join back BROADCAST (B=32 here; B=10k in the paper — still "
+    "broadcastable at any corpus size), the corpus totals are "
+    "explicit-broadcast scalars. Cross-engine determinism: bucket = "
+    "md5-derived integer (conv == 0x-cast, bit-exact), probability "
+    "ratios are exact-integer products cast to DOUBLE once, and each "
+    "occurrence term is round-then-DECIMAL-summed, so the per-doc fold "
+    "is order-free. The ref engine has no corpus surface (SURVEY.md "
+    "§2.5 ABSENT) — north-star extension.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    f = rotating_persist(
+        words.groupBy("doc_id", "lang", bucket.alias("b")).agg(
+            F.count("*").alias("c")
+        ),
+        "dsir_importance_weights.f",
+    )
+    raw = f.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = f.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.sum("c").alias("ct")
+    )
+    n_t = f.filter(F.col("lang") == "en").agg(F.sum("c").alias("n_t"))
+    n_r = f.agg(F.sum("c").alias("n_r"))
+    num = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+        * (F.col("n_r") + F.lit(DSIR_BUCKETS))
+    ).cast("double")
+    den = ((F.col("cr") + 1) * (F.col("n_t") + F.lit(DSIR_BUCKETS))).cast(
+        "double"
+    )
+    term = F.round(F.col("c") * F.log2(num / den), 9).cast("decimal(28,9)")
+    return (
+        f.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            # total log-importance as the exact DECIMAL fold cast to
+            # double once — NOT divided per-token here, because a final
+            # double divide + round can land on a half-ulp rounding
+            # boundary and split the engines in the 9th decimal;
+            # consumers normalize by n_tokens themselves
+            F.sum(term).cast("double").alias("dsir_logratio"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

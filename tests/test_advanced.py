@@ -267,3 +267,67 @@ def test_ivf_pinned_probe_recall_and_fixture_integrity(spark, sf_correctness):
             per_q.setdefault(r.query_id, []).append(r.rank)
         assert set(per_q) == set(range(10))
         assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_dedup_semantic_matches_numpy_model_with_planted_dups(spark, sf_smoke):
+    """Plant exact + near duplicates into the real embedding fixture and
+    check dedup_semantic against an independent numpy model of the rule:
+    duplicate <=> an earlier (lower-id) vector in the SAME pinned cell
+    within cos >= SEMDEDUP_COS_T."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        load_pinned_ivf,
+    )
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_advanced import SEMDEDUP_COS_T
+
+    base = pd.read_parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    vecs = np.stack([np.asarray(v, dtype="float32") for v in base["embedding"]])
+    n = len(base)
+    # planted: an exact copy of vec 0 and a lightly-perturbed copy of
+    # vec 1 (same cell, cos ~ 0.999) — both must flag as duplicates
+    near = vecs[1] + 0.01 * np.abs(vecs[1]).mean()
+    planted = np.vstack([vecs, vecs[0], near.astype("float32")])
+    ids = list(range(n)) + [n, n + 1]
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [planted[i] for i in range(len(ids))],
+            "label": [0] * len(ids),
+        }
+    ).to_parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    # independent model: argmin assignment + brute-force cosines
+    C, cc = load_pinned_ivf("lloyd")
+    X = planted.astype("float64")
+    cells = np.argmin(cc[None, :] - 2.0 * (X @ C.T), axis=1)
+    norms = np.linalg.norm(X, axis=1)
+    want = {}
+    for i in range(len(ids)):
+        nbrs = [
+            round(float(X[i] @ X[j]) / float(norms[i] * norms[j]), COS_ROUND)
+            for j in range(i)
+            if cells[j] == cells[i]
+        ]
+        hits = [c for c in nbrs if c >= SEMDEDUP_COS_T]
+        want[i] = (int(cells[i]), len(hits), max(hits) if hits else -1.0,
+                   1 if hits else 0)
+
+    got = {
+        r["vec_id"]: (r["cell"], r["n_nbrs"], r["top_cos"], r["is_semdup"])
+        for r in REGISTRY["dedup_semantic"].builder(spark, tmp).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        g, w = got[i], want[i]
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (i, g, w)
+        assert abs(g[2] - w[2]) < 1e-9, (i, g, w)
+    # the planted pair actually flags
+    assert got[n][3] == 1 and got[n + 1][3] == 1

@@ -777,3 +777,118 @@ def test_substring_dup_spans_alignment_and_coverage(spark):
         for r in REGISTRY["chunk_dup_fraction"].builder(spark, tmp).collect()
     }
     assert chunk[0] == 0 and chunk[1] == 0
+
+
+def test_dedup_chunk_rewrite_matches_python_model(spark):
+    """Hand fixture + independent Python model of the CCNet rewrite:
+    keep each chunk's first corpus-wide (doc_id, chunk_idx) occurrence,
+    reassemble survivors in order."""
+    import math
+    import os
+    import tempfile
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import CHUNK_DUP_TOKENS
+
+    k = CHUNK_DUP_TOKENS
+    a_toks = [f"a{i}" for i in range(2 * k)]
+    docs = [
+        (0, " ".join(a_toks)),                      # 2 chunks, both first
+        # chunk 0 == doc 0's chunk 1 (aligned copy) -> dropped;
+        # chunk 1 unique -> kept
+        (1, " ".join(a_toks[k:]) + " " + " ".join(f"u{i}" for i in range(k))),
+        (2, " ".join(a_toks)),                      # full duplicate of doc 0
+        (3, "tiny unique doc"),                     # single short chunk
+    ]
+
+    def model(rows):
+        chunks = []
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            for i in range(math.ceil(len(toks) / k)):
+                chunks.append((doc_id, i, " ".join(toks[i * k:(i + 1) * k])))
+        first = {}
+        for doc_id, i, ct in sorted(chunks):
+            first.setdefault(ct, (doc_id, i))
+        out = {}
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            n = math.ceil(len(toks) / k)
+            kept = [
+                " ".join(toks[i * k:(i + 1) * k])
+                for i in range(n)
+                if first[" ".join(toks[i * k:(i + 1) * k])] == (doc_id, i)
+            ]
+            out[doc_id] = (n, len(kept), " ".join(kept))
+        return out
+
+    tmp = tempfile.mkdtemp()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.toPandas().to_parquet(os.path.join(tmp, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in REGISTRY["dedup_chunk_rewrite"].builder(spark, tmp).collect()
+    }
+    assert got == model(docs)
+    # headline facts the fixture encodes
+    assert got[2] == (2, 0, "")          # full dup rewritten to empty
+    assert got[1][1] == 1                # boilerplate chunk stripped
+
+
+def test_dedup_chunk_rewrite_keeps_each_distinct_chunk_once(spark, sf_smoke):
+    """Global invariant on real data: sum(n_kept) == number of DISTINCT
+    chunk contents in the corpus (keep-first keeps each exactly once)."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import CHUNK_DUP_TOKENS
+
+    out = REGISTRY["dedup_chunk_rewrite"].builder(spark, sf_smoke)
+    kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    k = CHUNK_DUP_TOKENS
+    d = load_table(spark, sf_smoke, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    distinct_chunks = (
+        t.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.ceil(F.size("t") / F.lit(float(k))) - 1).cast("long"),
+                ).alias("i")
+            ).alias("chunk_idx"),
+            "t",
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("t"), (F.col("chunk_idx") * k + 1).cast("int"), k),
+            ).alias("ct")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
+
+
+def test_dsir_weights_prefer_target_language(spark, sf_smoke):
+    """DSIR sanity: documents IN the target slice (lang='en') must score
+    a higher mean per-token log-importance than documents outside it —
+    the weights are only useful if they discriminate toward the target."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.queries import REGISTRY
+
+    w = REGISTRY["dsir_importance_weights"].builder(spark, sf_smoke)
+    langs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    per_tok = (F.col("dsir_logratio") / F.col("n_tokens")).alias("pt")
+    rows = (
+        w.join(langs, "doc_id")
+        .select((F.col("lang") == "en").alias("is_en"), per_tok)
+        .groupBy("is_en")
+        .agg(F.avg("pt").alias("mean_pt"))
+        .collect()
+    )
+    means = {r["is_en"]: r["mean_pt"] for r in rows}
+    assert means[True] > means[False]

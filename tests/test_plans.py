@@ -72,6 +72,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "similarity_ann_ivf",
             "similarity_ann_ivf_ml",  # same Arrow probe/assign UDFs
             "corpus_topic_balance",  # pinned_cell_assign (Arrow batch)
+            "dedup_semantic",  # pinned_cell_assign (Arrow batch)
             "similarity_ann_quantized",  # Arrow matmul code scan
             "dedup_embedding_lsh",  # SRP bucket UDF (Arrow matmul)
             "chunk_documents_udtf",
