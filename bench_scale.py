@@ -79,6 +79,13 @@ QUERIES = (
     "corpus_topic_balance",
     "sql_frontend_exists_parity",
     "sql_frontend_setops_all_parity",
+    # round-6 late additions: sliding-window substring detector, the
+    # quality ensemble, SemDeDup, the CCNet chunk rewrite, and DSIR
+    "substring_dup_spans",
+    "quality_ensemble_score",
+    "dedup_semantic",
+    "dedup_chunk_rewrite",
+    "dsir_importance_weights",
 )
 
 TABLES = (
