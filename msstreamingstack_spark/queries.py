@@ -280,13 +280,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (c) family slots (tpch/multimodal/grouping-sets/layout)
     "tpch_q18_large_orders", "multimodal_frame_sample",
     "grouping_sets_revenue", "zorder_cluster_stats",
-    # (d) round-4 cohort fills (registry order; three were displaced
+    # (d) round-4 cohort fills (registry order; four were displaced
     # late in round 6 by (f) below — join_semi_customers_with_orders,
-    # running_revenue_per_customer, cube_orders_status_priority stay
-    # r4-latest and MUST be in the round-7 window)
+    # running_revenue_per_customer, cube_orders_status_priority,
+    # rollup_lineitem_flags stay r4-latest and MUST be in the
+    # round-7 window)
     "sessionize_events", "enrich_clickstream", "tpch_q1",
     "join_left_orders_customer", "join_anti_customers_no_orders",
-    "rollup_lineitem_flags",
     "order_priority_check", "user_state_table",
     "device_transitions", "dedup_ngram_jaccard",
     # (e) first rows for the round-6 additions: SQL-front-end parity
@@ -296,8 +296,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_topic_balance", "substring_dup_spans",
     "quality_ensemble_score",
     # (f) first rows for the late round-6 additions: SemDeDup over the
-    # pinned quantizer, CCNet chunk-rewrite, DSIR importance weights
+    # pinned quantizer, CCNet chunk-rewrite, DSIR importance weights,
+    # and the Spark-4 recursive-CTE parity shape
     "dedup_semantic", "dedup_chunk_rewrite", "dsir_importance_weights",
+    "sql_frontend_recursive_spine_parity",
 )
 
 

@@ -2427,6 +2427,63 @@ def q_sql_frontend_setops_all_parity(
     return run_sql(spark, sf_dir, _SETOPS_SQL_TEXT)
 
 
+# The recursive term must stay UNION ALL (Spark 4 does not support
+# UNION-distinct recursion — probed, UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+# so the recursion must be a DAG by construction: a monotone integer
+# spine bounded by a scalar CTE terminates in (hi - lo) steps. Derived
+# year/month columns are deliberately NOT emitted: DuckDB rounds
+# float→INTEGER casts while Spark truncates, so m/12 arithmetic would
+# split the engines on half-boundary months.
+_RECURSIVE_SPINE_SQL_TEXT = """
+WITH RECURSIVE bounds AS (
+  SELECT MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
+         MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
+  FROM orders
+),
+spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + 1 FROM spine JOIN bounds ON m < hi
+),
+rev AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+)
+SELECT s.m AS month_key,
+       COALESCE(r.n_orders, 0) AS n_orders,
+       COALESCE(r.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN rev r ON s.m = r.m
+"""
+
+
+@register(
+    "sql_frontend_recursive_spine_parity",
+    _RECURSIVE_SPINE_SQL_TEXT,
+    tags=("extension", "sql-frontend", "recursive-cte", "parity"),
+    doc="SQL front-end on WITH RECURSIVE (new in Spark 4): a monthly "
+    "calendar spine generated by a bounded integer recursion (anchor = "
+    "scalar min month, step = +1 while below the scalar max), LEFT "
+    "JOINed to monthly order revenue so gap months surface as explicit "
+    "zero rows — the recursive-CTE form of the calendar-spine gap-fill "
+    "that timeseries_gapfill builds with sequence(). Identical text on "
+    "both engines; revenue routed through exact DECIMAL. The recursion "
+    "is driver-friendly at any scale: its working set is ONE row per "
+    "step and the heavy table is touched only by the ordinary grouped "
+    "aggregate. UNION ALL + monotone bound is the only recursion shape "
+    "Spark 4 supports (UNION-distinct recursion raises "
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — pinned here as parity "
+    "coverage for that dialect boundary.",
+)
+def q_sql_frontend_recursive_spine_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _RECURSIVE_SPINE_SQL_TEXT)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup over the pinned quantizer (SemDeDup shape)
 # ---------------------------------------------------------------------------
