@@ -1201,3 +1201,73 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
   FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup sub-bucket refinement (pinned quantizer + SRP split bits)
+# ---------------------------------------------------------------------------
+# SemDeDup's published recipe sizes the quantizer with the corpus (K
+# grows with N so cell occupancy — and the within-cell quadratic pair
+# stage — stays bounded). A PINNED quantizer can't grow K, so beyond
+# its design occupancy each cell is SPLIT by deterministic SRP sign
+# bits instead: sub-bucket = (cell, b sign bits), b derived from the
+# corpus count exactly like auto_planes_per_table. Splitting is
+# recall-monotone (a refined pair set is a subset of the unrefined
+# one) and candidate volume returns to ~N·occupancy. The planes live
+# at an index offset so they are independent of the SRP-ANN/near-dup
+# tables.
+SEMDEDUP_TARGET_OCC = 32
+SEMDEDUP_PLANE_BASE = 100
+SEMDEDUP_MAX_BITS = 16
+
+
+def semdedup_sub_bits(n_rows: int | None) -> int:
+    """Refinement bits for a corpus of ``n_rows``: 0 while the pinned
+    quantizer's K·target_occupancy covers it (the driver fixture —
+    keeping the historically-oracled semantics), +1 per doubling
+    beyond."""
+    import math
+
+    k = load_pinned_ivf("lloyd")[0].shape[0]
+    if not n_rows or n_rows <= k * SEMDEDUP_TARGET_OCC:
+        return 0
+    return min(
+        SEMDEDUP_MAX_BITS, math.ceil(math.log2(n_rows / (k * SEMDEDUP_TARGET_OCC)))
+    )
+
+
+def semdedup_subbucket(vec_col: Column, bits: int) -> Column:
+    """Packed SRP sign bits (offset plane family) as an int column;
+    constant 0 when ``bits == 0`` so the plan stays UDF-free on the
+    driver fixture."""
+    if bits == 0:
+        return F.lit(0)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _sub(vecs):
+        planes = np.array(
+            [_plane(SEMDEDUP_PLANE_BASE + j) for j in range(bits)],
+            dtype="float64",
+        ).T
+        x = np.stack(vecs.to_numpy()).astype("float64")
+        b = (x @ planes) > 0
+        weights = np.array([1 << j for j in range(bits)], dtype="int64")
+        return pd.Series((b * weights).sum(axis=1))
+
+    return pandas_udf(_sub, "long")(vec_col)
+
+
+def semdedup_sub_sql(bits: int) -> str:
+    """DuckDB twin of :func:`semdedup_subbucket` over a DOUBLE[] column
+    named ``v`` — plane literals inline, same packing."""
+    if bits == 0:
+        return "0"
+    terms = []
+    for j in range(bits):
+        lit = "[" + ", ".join(repr(x) for x in _plane(SEMDEDUP_PLANE_BASE + j)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"

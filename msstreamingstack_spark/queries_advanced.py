@@ -2491,11 +2491,12 @@ SEMDEDUP_COS_T = 0.35  # near-orthogonal fixture vectors; 0.35 yields a
                        # sparse-but-nonempty in-cell duplicate relation
 
 
-def _semantic_dedup_oracle(tau: float) -> str:
+def _semantic_dedup_oracle(tau: float, sub_bits: int = 0) -> str:
     from msstreamingstack_spark.operators.similarity import (
         COS_ROUND,
         cosine_sql,
         pinned_cent_cte_sql,
+        semdedup_sub_sql,
     )
 
     cos = cosine_sql("a.v", "b.v")
@@ -2504,7 +2505,7 @@ WITH cent(cell, c, cc) AS (
   VALUES {pinned_cent_cte_sql('lloyd')}
 ),
 assign AS (
-  SELECT vec_id, v, cell FROM (
+  SELECT vec_id, v, cell, {semdedup_sub_sql(sub_bits)} AS sub FROM (
     SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, t.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c),
@@ -2514,7 +2515,7 @@ assign AS (
 pair AS (
   SELECT a.vec_id, round({cos}, {COS_ROUND}) AS cosr
   FROM assign a JOIN assign b
-    ON a.cell = b.cell AND b.vec_id < a.vec_id
+    ON a.cell = b.cell AND a.sub = b.sub AND b.vec_id < a.vec_id
 ),
 nbr AS (
   SELECT vec_id, COUNT(*) AS n_nbrs, MAX(cosr) AS top_cos
@@ -2531,7 +2532,7 @@ FROM assign s LEFT JOIN nbr n USING (vec_id)
 
 @register(
     "dedup_semantic",
-    _semantic_dedup_oracle(SEMDEDUP_COS_T),
+    None,  # attached below from the driver fixture's own sizing
     tags=("extension", "dedup", "embedding", "ivf", "semantic"),
     doc="SemDeDup-shaped semantic dedup (Abbas et al. 2023): embeddings "
     "are assigned to their pinned-quantizer cell (the SAME parity-exact "
@@ -2541,15 +2542,19 @@ FROM assign s LEFT JOIN nbr n USING (vec_id)
     "keep-first-by-id rule, deterministic on both engines. Output is "
     "one row per vector (cell, duplicate-neighbor count, top cosine, "
     "flag), i.e. the keep/drop decision a pretraining pipeline consumes. "
-    "Scale: the quadratic stage is per-cell and the quantizer is sized "
-    "so cells stay bounded (K grows with N; at 100 TB you fit/shard "
-    "more cells, never widen one) — candidate generation is an "
-    "equi-join on cell with ids+vectors only, exactly the published "
-    "SemDeDup recipe. Cosines are rounded before the threshold compare "
-    "and the MAX fold, so the driver hash-compare is bit-stable "
-    "cross-engine. Cites reference scope: the ref engine has no "
-    "embedding surface at all (SURVEY.md §2.5 ABSENT) — this is "
-    "north-star extension surface.",
+    "Scale: SemDeDup's published recipe sizes K with N so the per-cell "
+    "quadratic stage stays bounded; a PINNED quantizer can't grow K, "
+    "so beyond its design occupancy (K·32 rows) each cell is SPLIT by "
+    "auto-sized deterministic SRP sign bits (semdedup_sub_bits — the "
+    "auto_planes_per_table discipline; a 16x corpus measured 22x "
+    "before refinement, linear after). Refinement only SPLITS cells, "
+    "so the flagged set is a monotone subset of the unrefined one — "
+    "property-pinned; the driver fixture (500 rows) derives 0 bits, "
+    "keeping the oracled semantics identical. Cosines are rounded "
+    "before the threshold compare and the MAX fold, so the driver "
+    "hash-compare is bit-stable cross-engine. The ref engine has no "
+    "embedding surface at all (SURVEY.md §2.5 ABSENT) — north-star "
+    "extension surface.",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.caching import rotating_persist
@@ -2557,8 +2562,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         COS_ROUND,
         cosine,
         pinned_cell_assign,
+        semdedup_sub_bits,
+        semdedup_subbucket,
     )
+    from msstreamingstack_spark.sources.tables import table_row_count
 
+    bits = semdedup_sub_bits(table_row_count(sf_dir, "embeddings"))
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     # assignment runs the Arrow-batched quantizer UDF once; the frame
     # feeds both self-join sides and the final left join, so persist it
@@ -2568,14 +2577,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("embedding").alias("v"),
             pinned_cell_assign(F.col("embedding")).alias("cell"),
+            semdedup_subbucket(F.col("embedding"), bits).alias("sub"),
         ),
         "dedup_semantic.assigned",
     )
     earlier = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell", "sub"
     )
     pair = (
-        assigned.join(earlier, "cell")
+        assigned.join(earlier, ["cell", "sub"])
         .filter(F.col("b_id") < F.col("vec_id"))
         .select(
             "vec_id",
@@ -2604,6 +2614,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_semdup"),
         )
     )
+
+
+# The driver runs the correctness gate at DRIVER_ORACLE_SF_DIR; the
+# registered oracle must derive its refinement bits from the SAME
+# semdedup_sub_bits(footer count) the builder applies there (the
+# embedding-LSH auto-sizing precedent) — 500 rows → 0 bits, so the
+# attached SQL is the historically-verified unrefined form.
+def _attach_semantic_dedup_oracle() -> None:
+    from msstreamingstack_spark.operators.similarity import semdedup_sub_bits
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import table_row_count
+
+    n = table_row_count(DRIVER_ORACLE_SF_DIR, "embeddings")
+    REGISTRY["dedup_semantic"].oracle = _semantic_dedup_oracle(
+        SEMDEDUP_COS_T, semdedup_sub_bits(n) if n else 0
+    )
+
+
+_attach_semantic_dedup_oracle()
 
 
 # Re-apply the driver window: when THIS module was the direct import

@@ -331,3 +331,82 @@ def test_dedup_semantic_matches_numpy_model_with_planted_dups(spark, sf_smoke):
         assert abs(g[2] - w[2]) < 1e-9, (i, g, w)
     # the planted pair actually flags
     assert got[n][3] == 1 and got[n + 1][3] == 1
+
+
+def test_dedup_semantic_refinement_is_monotone_and_modeled(spark, sf_smoke):
+    """Above the pinned quantizer's design occupancy the builder derives
+    SRP split bits; the refined flag set must (a) match a numpy model of
+    the refined rule and (b) be a SUBSET of the unrefined flags —
+    splitting cells can only remove pairs, never invent them."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        SEMDEDUP_PLANE_BASE,
+        _plane,
+        load_pinned_ivf,
+        semdedup_sub_bits,
+    )
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_advanced import SEMDEDUP_COS_T
+
+    base = pd.read_parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    vecs = np.stack([np.asarray(v, dtype="float32") for v in base["embedding"]])
+    rng_rows = []
+    # tile the fixture past the 0-bit boundary (K*32 = 512) with exact
+    # copies at new ids — copies land in the same cell AND sub-bucket,
+    # so refined detection must still flag them
+    while len(rng_rows) + len(vecs) <= 600:
+        rng_rows.extend(vecs)
+    planted = np.vstack([vecs, np.stack(rng_rows)])[:601]
+    ids = list(range(len(planted)))
+    bits = semdedup_sub_bits(len(planted))
+    assert bits >= 1  # the point of the fixture
+
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [planted[i].astype("float32") for i in ids],
+            "label": [0] * len(ids),
+        }
+    ).to_parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    C, cc = load_pinned_ivf("lloyd")
+    X = planted.astype("float64")
+    cells = np.argmin(cc[None, :] - 2.0 * (X @ C.T), axis=1)
+    planes = np.array(
+        [_plane(SEMDEDUP_PLANE_BASE + j) for j in range(bits)], dtype="float64"
+    ).T
+    subs = (((X @ planes) > 0)
+            * np.array([1 << j for j in range(bits)])).sum(axis=1)
+    norms = np.linalg.norm(X, axis=1)
+
+    def flags(keys):
+        out = {}
+        for i in ids:
+            hit = any(
+                keys[j] == keys[i]
+                and round(float(X[i] @ X[j]) / float(norms[i] * norms[j]),
+                          COS_ROUND) >= SEMDEDUP_COS_T
+                for j in range(i)
+            )
+            out[i] = 1 if hit else 0
+        return out
+
+    refined_model = flags(list(zip(cells, subs)))
+    unrefined_model = flags(list(cells))
+
+    got = {
+        r["vec_id"]: r["is_semdup"]
+        for r in REGISTRY["dedup_semantic"].builder(spark, tmp).collect()
+    }
+    assert got == refined_model
+    # monotone: refined flags never exceed unrefined
+    assert all(got[i] <= unrefined_model[i] for i in ids)
+    # exact copies still detected under refinement
+    assert all(got[i] == 1 for i in range(len(vecs), len(planted)))
