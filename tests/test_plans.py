@@ -460,3 +460,34 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_chunk_rewrite_no_cartesian_single_content_window(spark):
+    """The rewrite's only corpus-wide exchange is the content-keyed
+    rank window; no cartesian/BNLJ anywhere, scan pruned to the two
+    needed columns."""
+    df = REGISTRY["dedup_chunk_rewrite"].builder(spark, SF)
+    f = plan_facts(df)
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert_scan_pruned(
+        df, must_read=["doc_id", "text"], must_not_read=["lang", "source", "n_chars"]
+    )
+
+
+def test_dsir_lm_tables_join_broadcast(spark):
+    """Both DSIR bucket tables (B=32 rows) must come back as broadcast
+    joins; the corpus totals are explicit-broadcast scalars — so the
+    only key-shuffle in the plan is the per-(doc,bucket) fold."""
+    f = plan_facts(REGISTRY["dsir_importance_weights"].builder(spark, SF))
+    assert f.broadcast_joins >= 3, f.text  # raw + tgt + scalar(s)
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0, "DSIR must stay JVM-side"
+
+
+def test_dedup_semantic_joins_stay_keyed(spark):
+    """SemDeDup's pair stage must be an equi-join on (cell, sub) — a
+    cartesian pair scan here is exactly the failure the cell/refinement
+    design exists to prevent."""
+    f = plan_facts(REGISTRY["dedup_semantic"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
