@@ -1671,6 +1671,85 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event debounce (batch analogue of dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+DEBOUNCE_GAP_SEC = 300
+
+
+@register(
+    "dedup_events_debounce",
+    f"""
+WITH ev AS (SELECT event_id, user_id, event_type,
+                   epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+g AS (
+  SELECT event_id, user_id, event_type, ts_sec,
+         CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts_sec, event_id) IS NULL
+                OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts_sec, event_id)
+                   > {DEBOUNCE_GAP_SEC}
+              THEN 1 ELSE 0 END AS is_head
+  FROM ev
+),
+s AS (
+  SELECT *, SUM(is_head) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+  FROM g
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type, grp
+                            ORDER BY ts_sec, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, grp) AS n_collapsed
+  FROM s
+)
+SELECT event_id, user_id, event_type, ts_sec,
+       CAST(n_collapsed AS BIGINT) AS n_collapsed
+FROM r WHERE rn = 1
+""",
+    tags=("extension", "dedup", "events", "debounce", "window"),
+    doc=f"Gap-based event debounce — the BATCH analogue of the "
+    "streaming `dropDuplicatesWithinWatermark` path "
+    "(streaming/watermark.py): within each (user, event_type) key, "
+    f"bursts whose inter-event gap never exceeds {DEBOUNCE_GAP_SEC}s "
+    "collapse to their first event, carrying how many rows they "
+    "absorbed — the duplicate-click/retry-storm suppressor a telemetry "
+    "pipeline runs before aggregation. Same machinery as "
+    "sessionization (ONE window shuffle on the key; gap-indicator "
+    "running sum forms the debounce group, rank-1 row survives); "
+    "chains with sub-gap spacing collapse regardless of total span — "
+    "gap semantics, not fixed-window, exactly like the streaming "
+    "twin's state eviction. Integer epoch seconds end-to-end: no "
+    "float surface in the hash at all.",
+)
+def q_dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_sec"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    is_head = (
+        prev.isNull() | ((F.col("ts_sec") - prev) > DEBOUNCE_GAP_SEC)
+    ).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.withColumn("grp", F.sum(is_head).over(run))
+    wg = Window.partitionBy("user_id", "event_type", "grp")
+    r = s.withColumn(
+        "rn", F.row_number().over(wg.orderBy("ts_sec", "event_id"))
+    ).withColumn("n_collapsed", F.count("*").over(wg))
+    return r.filter(F.col("rn") == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_sec",
+        F.col("n_collapsed").cast("long").alias("n_collapsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunk-dedup rewrite (CCNet-style shared-passage removal)
 # ---------------------------------------------------------------------------
 DEDUP_CHUNK_REWRITE_SQL = f"""

@@ -892,3 +892,53 @@ def test_dsir_weights_prefer_target_language(spark, sf_smoke):
     )
     means = {r["is_en"]: r["mean_pt"] for r in rows}
     assert means[True] > means[False]
+
+
+def test_dedup_events_debounce_gap_semantics(spark):
+    """Hand fixture for the debounce rule: a sub-gap burst collapses to
+    its first event even when the burst's total span exceeds the gap
+    (chain semantics), a boundary-exact gap still collapses (> not >=),
+    and distinct keys never interact."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import DEBOUNCE_GAP_SEC
+
+    g = DEBOUNCE_GAP_SEC
+    rows = [
+        # u1/click: chain 0, g, 2g (each step == gap, > is false -> one
+        # group spanning 2g), then 3g+1 after the last -> new group
+        (1, 10, "click", 0),
+        (2, 10, "click", g),
+        (3, 10, "click", 2 * g),
+        (4, 10, "click", 3 * g + 1),
+        # u1/view: same timestamps, independent key
+        (5, 10, "view", 0),
+        (6, 10, "view", 1),
+        # u2/click: single event
+        (7, 20, "click", 5),
+    ]
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+            # micros, not pandas' default nanos — Spark 4 rejects
+            # TIMESTAMP(NANOS) parquet columns outright
+            "ts": pd.to_datetime([r[3] for r in rows], unit="s").astype(
+                "datetime64[us]"
+            ),
+        }
+    ).to_parquet(os.path.join(tmp, "events.parquet"))
+
+    got = {
+        r["event_id"]: r["n_collapsed"]
+        for r in REGISTRY["dedup_events_debounce"].builder(spark, tmp).collect()
+    }
+    assert got == {1: 3, 4: 1, 5: 2, 7: 1}
