@@ -86,6 +86,7 @@ QUERIES = (
     "dedup_semantic",
     "dedup_chunk_rewrite",
     "dsir_importance_weights",
+    "dedup_events_debounce",
 )
 
 TABLES = (
