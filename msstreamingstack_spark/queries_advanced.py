@@ -188,6 +188,34 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_percentile_event_values",
+    None,  # approx_percentile sketches are engine-specific → rows-only;
+    # the rank-error bound vs the exact percentile query is asserted in
+    # tests/test_advanced.py
+    tags=("advanced", "approx", "agg", "percentile"),
+    doc="approx_percentile per event_type (Spark's quantile sketch, "
+    "accuracy 10000 ≈ 0.01% rank error) — the sketch twin of the exact "
+    "`percentile_event_values`: at 100 TB the exact form needs a full "
+    "sort-by-value per group while the sketch is one mergeable "
+    "accumulator per partition (same shape as approx_count_distinct), "
+    "which is the only percentile anyone computes at that scale. "
+    "Rank-error bound vs the exact query is pytest-asserted; sketch "
+    "internals differ per engine so the driver records rows-only.",
+)
+def q_approx_percentile_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile(
+            F.col("value"),
+            F.array(*[F.lit(q) for q in (0.25, 0.50, 0.75, 0.95)]),
+            F.lit(10000),
+        ).alias("approx_quantiles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional TPC-H shapes (q6, q10, q14, q18, q19)
 # ---------------------------------------------------------------------------
@@ -2438,7 +2466,7 @@ _RECURSIVE_SPINE_SQL_TEXT = """
 WITH RECURSIVE bounds AS (
   SELECT MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
          MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
-  FROM orders
+  FROM orders WHERE year(o_orderdate) = 1996
 ),
 spine(m) AS (
   SELECT lo FROM bounds
@@ -2449,7 +2477,8 @@ rev AS (
   SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
-  FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+  FROM orders WHERE year(o_orderdate) = 1996
+  GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
 )
 SELECT s.m AS month_key,
        COALESCE(r.n_orders, 0) AS n_orders,
@@ -2468,11 +2497,15 @@ FROM spine s LEFT JOIN rev r ON s.m = r.m
     "JOINed to monthly order revenue so gap months surface as explicit "
     "zero rows — the recursive-CTE form of the calendar-spine gap-fill "
     "that timeseries_gapfill builds with sequence(). Identical text on "
-    "both engines; revenue routed through exact DECIMAL. The recursion "
-    "is driver-friendly at any scale: its working set is ONE row per "
-    "step and the heavy table is touched only by the ordinary grouped "
-    "aggregate. UNION ALL + monotone bound is the only recursion shape "
-    "Spark 4 supports (UNION-distinct recursion raises "
+    "both engines; revenue routed through exact DECIMAL. Cost model: "
+    "Spark executes each recursion step as its own job AND re-evaluates "
+    "the non-recursive bounds CTE per step (measured 13.9 s for an "
+    "80-month spine at sf0.1), so the spine is bounded to one year "
+    "(12 steps, ~4 s steady — the residual is per-step scheduling) — recursion is the dialect-parity demo here; at "
+    "scale you generate long spines with sequence() (timeseries_gapfill) "
+    "and keep recursion for genuinely inductive shapes. UNION ALL + "
+    "monotone bound is the only recursion shape Spark 4 supports "
+    "(UNION-distinct recursion raises "
     "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — pinned here as parity "
     "coverage for that dialect boundary.",
 )
