@@ -2517,6 +2517,41 @@ def q_sql_frontend_recursive_spine_parity(
     return run_sql(spark, sf_dir, _RECURSIVE_SPINE_SQL_TEXT)
 
 
+_LATERAL_SQL_TEXT = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n
+JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t ON TRUE
+"""
+
+
+@register(
+    "sql_frontend_lateral_topk_parity",
+    _LATERAL_SQL_TEXT,
+    tags=("extension", "sql-frontend", "lateral", "topk", "parity"),
+    doc="SQL front-end on JOIN LATERAL: per-nation top-2 orders via a "
+    "correlated ordered-LIMIT subquery — the dialect's lateral "
+    "surface, identical text on both engines. Spark decorrelates the "
+    "lateral into a join + per-key rank window (no per-outer-row "
+    "subquery execution ever happens — the only shape that exists at "
+    "100 TB), which is exactly the plan the DataFrame-side "
+    "topk_customers_per_segment builds by hand; this entry gates the "
+    "SQL route. Ties broken on o_orderkey so the LIMIT cut is "
+    "deterministic cross-engine.",
+)
+def q_sql_frontend_lateral_topk_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _LATERAL_SQL_TEXT)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup over the pinned quantizer (SemDeDup shape)
 # ---------------------------------------------------------------------------

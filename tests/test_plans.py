@@ -491,3 +491,13 @@ def test_dedup_semantic_joins_stay_keyed(spark):
     design exists to prevent."""
     f = plan_facts(REGISTRY["dedup_semantic"].builder(spark, SF))
     assert "CartesianProduct" not in f.text
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark):
+    """JOIN LATERAL (ORDER BY ... LIMIT k) must decorrelate to a rank
+    window with WindowGroupLimit pruning (partial before the exchange)
+    — never per-outer-row subquery execution or a cartesian."""
+    f = plan_facts(REGISTRY["sql_frontend_lateral_topk_parity"].builder(spark, SF))
+    assert "WindowGroupLimit" in f.text, f.text
+    assert "CartesianProduct" not in f.text
+    assert f.broadcast_joins >= 2, f.text
