@@ -87,6 +87,8 @@ QUERIES = (
     "dedup_chunk_rewrite",
     "dsir_importance_weights",
     "dedup_events_debounce",
+    "sql_frontend_recursive_spine_parity",
+    "sql_frontend_lateral_topk_parity",
 )
 
 TABLES = (
