@@ -501,3 +501,15 @@ def test_lateral_topk_decorrelates_to_group_limit(spark):
     assert "WindowGroupLimit" in f.text, f.text
     assert "CartesianProduct" not in f.text
     assert f.broadcast_joins >= 2, f.text
+
+
+def test_debounce_windows_share_one_exchange(spark):
+    """Both debounce windows — the (user,type) gap/running-sum pass and
+    the (user,type,grp) rank pass — must reuse ONE hash exchange:
+    HashPartitioning(user,type) satisfies the superset clustering, so a
+    second shuffle would be a regression."""
+    import re
+
+    f = plan_facts(REGISTRY["dedup_events_debounce"].builder(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", f.text)) == 1, f.text
+    assert f.python_evals == 0
