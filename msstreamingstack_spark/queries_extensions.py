@@ -1671,6 +1671,81 @@ def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+def _hard_negatives_sql(k: int, n_queries: int) -> str:
+    from msstreamingstack_spark.operators.similarity import (
+        COS_ROUND,
+        cosine_sql,
+    )
+
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id,
+         round({cos}, {COS_ROUND}) AS cos
+  FROM embeddings q JOIN embeddings c
+    ON q.label <> c.label
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, query_label, negative_id, cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, negative_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register(
+    "mine_hard_negatives",
+    _hard_negatives_sql(5, N_QUERY_VECS),
+    tags=("extension", "similarity", "pipeline", "contrastive"),
+    doc="Hard-negative mining for contrastive training (the DPR/SimCSE "
+    "data-prep step): for each query vector, the top-5 most-similar "
+    "corpus vectors carrying a DIFFERENT label — the negatives that "
+    "actually teach a metric model, vs random negatives that are "
+    "trivially far. Exact kernel here (query side broadcast, label "
+    "inequality as the join predicate, rounded-cosine rank window); "
+    "at 100 TB the same label-aware shortlist comes from the IVF/SRP "
+    "candidate generators (similarity_ann_*) with the label filter "
+    "pushed into the candidate join — this query pins the semantics "
+    "those scale paths must reproduce. Deterministic ties on "
+    "negative_id; fully DuckDB-oracled.",
+)
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import COS_ROUND, cosine
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        q.join(c, F.col("query_label") != F.col("neg_label"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND))
+        .select("query_id", "query_label", "negative_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "query_label", "negative_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event debounce (batch analogue of dropDuplicatesWithinWatermark)
 # ---------------------------------------------------------------------------
 DEBOUNCE_GAP_SEC = 300

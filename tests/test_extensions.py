@@ -942,3 +942,56 @@ def test_dedup_events_debounce_gap_semantics(spark):
         for r in REGISTRY["dedup_events_debounce"].builder(spark, tmp).collect()
     }
     assert got == {1: 3, 4: 1, 5: 2, 7: 1}
+
+
+def test_mine_hard_negatives_matches_numpy_model(spark, sf_smoke):
+    """Independent numpy model of the mining rule: per query, top-5
+    cross-label cosine, ties on id — and every returned negative must
+    out-rank (or tie) any same-label vector's eligibility by
+    construction (labels differ from the query's)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from msstreamingstack_spark.operators.similarity import COS_ROUND
+    from msstreamingstack_spark.queries import REGISTRY
+
+    base = pd.read_parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+    X = np.stack(
+        [np.asarray(v, dtype="float64") for v in base["embedding"]]
+    )
+    labels = base["label"].to_numpy()
+    ids = base["vec_id"].to_numpy()
+    norms = np.linalg.norm(X, axis=1)
+
+    want = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= 10:
+            continue
+        cands = []
+        for ci in range(len(ids)):
+            if labels[ci] == labels[qi]:
+                continue
+            cos = round(float(X[qi] @ X[ci]) / float(norms[qi] * norms[ci]),
+                        COS_ROUND)
+            cands.append((-cos, ids[ci]))
+        cands.sort()
+        want[ids[qi]] = [
+            (int(i), -c) for c, i in cands[:5]
+        ]
+
+    got = {}
+    for r in REGISTRY["mine_hard_negatives"].builder(spark, sf_smoke).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["negative_id"], r["cos"], r["query_label"])
+        )
+    assert set(got) == set(want)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [(n, c) for _, n, c, _ in rows] == want[qid], qid
+        # negatives all differ from the query's label
+        qlabel = rows[0][3]
+        assert all(
+            labels[list(ids).index(n)] != qlabel for _, n, _, _ in rows
+        )
