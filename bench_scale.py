@@ -89,6 +89,7 @@ QUERIES = (
     "dedup_events_debounce",
     "sql_frontend_recursive_spine_parity",
     "sql_frontend_lateral_topk_parity",
+    "mine_hard_negatives",
 )
 
 TABLES = (
