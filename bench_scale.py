@@ -90,6 +90,10 @@ QUERIES = (
     "sql_frontend_recursive_spine_parity",
     "sql_frontend_lateral_topk_parity",
     "mine_hard_negatives",
+    # continuation additions: pinned-model serving (fastText-style
+    # classifier, PCA projection)
+    "langid_fasttext_hashed",
+    "embedding_pca_project",
 )
 
 TABLES = (

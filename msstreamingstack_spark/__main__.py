@@ -423,6 +423,8 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         lm_store_dir=args.lm_store,
         lm_max_bits=args.lm_max_bits,
         compact_every=args.compact_every,
+        ft_gate=args.ft_gate,
+        ft_min_logit=args.ft_min_logit,
     )
     q.awaitTermination()
     return 0
@@ -516,6 +518,42 @@ def _cmd_ann(args: argparse.Namespace) -> int:
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
     out.orderBy("query_id", "rank").show(args.k * len(query_ids), truncate=False)
+    return 0
+
+
+def _cmd_fit_pinned(args: argparse.Namespace) -> int:
+    """Refit a pinned serving model (textclf / pca) and write its JSON.
+
+    The committed resources/*.json are the models the registry serves;
+    this reproduces them (fit at --sf-dir, default the sf0.01 oracle
+    fixture). Refits are deterministic up to float reduction order —
+    the committed pin, not the refit, is the source of truth."""
+    import json
+
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="msstreamingstack-fit")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.model == "textclf":
+        from msstreamingstack_spark.operators.textclf import fit_nb_pinned
+
+        pin = fit_nb_pinned(
+            load_table(spark, args.sf_dir, "documents"),
+            buckets=args.buckets,
+            meta={"fit_sf": args.sf_dir, "task": "en-vs-rest"},
+        )
+    else:
+        from msstreamingstack_spark.operators.pca import fit_pca_pinned
+
+        pin = fit_pca_pinned(
+            load_table(spark, args.sf_dir, "embeddings"),
+            q=args.q,
+            meta={"fit_sf": args.sf_dir},
+        )
+    with open(args.out, "w") as fh:
+        json.dump(pin, fh, indent=1)
+    print(f"pinned {args.model} model -> {args.out}")
     return 0
 
 
@@ -637,6 +675,13 @@ def main(argv: list[str] | None = None) -> int:
                    "accepted corpus's LM with reason low_quality_lm")
     i.add_argument("--lm-max-bits", type=float, default=8.0,
                    help="bits-per-bigram ceiling for the --lm-store gate")
+    i.add_argument("--ft-gate", action="store_true",
+                   help="screen each batch through the pinned "
+                   "fastText-style classifier; docs at or below "
+                   "--ft-min-logit reject as nontarget_lang_ft")
+    i.add_argument("--ft-min-logit", type=float, default=0.0,
+                   help="minimum pinned-classifier logit to keep a doc "
+                   "(0 = classifier's own decision boundary)")
     i.add_argument("--compact-every", type=int, default=None,
                    help="fold each store's increment partitions into one "
                    "__base partition every N batches, in-stream (current "
@@ -694,6 +739,17 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--out", help="write results parquet here")
     an.set_defaults(fn=_cmd_ann)
+
+    fp = sub.add_parser(
+        "fit-pinned",
+        help="refit a pinned serving model (textclf/pca) and write its JSON",
+    )
+    fp.add_argument("model", choices=("textclf", "pca"))
+    fp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    fp.add_argument("--out", required=True)
+    fp.add_argument("--buckets", type=int, default=1024, help="textclf buckets")
+    fp.add_argument("--q", type=int, default=4, help="pca components")
+    fp.set_defaults(fn=_cmd_fit_pinned)
 
     sq = sub.add_parser("sql", help="run ad-hoc SQL over the fixture tables")
     sq.add_argument("query")

@@ -2703,6 +2703,38 @@ def _attach_semantic_dedup_oracle() -> None:
 _attach_semantic_dedup_oracle()
 
 
+# ---------------------------------------------------------------------------
+# PCA projection over the pinned components (embedding post-processing)
+# ---------------------------------------------------------------------------
+def _pca_pinned_oracle() -> str:
+    from msstreamingstack_spark.operators.pca import project_pinned_sql
+
+    return project_pinned_sql()
+
+
+@register(
+    "embedding_pca_project",
+    _pca_pinned_oracle(),
+    tags=("extension", "embedding", "pca", "linear-algebra"),
+    doc="Project every embedding onto the PINNED principal components "
+    "(resources/pca_pinned.json — distributed moment fold via ONE "
+    "mapInPandas pass bounded at partitions×(D²+D+1) doubles, driver "
+    "eigh on the D×D covariance, signs pinned largest-|v|-positive, "
+    "fitted once at sf0.01; the fit/serve split is the IVF-quantizer "
+    "precedent). Serving plan is pure JVM: posexplode (narrow) → "
+    "broadcast D-row dim table → per-vector round-then-DECIMAL folds, "
+    "ONE shuffle that partial-aggregates map-side — the standard "
+    "whiten/reduce step before clustering or ANN (FAISS PCA→IVF "
+    "recipe). Fit properties (orthonormality, variance order, numpy "
+    "parity) pytest-pinned. Ref has no linear-algebra surface "
+    "(SURVEY.md §2.5 ABSENT) — north-star extension.",
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.pca import project_pinned
+
+    return project_pinned(spread(load_table(spark, sf_dir, "embeddings")))
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

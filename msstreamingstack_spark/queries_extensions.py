@@ -2045,6 +2045,42 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# fastText-style pinned hashed linear classifier (langid/quality gate)
+# ---------------------------------------------------------------------------
+def _textclf_pinned_oracle() -> str:
+    from msstreamingstack_spark.operators.textclf import score_pinned_sql
+
+    return score_pinned_sql()
+
+
+@register(
+    "langid_fasttext_hashed",
+    _textclf_pinned_oracle(),
+    tags=("extension", "pipeline", "quality", "langid", "classifier"),
+    doc="fastText-style hashed linear classifier, served from the "
+    "PINNED model (resources/fasttext_pinned.json — closed-form NB "
+    "log-count-ratio over md5-hashed unigram+bigram buckets, fitted "
+    "once at sf0.01; Joulin et al. 2016 / Wang & Manning 2012). The "
+    "demonstration task is en-vs-rest (the fixture's five languages "
+    "share ONE vocabulary — frequency profiles alone give ~83% vs a "
+    "56% base rate, floor pytest-pinned); with wiki-vs-crawl labels "
+    "the identical kernel is the CCNet/LLaMA quality gate. Plan: ONE "
+    "tokenize feeding unigram+bigram explodes folded to per-(doc, "
+    "bucket) counts, broadcast join on the B-row weight table (B=1024 "
+    "here, 2M in production fastText — still broadcastable at any "
+    "corpus size), round-then-DECIMAL dot product + DECIMAL bias — "
+    "zero corpus-sized shuffles beyond the feature fold, no Python. "
+    "Complements langid_heuristic (rules) with the learned-model "
+    "serving shape. Ref has no corpus surface (SURVEY.md §2.5 ABSENT) "
+    "— north-star extension.",
+)
+def q_langid_fasttext_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.textclf import score_pinned
+
+    return score_pinned(spread(load_table(spark, sf_dir, "documents")))
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -130,6 +130,8 @@ def run_corpus_ingest(
     lm_store_dir: str | None = None,
     lm_max_bits: float = 8.0,
     compact_every: int | None = None,
+    ft_gate: bool = False,
+    ft_min_logit: float = 0.0,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -168,6 +170,14 @@ def run_corpus_ingest(
     defines the corpus and is accepted wholesale; the store grows by
     vocabulary-bounded (w1, w2, c) count rows under the same
     idempotent increment labels.
+
+    ``ft_gate`` (optional) screens each batch through the PINNED
+    fastText-style classifier (operators/textclf.py) and rejects docs
+    with ``ft_logit <= ft_min_logit`` as ``nontarget_lang_ft`` — the
+    CCNet-ordered langid stage. It runs BEFORE the store stages:
+    stateless model serving (a broadcast B-row weight table) is the
+    cheapest gate after decontamination, so non-target docs never pay
+    a store lookup or register state.
 
     ``compact_every`` (optional) folds each store's accumulated
     increment partitions into one ``__base_<n>`` partition every N
@@ -266,6 +276,21 @@ def run_corpus_ingest(
             contaminated = scored.filter(
                 F.col("overlap_frac") >= frac_threshold
             ).select(*cols, F.lit("contaminated").alias("reject_reason"))
+            ft_rejects = None
+            if ft_gate:
+                from msstreamingstack_spark.operators.textclf import (
+                    score_pinned,
+                )
+
+                keep_ids = score_pinned(accepted).filter(
+                    F.col("ft_logit") > F.lit(ft_min_logit)
+                ).select("doc_id")
+                ft_rejects = accepted.join(
+                    keep_ids, "doc_id", "left_anti"
+                ).select(
+                    *cols, F.lit("nontarget_lang_ft").alias("reject_reason")
+                )
+                accepted = accepted.join(keep_ids, "doc_id", "left_semi")
             store_dups = None
             if digest_store_dir is not None:
                 from msstreamingstack_spark.operators.incremental import (
@@ -324,6 +349,8 @@ def run_corpus_ingest(
                 os.path.join(accept_dir, f"batch_id={batch_id}")
             )
             rejects = bad.select(*cols, "reject_reason").unionByName(contaminated)
+            if ft_rejects is not None:
+                rejects = rejects.unionByName(ft_rejects)
             if store_dups is not None:
                 rejects = rejects.unionByName(store_dups)
             if neardup_rejects is not None:

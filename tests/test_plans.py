@@ -513,3 +513,28 @@ def test_debounce_windows_share_one_exchange(spark):
     f = plan_facts(REGISTRY["dedup_events_debounce"].builder(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", f.text)) == 1, f.text
     assert f.python_evals == 0
+
+
+def test_textclf_weights_join_broadcast_single_fold(spark):
+    """The pinned-classifier serving plan: the B-row weight table must
+    come back BROADCAST (it is model-sized — B=2M in production
+    fastText — never corpus-sized), no cartesian, no Python; the only
+    key-shuffles are the per-(doc,bucket) feature fold and the final
+    per-doc fold, both partial-aggregated map-side."""
+    f = plan_facts(REGISTRY["langid_fasttext_hashed"].builder(spark, SF))
+    assert f.broadcast_joins >= 1, f.text
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0, "classifier serving must stay JVM-side"
+
+
+def test_pca_projection_broadcast_dims_single_fold(spark):
+    """Pinned-PCA serving: the D-row dim table joins broadcast against
+    the posexploded vectors and the per-vector fold is the ONLY
+    exchange — pure JVM end-to-end."""
+    import re
+
+    f = plan_facts(REGISTRY["embedding_pca_project"].builder(spark, SF))
+    assert f.broadcast_joins >= 1, f.text
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0, "PCA serving must stay JVM-side"
+    assert len(re.findall(r"\(\d+\) Exchange", f.text)) <= 2, f.text

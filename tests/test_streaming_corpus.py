@@ -588,3 +588,65 @@ def test_in_stream_compaction_preserves_results(spark, tmp_path):
         assert len(parts) <= 4, (store, parts)
         assert len(plain_parts) == 9, (store, plain_parts)
         assert any(e.startswith("increment=__base_") for e in parts), parts
+
+
+def test_ft_gate_rejects_nontarget_and_matches_batch_scores(spark, tmp_path):
+    """Pinned-classifier ingest stage: the gate's keep/reject split
+    must EXACTLY match the batch operator's decision boundary
+    (score_pinned logit > 0), rejects tagged nontarget_lang_ft — the
+    streaming serving path and the oracled batch query are the same
+    pinned model."""
+    from msstreamingstack_spark.operators.textclf import score_pinned
+    from msstreamingstack_spark.sources.tables import load_table
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    # real fixture docs (pass the stateless gates; mixed languages)
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id")
+        .limit(12)
+        .collect()
+    )
+    expected_keep = {
+        r["doc_id"]
+        for r in score_pinned(
+            spark.createDataFrame(docs)
+        ).filter("ft_logit > 0").collect()
+    }
+    assert 0 < len(expected_keep) < len(docs), "fixture must split"
+
+    d = tmp_path / "ft_drops"
+    d.mkdir()
+    _write_drop(
+        d / "a.parquet",
+        [(r["doc_id"], r["text"]) for r in docs],
+        1_700_000_000,
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    q = run_corpus_ingest(
+        spark,
+        str(d),
+        eval_docs,
+        str(tmp_path / "ft_accept"),
+        str(tmp_path / "ft_reject"),
+        checkpoint_dir=str(tmp_path / "ft_cp"),
+        ft_gate=True,
+    )
+    q.awaitTermination(120)
+    acc = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "ft_accept")).collect()
+    }
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(str(tmp_path / "ft_reject")).collect()
+    }
+    gate_rejects = {i for i, why in rej.items() if why == "nontarget_lang_ft"}
+    # every doc the batch operator keeps and no other (modulo docs the
+    # stateless gates already dropped, which never reach the ft stage)
+    stateless = {i for i, why in rej.items() if why != "nontarget_lang_ft"}
+    assert acc == expected_keep - stateless
+    assert gate_rejects == {r["doc_id"] for r in docs} - expected_keep - stateless
