@@ -1144,7 +1144,12 @@ FROM z
     "product.",
 )
 def q_quality_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
+    from msstreamingstack_spark.caching import rotating_persist
+
+    # the three-signal subtree feeds BOTH the corpus-moment aggregate
+    # and the per-doc z-score frame — persist it once (rotating slot)
+    # or the whole bigram-LM/entropy/repetition pipeline runs twice
+    sig = rotating_persist(
         q_repetition_quality(spark, sf_dir)
         .select("doc_id", "distinct_tok_ratio")
         .join(q_quality_char_entropy(spark, sf_dir), "doc_id")
@@ -1154,7 +1159,8 @@ def q_quality_ensemble_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
             "left",
-        )
+        ),
+        "quality_ensemble_score.sig",
     )
 
     def m2(c):
