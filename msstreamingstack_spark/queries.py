@@ -280,15 +280,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (c) family slots (tpch/multimodal/grouping-sets/layout)
     "tpch_q18_large_orders", "multimodal_frame_sample",
     "grouping_sets_revenue", "zorder_cluster_stats",
-    # (d) round-4 cohort fills (registry order; five were displaced
-    # late in round 6 by (f) below — join_semi_customers_with_orders,
+    # (d) round-4 cohort fills (registry order; seven were displaced
+    # late in round 6 by (f)/(g) below — join_semi_customers_with_orders,
     # running_revenue_per_customer, cube_orders_status_priority,
-    # rollup_lineitem_flags, join_anti_customers_no_orders stay
-    # r4-latest and MUST be in the round-7 window)
+    # rollup_lineitem_flags, join_anti_customers_no_orders,
+    # device_transitions, dedup_ngram_jaccard stay r4-latest and MUST
+    # be in the round-7 window)
     "sessionize_events", "enrich_clickstream", "tpch_q1",
     "join_left_orders_customer",
     "order_priority_check", "user_state_table",
-    "device_transitions", "dedup_ngram_jaccard",
     # (e) first rows for the round-6 additions: SQL-front-end parity
     # shapes, the pinned-quantizer analytics reuse, and the
     # sliding-window substring detector
@@ -300,6 +300,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # and the Spark-4 recursive-CTE parity shape
     "dedup_semantic", "dedup_chunk_rewrite", "dsir_importance_weights",
     "sql_frontend_recursive_spine_parity", "dedup_events_debounce",
+    # (g) first rows for the continuation additions: pinned-model
+    # serving (fastText-style hashed classifier, PCA projection)
+    "langid_fasttext_hashed", "embedding_pca_project",
 )
 
 
