@@ -94,6 +94,7 @@ QUERIES = (
     # classifier, PCA projection)
     "langid_fasttext_hashed",
     "embedding_pca_project",
+    "graph_pagerank_copurchase",
 )
 
 TABLES = (

@@ -2735,6 +2735,50 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_pinned(spread(load_table(spark, sf_dir, "embeddings")))
 
 
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the co-purchase graph (iterative propagation)
+# ---------------------------------------------------------------------------
+def _pagerank_oracle() -> str:
+    from msstreamingstack_spark.operators.pagerank import pagerank_sql
+
+    return pagerank_sql()
+
+
+@register(
+    "graph_pagerank_copurchase",
+    _pagerank_oracle(),
+    tags=("extension", "graph", "iterative", "pagerank"),
+    doc="Weighted PageRank (d=0.85, 4 rounds) over the symmetric "
+    "customer↔supplier co-purchase graph — the second iterative-graph "
+    "kernel next to dedup_clusters' fixpoint components: FIXED-round "
+    "weighted mass propagation (link-quality doc scoring, crawl "
+    "domain authority). Plan: normalized edge list built once and "
+    "persisted (feeds every round), each round = one join against "
+    "the node-count-sized ranks frame (auto-broadcast here; bucketed "
+    "co-located shuffle join on a web-scale graph) + one dst fold — "
+    "T rounds, T fold shuffles, no driver-side state. Cross-engine "
+    "exactness: integer-ratio edge probabilities, per-contribution "
+    "round-then-DECIMAL(38,12) sums, identical IEEE teleport/damping "
+    "expression per round; the DuckDB twin unrolls the rounds as "
+    "chained CTEs (aggregation over a recursive reference is "
+    "restricted in WITH RECURSIVE — the fixed-T unroll is the "
+    "portable form). Ref has no graph surface (SURVEY.md §2.5 "
+    "ABSENT) — north-star extension.",
+)
+def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.pagerank import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    return pagerank(
+        copurchase_edges(
+            spread(load_table(spark, sf_dir, "lineitem")),
+            load_table(spark, sf_dir, "orders"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -1,0 +1,88 @@
+"""Fixed-point PageRank: exact equality with a pure-Python model.
+
+DuckDB parity is covered by test_oracle_parity (registry
+auto-parametrizes); these tests pin the kernel's semantics against an
+independent implementation and its integer-arithmetic invariants.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from msstreamingstack_spark.operators.pagerank import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    PR_TELEPORT_SCALED,
+    copurchase_edges,
+    pagerank,
+)
+
+
+def model_pagerank(edges, rounds):
+    """(src, dst, cnt) triples → {node: scaled_int_rank}, pure Python
+    integer arithmetic mirroring the operator's spec (NOT its code)."""
+    outdeg = defaultdict(int)
+    for s, _, c in edges:
+        outdeg[s] += c
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(rounds):
+        s = defaultdict(int)
+        for u, v, c in edges:
+            s[v] += (r[u] * c) // outdeg[u]
+        r = {
+            v: PR_TELEPORT_SCALED // n + (PR_DAMP_NUM * s[v]) // PR_DAMP_DEN
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    # a small weighted digraph made symmetric by hand
+    base = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 5)]
+    sym = base + [(d, s, c) for s, d, c in base]
+    edges = spark.createDataFrame(sym, "src string, dst string, cnt long")
+    got = {
+        r["node"]: r["pagerank"] for r in pagerank(edges, rounds=4).collect()
+    }
+    want = {
+        v: float(ri) / PR_SCALE for v, ri in model_pagerank(sym, 4).items()
+    }
+    assert got == want  # exact — integer kernel, single final divide
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark, sf_smoke):
+    """Each round loses at most (edges + 1) units of 1e-12 mass to
+    floor division; total rank must sit just below 1.0 and every rank
+    must be at least the teleport share."""
+    from msstreamingstack_spark.sources.tables import load_table
+
+    edges = copurchase_edges(
+        load_table(spark, sf_smoke, "lineitem"),
+        load_table(spark, sf_smoke, "orders"),
+    )
+    rows = pagerank(edges).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.99 <= total <= 1.0 + 1e-9
+    n = len(rows)
+    teleport_floor = (PR_TELEPORT_SCALED // n) / PR_SCALE
+    assert all(r["pagerank"] >= teleport_floor for r in rows)
+
+
+def test_copurchase_graph_is_symmetric_and_dangling_free(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.sources.tables import load_table
+
+    e = copurchase_edges(
+        load_table(spark, sf_smoke, "lineitem"),
+        load_table(spark, sf_smoke, "orders"),
+    )
+    fwd = {(r["src"], r["dst"], r["cnt"]) for r in e.collect()}
+    assert fwd == {(d, s, c) for s, d, c in fwd}  # symmetric with weights
+    # symmetric ⇒ every node that receives mass also emits it
+    srcs = {s for s, _, _ in fwd}
+    dsts = {d for _, d, _ in fwd}
+    assert srcs == dsts

@@ -538,3 +538,15 @@ def test_pca_projection_broadcast_dims_single_fold(spark):
     assert "CartesianProduct" not in f.text
     assert f.python_evals == 0, "PCA serving must stay JVM-side"
     assert len(re.findall(r"\(\d+\) Exchange", f.text)) <= 2, f.text
+
+
+def test_pagerank_edges_persisted_once_no_cartesian(spark):
+    """PageRank's normalized edge table must come from the persisted
+    slot (it feeds every round — recomputing the lineitem⋈orders build
+    per round is the failure), with no cartesian pair stage and no
+    Python anywhere; the only cross joins are the broadcast node-count
+    scalar."""
+    f = plan_facts(REGISTRY["graph_pagerank_copurchase"].builder(spark, SF))
+    assert "InMemoryTableScan" in f.text, "edge table must be persisted"
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0, "PageRank must stay JVM-side"
