@@ -430,6 +430,44 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_heavy_hitters(args: argparse.Namespace) -> int:
+    """Run the streaming space-saving heavy-hitters sketch over event
+    drops; one top-k parquet per micro-batch (the latest batch is the
+    current answer — state is n_buckets × capacity counters, bounded
+    for any stream length)."""
+    from msstreamingstack_spark.session import get_spark
+    from msstreamingstack_spark.streaming.heavy_hitters import (
+        run_heavy_hitters_stream,
+    )
+
+    spark = get_spark(app_name="msstreamingstack-heavy-hitters")
+    spark.sparkContext.setLogLevel("WARN")
+    q = run_heavy_hitters_stream(
+        spark,
+        source_path=args.source,
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        key_col=args.key_col,
+        k=args.k,
+        n_buckets=args.buckets,
+        capacity=args.capacity,
+        available_now=args.once,
+        max_files_per_trigger=args.files_per_trigger,
+    )
+    q.awaitTermination()
+    import os
+
+    if os.path.isdir(args.out):
+        batches = sorted(os.listdir(args.out))
+        if batches:
+            spark.read.parquet(os.path.join(args.out, batches[-1])).orderBy(
+                "est", ascending=False
+            ).show(args.k, truncate=False)
+            return 0
+    print("no micro-batches processed (empty source)")
+    return 0
+
+
 def _cmd_neardup(args: argparse.Namespace) -> int:
     """Run the in-stream MinHash near-dup detector over document
     drops; one verdict parquet (doc_id, is_neardup, matched_doc,
@@ -692,6 +730,25 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--once", action="store_true",
                    help="Trigger.AvailableNow: drain pending input, then stop")
     i.set_defaults(fn=_cmd_ingest)
+
+    hh = sub.add_parser(
+        "heavy-hitters",
+        help="streaming space-saving top-k over event drops",
+    )
+    hh.add_argument("--source", required=True, help="event drop directory")
+    hh.add_argument("--out", required=True, help="per-batch top-k parquet dir")
+    hh.add_argument("--checkpoint", required=True)
+    hh.add_argument("--key-col", default="user_id")
+    hh.add_argument("--k", type=int, default=10)
+    hh.add_argument("--buckets", type=int, default=32,
+                    help="hash partitions of the key space (one bounded "
+                    "sketch each; scales state horizontally)")
+    hh.add_argument("--capacity", type=int, default=8,
+                    help="counters per bucket sketch (error bound n/capacity)")
+    hh.add_argument("--files-per-trigger", type=int, default=1)
+    hh.add_argument("--once", action="store_true",
+                    help="Trigger.AvailableNow: drain pending input, then stop")
+    hh.set_defaults(fn=_cmd_heavy_hitters)
 
     nd = sub.add_parser(
         "neardup",
