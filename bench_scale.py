@@ -95,6 +95,7 @@ QUERIES = (
     "langid_fasttext_hashed",
     "embedding_pca_project",
     "graph_pagerank_copurchase",
+    "sql_frontend_scripting_parity",
 )
 
 TABLES = (

@@ -2736,6 +2736,62 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL front-end: procedural scripting (Spark 4 SQL scripting)
+# ---------------------------------------------------------------------------
+_SCRIPTING_SQL_TEXT = """
+BEGIN
+  DECLARE avg_bal DOUBLE;
+  SET avg_bal = (SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+                                   AS DOUBLE) / COUNT(*), 6)
+                 FROM customer WHERE c_acctbal > 0.00);
+  SELECT c.c_custkey, c.c_acctbal, n.n_name,
+         round(c.c_acctbal - avg_bal, 6) AS above_avg
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c.c_acctbal > avg_bal;
+END
+"""
+
+
+@register(
+    "sql_frontend_scripting_parity",
+    """
+WITH avg_bal AS (
+  SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS v
+  FROM customer WHERE c_acctbal > 0.00
+)
+SELECT c.c_custkey, c.c_acctbal, n.n_name,
+       round(c.c_acctbal - a.v, 6) AS above_avg
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.v
+""",
+    tags=("extension", "sql-frontend", "relational", "parity", "scripting"),
+    doc="Spark 4 SQL SCRIPTING parity: a BEGIN…END script DECLAREs a "
+    "session variable, SETs it from a scalar subquery (decimal-"
+    "disciplined corpus average), and uses it as BOTH a predicate and "
+    "an expression term in the dependent query — the canonical "
+    "procedural pattern (compute threshold, then filter by it). "
+    "DuckDB has no scripting dialect, so unlike the identical-text "
+    "sql_frontend_* siblings the oracle is the DECLARATIVE "
+    "decomposition (scalar CTE + cross join) — pinning that the "
+    "procedural surface reduces to the same values as the relational "
+    "form, which is exactly what a migration off stored-proc-style "
+    "code relies on. above_avg's round(…,6) is grid-safe: c_acctbal "
+    "has 2 decimals and the variable 6, so the true difference sits "
+    "ON the 1e-6 grid, never at a rounding half-boundary (see "
+    "plans/notes.md on ties).",
+)
+def q_sql_frontend_scripting_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _SCRIPTING_SQL_TEXT)
+
+
+# ---------------------------------------------------------------------------
 # Weighted PageRank over the co-purchase graph (iterative propagation)
 # ---------------------------------------------------------------------------
 def _pagerank_oracle() -> str:
