@@ -96,6 +96,7 @@ QUERIES = (
     "embedding_pca_project",
     "graph_pagerank_copurchase",
     "sql_frontend_scripting_parity",
+    "merge_upsert_customers",
 )
 
 TABLES = (

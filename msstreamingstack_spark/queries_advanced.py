@@ -2736,6 +2736,85 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO semantics on plain parquet (lakehouse upsert algebra)
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_customers",
+    """
+WITH src AS (
+  SELECT c_custkey AS k, c_name, c_nationkey,
+         CAST(c_acctbal + 100.00 AS DOUBLE) AS c_acctbal,
+         c_mktsegment, c_custkey % 10 = 0 AS is_delete
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT s_suppkey + 900000000 AS k, 'NEW_' || s_name AS c_name,
+         s_nationkey AS c_nationkey, s_acctbal AS c_acctbal,
+         'MIGRATED' AS c_mktsegment, FALSE AS is_delete
+  FROM supplier
+),
+j AS (
+  SELECT t.c_custkey AS tk, s.k AS sk,
+         t.c_name AS t_name, t.c_nationkey AS t_nat,
+         t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+         s.c_name AS s_name, s.c_nationkey AS s_nat,
+         s.c_acctbal AS s_bal, s.c_mktsegment AS s_seg, s.is_delete
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+)
+SELECT COALESCE(tk, sk) AS c_custkey,
+       CASE WHEN tk IS NULL THEN s_name ELSE t_name END AS c_name,
+       CASE WHEN tk IS NULL THEN s_nat ELSE t_nat END AS c_nationkey,
+       CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN s_bal
+            WHEN tk IS NULL THEN s_bal ELSE t_bal END AS c_acctbal,
+       CASE WHEN tk IS NULL THEN s_seg ELSE t_seg END AS c_mktsegment
+FROM j
+WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND is_delete)
+""",
+    tags=("extension", "merge", "upsert", "cdc", "relational"),
+    doc="MERGE INTO on plain parquet, as the full-outer-join + case "
+    "algebra every real MERGE lowers to (operators/merge.py): a "
+    "deterministic CDC batch updates every 5th customer's balance "
+    "(+100.00 — exact on the cents grid, no rounding anywhere), "
+    "deletes every 10th (source-flagged, the WHEN MATCHED AND cond "
+    "DELETE clause), and inserts the suppliers as migrated customer "
+    "rows under a collision-free key range (WHEN NOT MATCHED INSERT). "
+    "Plan: ONE key shuffle for the join (source side broadcasts when "
+    "CDC-sized), narrow case projection after; duplicate source keys "
+    "rejected up front (MERGE is undefined under them — same error "
+    "Delta raises). The ref has no batch maintenance surface "
+    "(SURVEY.md §2.5 ABSENT) — north-star extension.",
+)
+def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.merge import merge_upsert
+
+    target = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    updates = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.00)).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 10 == 0).alias("is_delete"),
+    )
+    inserts = supp.select(
+        (F.col("s_suppkey") + 900000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("s_name")).alias("c_name"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.lit("MIGRATED").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    return merge_upsert(
+        target,
+        updates.unionByName(inserts),
+        key="c_custkey",
+        update_cols={"c_acctbal": F.col("s_c_acctbal")},
+        delete_cond=F.col("s_is_delete"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL front-end: procedural scripting (Spark 4 SQL scripting)
 # ---------------------------------------------------------------------------
 _SCRIPTING_SQL_TEXT = """

@@ -550,3 +550,13 @@ def test_pagerank_edges_persisted_once_no_cartesian(spark):
     assert "InMemoryTableScan" in f.text, "edge table must be persisted"
     assert "CartesianProduct" not in f.text
     assert f.python_evals == 0, "PageRank must stay JVM-side"
+
+
+def test_merge_single_key_shuffle_no_python(spark):
+    """The MERGE decomposition must stay one full-outer key join plus
+    a narrow projection — no cartesian, no Python, and the source
+    build must not re-scan customer more than the two declared reads
+    (updates + target)."""
+    f = plan_facts(REGISTRY["merge_upsert_customers"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0, "merge must stay JVM-side"
