@@ -97,6 +97,7 @@ QUERIES = (
     "graph_pagerank_copurchase",
     "sql_frontend_scripting_parity",
     "merge_upsert_customers",
+    "scd2_merge_device_dim",
 )
 
 TABLES = (

@@ -881,6 +881,98 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 incremental apply: close-and-insert merge of a change batch
+# ---------------------------------------------------------------------------
+SCD2_CUT_SEC = 1_705_363_200  # 2024-01-16: splits the fixture window
+
+
+@register(
+    "scd2_merge_device_dim",
+    f"""
+WITH en AS ({ENRICH_SQL}),
+pre AS (SELECT * FROM en WHERE ts_sec < {SCD2_CUT_SEC}),
+post AS (SELECT * FROM en WHERE ts_sec >= {SCD2_CUT_SEC}),
+dimq AS (
+  SELECT user_id, device, ts_sec AS valid_from_sec FROM (
+    SELECT user_id, device, ts_sec,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_sec, event_id) AS rn
+    FROM pre) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, device AS new_device, ts_sec AS change_ts FROM (
+    SELECT user_id, device, ts_sec,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_sec DESC, event_id DESC) AS rn
+    FROM post) WHERE rn = 1
+)
+SELECT d.user_id, d.device, d.valid_from_sec,
+       c.change_ts AS valid_to_sec, FALSE AS is_current
+FROM dimq d JOIN chg c USING (user_id)
+WHERE c.new_device <> d.device
+UNION ALL
+SELECT COALESCE(d.user_id, c.user_id) AS user_id, c.new_device AS device,
+       c.change_ts AS valid_from_sec,
+       CAST(253402300799 AS BIGINT) AS valid_to_sec, TRUE AS is_current
+FROM dimq d FULL OUTER JOIN chg c ON d.user_id = c.user_id
+WHERE c.user_id IS NOT NULL
+  AND (d.user_id IS NULL OR c.new_device <> d.device)
+UNION ALL
+SELECT d.user_id, d.device, d.valid_from_sec,
+       CAST(253402300799 AS BIGINT) AS valid_to_sec, TRUE AS is_current
+FROM dimq d LEFT JOIN chg c USING (user_id)
+WHERE c.user_id IS NULL OR c.new_device = d.device
+""",
+    tags=("analytics", "scd2", "merge", "cdc"),
+    doc="SCD2 INCREMENTAL apply (operators/merge.scd2_apply) — the "
+    "close-and-insert counterpart of scd2_device_runs' from-scratch "
+    "history build: the dimension is each user's first device before "
+    "the fixture-window midpoint (current rows, open-ended), the "
+    "change batch is each user's latest post-cutoff device, and the "
+    "merge closes changed rows at the change timestamp, opens new "
+    "current rows, inserts unseen users, and passes unchanged rows "
+    "through without a spurious version (the no-op-update guard). "
+    "Open-ended rows carry the classic 9999-12-31 sentinel (nullable "
+    "longs degrade to float64 through Arrow/pandas). "
+    "Plan: one key shuffle for the current⋈changes join; the "
+    "historical partition only unions — at 100 TB the history dwarfs "
+    "the current set and never moves. Ties broken by event_id on "
+    "both engines.",
+)
+def q_scd2_merge_device_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.merge import scd2_apply
+
+    en = events_enriched(spark, sf_dir)
+    ua = synthetic_user_agent(F.col("prop_k"))
+    base = en.withColumn("device", classify_device(ua)).select(
+        "user_id", "event_id", "ts_sec", "device"
+    )
+    pre = base.filter(F.col("ts_sec") < SCD2_CUT_SEC)
+    post = base.filter(F.col("ts_sec") >= SCD2_CUT_SEC)
+    first = pre.groupBy("user_id").agg(
+        F.min(F.struct("ts_sec", "event_id", "device")).alias("f")
+    )
+    dim = first.select(
+        "user_id",
+        F.col("f.device").alias("device"),
+        F.col("f.ts_sec").alias("valid_from_sec"),
+        # open-ended convention: the SCD2 high-date sentinel, not NULL
+        # (nullable longs degrade to float64 through Arrow/pandas)
+        F.lit(253_402_300_799).cast("long").alias("valid_to_sec"),
+        F.lit(True).alias("is_current"),
+    )
+    last = post.groupBy("user_id").agg(
+        F.max(F.struct("ts_sec", "event_id", "device")).alias("l")
+    )
+    changes = last.select(
+        "user_id",
+        F.col("l.device").alias("device"),
+        F.col("l.ts_sec").alias("change_ts"),
+    )
+    return scd2_apply(dim, changes, "user_id", "device", "change_ts")
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

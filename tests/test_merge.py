@@ -65,3 +65,61 @@ def test_merge_duplicate_source_key_raises(spark, frames):
     )
     with pytest.raises(DuplicateSourceKeyError):
         merge_upsert(target, dup, key="id", update_cols={})
+
+
+HIGH = 253_402_300_799
+
+
+def test_scd2_apply_clauses(spark):
+    from msstreamingstack_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "ios", 100, HIGH, True),      # will change → close+open
+            (2, "android", 100, HIGH, True),  # same attr → untouched
+            (3, "web", 100, HIGH, True),      # no change row → untouched
+            (1, "web", 50, 100, False),       # history → passthrough
+        ],
+        "user_id long, device string, valid_from_sec long, "
+        "valid_to_sec long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "mac", 200), (2, "android", 250), (9, "ios", 300)],
+        "user_id long, device string, change_ts long",
+    )
+    rows = {
+        (r["user_id"], r["device"], r["valid_from_sec"]): (
+            r["valid_to_sec"],
+            r["is_current"],
+        )
+        for r in scd2_apply(
+            dim, changes, "user_id", "device", "change_ts"
+        ).collect()
+    }
+    assert rows == {
+        (1, "web", 50): (100, False),     # history untouched
+        (1, "ios", 100): (200, False),    # closed at change ts
+        (1, "mac", 200): (HIGH, True),    # new current version
+        (2, "android", 100): (HIGH, True),  # no-op update guard
+        (3, "web", 100): (HIGH, True),    # unchanged key
+        (9, "ios", 300): (HIGH, True),    # new key inserted
+    }
+
+
+def test_scd2_apply_duplicate_change_keys_raise(spark):
+    from msstreamingstack_spark.operators.merge import (
+        DuplicateSourceKeyError,
+        scd2_apply,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "ios", 100, HIGH, True)],
+        "user_id long, device string, valid_from_sec long, "
+        "valid_to_sec long, is_current boolean",
+    )
+    dup = spark.createDataFrame(
+        [(1, "mac", 200), (1, "web", 300)],
+        "user_id long, device string, change_ts long",
+    )
+    with pytest.raises(DuplicateSourceKeyError):
+        scd2_apply(dim, dup, "user_id", "device", "change_ts")
