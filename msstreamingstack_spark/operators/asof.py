@@ -33,14 +33,29 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """As-of join, backward (default) or forward, optionally bounded.
+
+    ``direction='backward'``: match = right row with the greatest
+    ``right_ts <= left_ts`` (DuckDB ``ASOF ... ON l.ts >= r.ts``).
+    ``direction='forward'``: match = right row with the smallest
+    ``right_ts >= left_ts`` (comparator flipped) — "next reading
+    at-or-after", the sensor-alignment / next-conversion shape.
+    ``tolerance`` (same unit as the ts columns): a match farther than
+    this from ``left_ts`` is nulled out, exactly pandas
+    ``merge_asof(tolerance=...)`` semantics — the window pass still
+    finds the nearest row; tolerance only decides whether it counts.
 
     Returns all ``left`` columns plus every non-key ``right`` column
-    (null when no right row is at-or-before the left timestamp).
-    ``right``'s timestamp column rides along, so callers see *when*
-    the matched row happened.
+    (null when no qualifying right row exists). ``right``'s timestamp
+    column rides along, so callers see *when* the matched row
+    happened. Same single-shuffle union+window plan in both
+    directions — never a range-expanded join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_payload = [c for c in right.columns if c != on]
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
 
@@ -65,17 +80,32 @@ def asof_join(
         payload_struct.alias("_r"),
     )
 
-    # right rows sort before left rows at equal ts → inclusive match
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     u = l2.unionByName(r2)
-    matched = (
-        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal ts → inclusive
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last("_r", ignorenulls=True).over(w)
+    else:
+        # forward: left rows (side 1) sort before right at equal ts,
+        # window looks ahead → the first right row at-or-after
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first("_r", ignorenulls=True).over(w)
+    matched = u.withColumn("_m", pick).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        within = (
+            F.abs(F.col("_ts") - F.col(f"_m.{right_ts}")) <= tolerance
+        )
+        matched = matched.withColumn(
+            "_m", F.when(within, F.col("_m"))
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(c) for c in right_payload
     ]

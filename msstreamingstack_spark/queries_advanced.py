@@ -87,6 +87,76 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_FWD_TOL_SEC = 3600
+
+
+@register(
+    "asof_next_purchase_tolerance",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+p AS (
+  SELECT user_id, ts_sec AS purchase_ts, MAX(value) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_sec
+),
+v AS (SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT v.event_id, v.user_id, v.ts_sec, p.purchase_ts, p.purchase_value
+  FROM v ASOF LEFT JOIN p
+    ON v.user_id = p.user_id AND v.ts_sec <= p.purchase_ts
+)
+SELECT event_id, user_id, ts_sec,
+       COALESCE(CASE WHEN purchase_ts - ts_sec <= {ASOF_FWD_TOL_SEC}
+                     THEN purchase_ts END, -1) AS purchase_ts,
+       COALESCE(CASE WHEN purchase_ts - ts_sec <= {ASOF_FWD_TOL_SEC}
+                     THEN purchase_value END, -1.0) AS purchase_value
+FROM m
+""",
+    tags=("advanced", "asof-join", "tolerance"),
+    doc="FORWARD as-of join with tolerance: every view carries the "
+    "next at-or-after purchase of the same user, nulled (sentineled) "
+    "when it is more than an hour out — pandas merge_asof"
+    "(direction='forward', tolerance=...) semantics, the "
+    "next-conversion / sensor-alignment shape. Same union+window "
+    "single-shuffle plan as the backward form (operators/asof.py — "
+    "comparator flipped, window looks ahead); the DuckDB twin is "
+    "ASOF LEFT JOIN with the flipped comparator + tolerance CASE. "
+    "Differs from interval_join_attribution by returning exactly one "
+    "row per view (match or sentinel), never multiplying rows.",
+)
+def q_asof_next_purchase_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_sec"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_sec").alias("purchase_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="purchase_ts",
+        direction="forward",
+        tolerance=ASOF_FWD_TOL_SEC,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.coalesce(F.col("purchase_ts"), F.lit(-1)).alias("purchase_ts"),
+        F.coalesce(F.col("purchase_value"), F.lit(-1.0)).alias(
+            "purchase_value"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range (band) join
 # ---------------------------------------------------------------------------

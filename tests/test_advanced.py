@@ -36,6 +36,51 @@ def test_asof_backward_inclusive(spark):
     assert out[(2, 7)] == (None, None)      # key with no right rows
 
 
+def test_asof_forward_inclusive_and_tolerance(spark):
+    """Forward: earliest at-or-after right row wins, ties inclusive;
+    tolerance nulls a match farther than the bound but keeps the left
+    row (pandas merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 7)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (3, 99, "z")], ["k", "rts", "val"]
+    )
+    fwd = {
+        (r.k, r.ts): (r.rts, r.val)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[(1, 5)] == (10, "a")      # earliest at-or-after
+    assert fwd[(1, 10)] == (10, "a")     # tie is inclusive
+    assert fwd[(1, 20)] == (None, None)  # nothing after
+    assert fwd[(2, 7)] == (None, None)
+    tol = {
+        (r.k, r.ts): (r.rts, r.val)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="forward", tolerance=4,
+        ).collect()
+    }
+    assert tol[(1, 5)] == (None, None)   # 10-5 > 4 → nulled, row kept
+    assert tol[(1, 10)] == (10, "a")     # within tolerance
+    assert len(tol) == 4                 # no left row dropped
+
+
+def test_asof_bad_direction_raises(spark):
+    left = spark.createDataFrame([(1, 5)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 10, "a")], ["k", "rts", "val"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="nearest",
+        )
+
+
 def test_asof_no_row_multiplication(spark):
     left = spark.createDataFrame([(1, i) for i in range(50)], ["k", "ts"])
     right = spark.createDataFrame([(1, i, i) for i in range(0, 50, 5)], ["k", "rts", "v"])
