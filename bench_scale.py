@@ -98,6 +98,8 @@ QUERIES = (
     "sql_frontend_scripting_parity",
     "merge_upsert_customers",
     "scd2_merge_device_dim",
+    "asof_next_purchase_tolerance",
+    "sessionize_dynamic_gap",
 )
 
 TABLES = (

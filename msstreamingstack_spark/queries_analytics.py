@@ -882,6 +882,93 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-gap sessionization: per-event-type inactivity timeout
+# ---------------------------------------------------------------------------
+DYN_GAP_PURCHASE_SEC = 3600
+DYN_GAP_DEFAULT_SEC = 1800
+
+
+@register(
+    "sessionize_dynamic_gap",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+g AS (
+  SELECT user_id, event_id, ts_sec, event_type,
+         ts_sec + CASE WHEN event_type = 'purchase'
+                       THEN {DYN_GAP_PURCHASE_SEC}
+                       ELSE {DYN_GAP_DEFAULT_SEC} END AS hold_until
+  FROM ev
+),
+m AS (
+  SELECT *, MAX(hold_until) OVER (PARTITION BY user_id
+                                  ORDER BY ts_sec, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prev_end
+  FROM g
+),
+s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_end IS NULL OR ts_sec > prev_end
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts_sec, event_id) AS BIGINT) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx,
+       MIN(ts_sec) AS session_start_sec,
+       MAX(hold_until) AS session_end_sec,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM s GROUP BY user_id, session_idx
+""",
+    tags=("analytics", "sessionize", "window", "dynamic-gap"),
+    doc="Sessionization with a PER-EVENT inactivity timeout (purchases "
+    "hold the session open for an hour, everything else 30 min) — "
+    "exactly Spark's native session_window(dynamic gap) semantics: a "
+    "session's end is the RUNNING MAX of per-event hold-until times, "
+    "and an event starts a new session iff it lands STRICTLY after that "
+    "max (Spark's merge rule is boundary-inclusive — the "
+    "session_window_native precedent; and a naive lag-gap rule is "
+    "WRONG here — a long-gap event keeps "
+    "the session open past several short-gap successors). Pinned "
+    "equal to the native session_window expression in "
+    "tests/test_analytics.py (the session_window_native precedent); "
+    "the oracled form is this gaps-and-islands decomposition because "
+    "DuckDB has no session_window. Both windows share the user_id "
+    "partitioning — one shuffle, one sort, then the rollup agg.",
+)
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "event_id", "ts_sec", "event_type"
+    )
+    hold = F.col("ts_sec") + F.when(
+        F.col("event_type") == "purchase", F.lit(DYN_GAP_PURCHASE_SEC)
+    ).otherwise(F.lit(DYN_GAP_DEFAULT_SEC))
+    g = ev.withColumn("hold_until", hold)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev_end = F.max("hold_until").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = g.withColumn("prev_end", prev_end)
+    flag = F.when(
+        F.col("prev_end").isNull()
+        | (F.col("ts_sec") > F.col("prev_end")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = m.withColumn("session_idx", F.sum(flag).over(w))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts_sec").alias("session_start_sec"),
+        F.max("hold_until").alias("session_end_sec"),
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 incremental apply: close-and-insert merge of a change batch
 # ---------------------------------------------------------------------------
 SCD2_CUT_SEC = 1_705_363_200  # 2024-01-16: splits the fixture window

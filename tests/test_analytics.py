@@ -177,3 +177,42 @@ def test_mix_temperature_budget_conserved(spark):
     share_sum = sum(r["share"] for r in rows)
     assert abs(share_sum - 1.0) < 1e-9
     assert sum(r["budget_docs"] for r in rows) <= total_docs * 0.5 + len(rows)
+
+
+def test_dynamic_gap_matches_native_session_window(spark, sf_correctness):
+    """The oracled gaps-and-islands decomposition must agree with
+    Spark's NATIVE session_window(dynamic gap) on every session
+    (start, event count) — same corpus, same per-event-type gaps.
+    This is the semantics pin that justified the strict-after split
+    rule (native merge is boundary-inclusive)."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_analytics import (
+        DYN_GAP_DEFAULT_SEC,
+        DYN_GAP_PURCHASE_SEC,
+    )
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    mine = {
+        (r["user_id"], r["session_start_sec"]): r["n_events"]
+        for r in REGISTRY["sessionize_dynamic_gap"]
+        .builder(spark, sf_correctness)
+        .collect()
+    }
+    ev = events_with_time(spark, sf_correctness).select(
+        "user_id", "ts_sec", "event_type"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{DYN_GAP_PURCHASE_SEC} seconds"),
+    ).otherwise(F.lit(f"{DYN_GAP_DEFAULT_SEC} seconds"))
+    native = {
+        (r["user_id"], r["start_sec"]): r["n"]
+        for r in ev.withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+        .groupBy("user_id", F.session_window(F.col("ts"), gap))
+        .agg(F.count("*").alias("n"), F.min("ts_sec").alias("start_sec"))
+        .select("user_id", "start_sec", "n")
+        .collect()
+    }
+    assert mine == native
