@@ -304,6 +304,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # serving (fastText-style hashed classifier, PCA projection)
     "langid_fasttext_hashed", "embedding_pca_project",
 )
+# Round-7 window MUST also give first rows to the continuation
+# queries added after the window filled: graph_pagerank_copurchase,
+# sql_frontend_scripting_parity, merge_upsert_customers,
+# scd2_merge_device_dim, asof_next_purchase_tolerance,
+# sessionize_dynamic_gap (all locally driver-sim verified this
+# round), alongside the seven displaced r4-cohort rotations listed
+# in (d).
 
 
 def _apply_driver_window() -> None:
