@@ -100,6 +100,7 @@ QUERIES = (
     "scd2_merge_device_dim",
     "asof_next_purchase_tolerance",
     "sessionize_dynamic_gap",
+    "quality_gopher_rules",
 )
 
 TABLES = (

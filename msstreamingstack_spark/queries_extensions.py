@@ -2052,6 +2052,112 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style rule filter (integer rule algebra, no division anywhere)
+# ---------------------------------------------------------------------------
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(SUM(c * length(word)) AS BIGINT) AS sum_word_len,
+         CAST(SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]')
+                       THEN c ELSE 0 END) AS BIGINT) AS n_alpha_words,
+         CAST(SUM(CASE WHEN word IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stopwords,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+       top_word_count,
+       n_words BETWEEN 10 AND 100000 AS pass_word_count,
+       3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         AS pass_mean_word_len,
+       5 * n_alpha_words >= 4 * n_words AS pass_alpha_ratio,
+       n_stopwords >= 1 AS pass_stopwords,
+       5 * top_word_count <= n_words AS pass_repetition,
+       (n_words BETWEEN 10 AND 100000)
+         AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         AND 5 * n_alpha_words >= 4 * n_words
+         AND n_stopwords >= 1
+         AND 5 * top_word_count <= n_words AS gopher_pass
+FROM a
+""",
+    tags=("extension", "pipeline", "quality", "gopher", "rules"),
+    doc="Gopher-style quality rule filter (Rae et al. 2021 §A1.1 "
+    "adapted to the fixture): per-doc word count bounds, mean word "
+    "length in [3,10], ≥80% alphabetic words, ≥1 stopword, top-word "
+    "share ≤20% — each emitted as its own boolean plus the composite "
+    "gate. Every rule is INTEGER algebra (3n ≤ Σlen, 5·top ≤ n …), "
+    "never a rounded division — divisions of exact integers can land "
+    "on rounding half-boundary ties that split the engines (the "
+    "PageRank lesson, plans/notes.md); consumers derive display "
+    "ratios themselves. Plan: ONE word explode folded to per-(doc, "
+    "word) type counts, then a per-doc fold — the token-counting "
+    "shuffle shape, all JVM. Rules the fixture can't exercise "
+    "(symbol ratio, bullet lines — the word-soup has no punctuation "
+    "or newlines) are omitted rather than trivially-true. Ref has no "
+    "corpus surface (SURVEY.md §2.5 ABSENT) — north-star extension.",
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    f = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    a = f.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias(
+            "sum_word_len"
+        ),
+        F.sum(
+            F.when(F.col("word").rlike("[a-zA-Z]"), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.sum(
+            F.when(F.col("word").isin(*GOPHER_STOPWORDS), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+    n, sl = F.col("n_words"), F.col("sum_word_len")
+    p_wc = n.between(10, 100000)
+    p_len = (3 * n <= sl) & (sl <= 10 * n)
+    p_alpha = 5 * F.col("n_alpha_words") >= 4 * n
+    p_stop = F.col("n_stopwords") >= 1
+    p_rep = 5 * F.col("top_word_count") <= n
+    return a.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stopwords",
+        "top_word_count",
+        p_wc.alias("pass_word_count"),
+        p_len.alias("pass_mean_word_len"),
+        p_alpha.alias("pass_alpha_ratio"),
+        p_stop.alias("pass_stopwords"),
+        p_rep.alias("pass_repetition"),
+        (p_wc & p_len & p_alpha & p_stop & p_rep).alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fastText-style pinned hashed linear classifier (langid/quality gate)
 # ---------------------------------------------------------------------------
 def _textclf_pinned_oracle() -> str:

@@ -624,3 +624,74 @@ def test_kafka_decode_wire_schema_to_clickstream(spark):
     assert rows[0]["date"] == "1596039854"
     # corrupt payload -> all-null struct expansion, not a crash
     assert all(rows[1][f] is None for f in out.columns)
+
+
+def test_dynamic_gap_session_window_streams(spark, staged_stream_dir, tmp_path):
+    """Native session_window with a DYNAMIC (per-event-type) gap under
+    readStream + watermark: every session the drained stream emits
+    must match the batch twin exactly, and the only sessions it may
+    withhold are those not yet watermark-finalized (append mode emits
+    a session only once the watermark passes its end)."""
+    from msstreamingstack_spark.queries_analytics import (
+        DYN_GAP_DEFAULT_SEC,
+        DYN_GAP_PURCHASE_SEC,
+    )
+    from msstreamingstack_spark.streaming.pipeline import read_event_stream
+
+    WM_SEC = 3600
+
+    def rollup(ev):
+        gap = F.when(
+            F.col("event_type") == "purchase",
+            F.lit(f"{DYN_GAP_PURCHASE_SEC} seconds"),
+        ).otherwise(F.lit(f"{DYN_GAP_DEFAULT_SEC} seconds"))
+        ts = F.timestamp_seconds(F.col("ts_sec"))
+        out = ev.withColumn("ts", ts)
+        if out.isStreaming:
+            out = out.withWatermark("ts", f"{WM_SEC} seconds")
+        win = F.session_window(F.col("ts"), gap)
+        return (
+            out.groupBy("user_id", win)
+            .agg(F.count("*").alias("n"), F.min("ts_sec").alias("start_sec"))
+            .select(
+                "user_id",
+                "start_sec",
+                F.unix_timestamp(F.col("session_window.end")).alias(
+                    "end_sec"
+                ),
+                "n",
+            )
+        )
+
+    q = (
+        rollup(read_event_stream(spark, staged_stream_dir))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dyn_out"))
+        .option("checkpointLocation", str(tmp_path / "dyn_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_sec"]): (r["end_sec"], r["n"])
+        for r in spark.read.parquet(str(tmp_path / "dyn_out")).collect()
+    }
+    batch = spark.read.parquet(staged_stream_dir).selectExpr(
+        "user_id",
+        "event_type",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec",
+    )
+    want = {
+        (r["user_id"], r["start_sec"]): (r["end_sec"], r["n"])
+        for r in rollup(batch).collect()
+    }
+    max_ts = batch.agg(F.max("ts_sec")).first()[0]
+    wm = max_ts - WM_SEC
+    # every emitted session matches batch exactly
+    assert got.items() <= want.items()
+    # everything withheld is still open w.r.t. the final watermark
+    withheld = {k for k in want if k not in got}
+    assert all(want[k][0] > wm for k in withheld), withheld
+    # and the stream DID finalize the overwhelming majority
+    assert len(got) >= 0.9 * len(want)
