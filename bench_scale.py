@@ -101,6 +101,7 @@ QUERIES = (
     "asof_next_purchase_tolerance",
     "sessionize_dynamic_gap",
     "quality_gopher_rules",
+    "graph_pagerank_personalized",
 )
 
 TABLES = (

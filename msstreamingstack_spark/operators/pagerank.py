@@ -100,6 +100,7 @@ def pagerank(
     edges: DataFrame,
     rounds: int = PR_ROUNDS,
     broadcast_ranks: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, pagerank) after ``rounds`` weighted propagation rounds.
 
@@ -115,7 +116,14 @@ def pagerank(
     consolidates each round onto the shuffle-partition layout. The
     hint exists for graphs where the edge side is so large that
     re-shuffling it per round dominates; at web scale the real answer
-    is pre-bucketing both sides by src (the dedup_clusters layout)."""
+    is pre-bucketing both sides by src (the dedup_clusters layout).
+
+    ``seeds`` (optional, one ``node`` column): PERSONALIZED PageRank —
+    the teleport mass lands only on the seed set (split evenly,
+    integer-exact), and the walk starts there too, so scores measure
+    proximity to the seeds (the similar-items / trust-propagation
+    form). Seeds appearing nowhere in the edge set are ignored (they
+    can neither receive nor forward mass on this graph)."""
     from msstreamingstack_spark.caching import rotating_persist
 
     deg = edges.groupBy("src").agg(F.sum("cnt").alias("outdeg"))
@@ -124,11 +132,62 @@ def pagerank(
         "pagerank.e",
     )
     nodes = e.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node",
-        F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"),
-    )
+    if seeds is None:
+        nn = nodes.agg(F.count("*").alias("n"))
+        init = nodes.crossJoin(F.broadcast(nn)).select(
+            "node",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"),
+        )
+
+        def teleported(contrib: DataFrame) -> DataFrame:
+            return contrib.crossJoin(F.broadcast(nn)).select(
+                "node",
+                F.expr(
+                    f"CAST({PR_TELEPORT_SCALED} AS BIGINT) div n"
+                    f" + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
+                ).alias("r"),
+            )
+    else:
+        sd = nodes.join(seeds.select("node").distinct(), "node", "left_semi")
+        ns = sd.agg(F.count("*").alias("n"))
+        # ONE persisted node-sized table carrying each node's constant
+        # teleport share (0 for non-seeds). Because contrib ⊆ nodes,
+        # driving every round from this table with a LEFT join both
+        # guarantees a seed with no in-contribution still receives its
+        # teleport AND avoids a per-round full-outer (measurably
+        # slower — full outer cannot broadcast and builds both sides)
+        tp_all = rotating_persist(
+            nodes.join(
+                sd.crossJoin(F.broadcast(ns)).select(
+                    "node",
+                    F.expr(
+                        f"CAST({PR_TELEPORT_SCALED} AS BIGINT) div n"
+                    ).alias("tp0"),
+                    F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("m0"),
+                ),
+                "node",
+                "left",
+            ).select(
+                "node",
+                F.coalesce(F.col("tp0"), F.lit(0)).alias("tp"),
+                F.coalesce(F.col("m0"), F.lit(0)).alias("m"),
+            ),
+            "pagerank.tp_all",
+        )
+        init = tp_all.select("node", F.col("m").alias("r"))
+
+        def teleported(contrib: DataFrame) -> DataFrame:
+            return tp_all.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.col("tp")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+
+    ranks = init
     for _ in range(rounds):
         rsrc = ranks.withColumnRenamed("node", "src")
         if broadcast_ranks:
@@ -138,13 +197,7 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("(r * cnt) div outdeg")).alias("s"))
         )
-        ranks = contrib.crossJoin(F.broadcast(nn)).select(
-            "node",
-            F.expr(
-                f"CAST({PR_TELEPORT_SCALED} AS BIGINT) div n"
-                f" + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
-            ).alias("r"),
-        )
+        ranks = teleported(contrib)
     return ranks.select(
         "node",
         (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias(
@@ -153,23 +206,64 @@ def pagerank(
     )
 
 
-def pagerank_sql(rounds: int = PR_ROUNDS) -> str:
+def pagerank_sql(
+    rounds: int = PR_ROUNDS, seed_subquery: str | None = None
+) -> str:
     """DuckDB twin — the T rounds unrolled as chained CTEs, same
     integer fixed-point arithmetic (`//` is exact BIGINT floor
-    division in DuckDB, `div` in Spark)."""
+    division in DuckDB, `div` in Spark). ``seed_subquery`` (a SELECT
+    yielding one ``node`` column) switches to the personalized form:
+    teleport and initial mass land only on in-graph seeds."""
+    if seed_subquery is None:
+        r0 = f"r0 AS (SELECT node, {PR_SCALE} // n AS r FROM nodes CROSS JOIN nn)"
+        seed_ctes = ""
+        tp = f"{PR_TELEPORT_SCALED} // ANY_VALUE(nn.n)"
+        tp_join = "CROSS JOIN nn"
+    else:
+        seed_ctes = f""",
+seeds AS (
+  SELECT node FROM nodes WHERE node IN ({seed_subquery})
+),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+tp_all AS (
+  SELECT nodes.node, COALESCE(st.tp, 0) AS tp, COALESCE(st.m, 0) AS m
+  FROM nodes LEFT JOIN (
+    SELECT node, {PR_TELEPORT_SCALED} // n AS tp, {PR_SCALE} // n AS m
+    FROM seeds CROSS JOIN ns
+  ) st ON nodes.node = st.node
+)"""
+        r0 = "r0 AS (SELECT node, m AS r FROM tp_all)"
+        tp = None
+        tp_join = None
     iters = []
     for i in range(1, rounds + 1):
         prev = f"r{i - 1}"
-        iters.append(
-            f"""r{i} AS (
+        if seed_subquery is None:
+            iters.append(
+                f"""r{i} AS (
   SELECT e.dst AS node,
-         {PR_TELEPORT_SCALED} // ANY_VALUE(nn.n)
+         {tp}
            + ({PR_DAMP_NUM} * SUM(({prev}.r * e.cnt) // e.outdeg))
              // {PR_DAMP_DEN} AS r
-  FROM {prev} JOIN e ON {prev}.node = e.src CROSS JOIN nn
+  FROM {prev} JOIN e ON {prev}.node = e.src {tp_join}
   GROUP BY 1
 )"""
-        )
+            )
+        else:
+            # drive every round from the all-nodes teleport table:
+            # contrib ⊆ nodes, so a LEFT join both keeps a
+            # zero-contribution seed's teleport AND keeps every node
+            # in the frame (rank 0 rows included — same as Spark)
+            iters.append(
+                f"""r{i} AS (
+  SELECT t.node,
+         t.tp + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) // {PR_DAMP_DEN} AS r
+  FROM tp_all t LEFT JOIN (
+    SELECT e.dst AS node, SUM(({prev}.r * e.cnt) // e.outdeg) AS s
+    FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY 1
+  ) c ON t.node = c.node
+)"""
+            )
     chain = ",\n".join(iters)
     return f"""
 WITH e0 AS (
@@ -189,8 +283,8 @@ e AS (
   FROM edges ed JOIN deg d USING (src)
 ),
 nodes AS (SELECT DISTINCT src AS node FROM e),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-r0 AS (SELECT node, {PR_SCALE} // n AS r FROM nodes CROSS JOIN nn),
+nn AS (SELECT COUNT(*) AS n FROM nodes){seed_ctes},
+{r0},
 {chain}
 SELECT node, CAST(r AS DOUBLE) / {float(PR_SCALE)!r} AS pagerank
 FROM r{rounds}

@@ -2984,6 +2984,54 @@ def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle() -> str:
+    from msstreamingstack_spark.operators.pagerank import pagerank_sql
+
+    return pagerank_sql(
+        seed_subquery=(
+            "SELECT 'c' || c_custkey FROM customer WHERE c_nationkey = 0"
+        )
+    )
+
+
+@register(
+    "graph_pagerank_personalized",
+    _ppr_oracle(),
+    tags=("extension", "graph", "iterative", "pagerank", "personalized"),
+    doc="PERSONALIZED PageRank over the same co-purchase graph: the "
+    "teleport mass (and the walk's start) lands only on nation-0 "
+    "customers, so scores measure proximity to that seed set — the "
+    "similar-items / trust-propagation form (recommendation and "
+    "crawl-seed scoring). Same fixed-point integer kernel as "
+    "graph_pagerank_copurchase (operators/pagerank.py) with one "
+    "semantic subtlety both engines had to get right: a seed whose "
+    "in-contributions are empty in some round must STILL receive its "
+    "teleport mass, so each round is contributions FULL OUTER seed "
+    "teleports, not a contribution-side join. Scores are "
+    "seed-relative (non-seeds hold only propagated mass).",
+)
+def q_graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.operators.pagerank import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return pagerank(
+        copurchase_edges(
+            spread(load_table(spark, sf_dir, "lineitem")),
+            load_table(spark, sf_dir, "orders"),
+        ),
+        seeds=seeds,
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -86,3 +86,69 @@ def test_copurchase_graph_is_symmetric_and_dangling_free(spark, sf_smoke):
     srcs = {s for s, _, _ in fwd}
     dsts = {d for _, d, _ in fwd}
     assert srcs == dsts
+
+
+def model_personalized(edges, seeds, rounds):
+    """Seed-teleport variant of the model: teleport and initial mass
+    land only on in-graph seeds; every seed re-receives teleport each
+    round even with zero in-contributions."""
+    outdeg = defaultdict(int)
+    for s, _, c in edges:
+        outdeg[s] += c
+    nodes = sorted(outdeg)
+    sset = sorted(set(seeds) & set(nodes))
+    ns = len(sset)
+    r = {v: (PR_SCALE // ns if v in sset else 0) for v in nodes}
+    for _ in range(rounds):
+        s = defaultdict(int)
+        for u, v, c in edges:
+            s[v] += (r[u] * c) // outdeg[u]
+        r = {
+            v: (PR_TELEPORT_SCALED // ns if v in sset else 0)
+            + (PR_DAMP_NUM * s[v]) // PR_DAMP_DEN
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_matches_python_model(spark):
+    base = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "d", 5)]
+    sym = base + [(d, s, c) for s, d, c in base]
+    edges = spark.createDataFrame(sym, "src string, dst string, cnt long")
+    # 'z' is off-graph and must be ignored; 'd' is a leaf seed whose
+    # round-1 in-contribution exists but whose teleport must persist
+    seeds = spark.createDataFrame([("a",), ("d",), ("z",)], "node string")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, rounds=4, seeds=seeds).collect()
+    }
+    want = {
+        v: float(ri) / PR_SCALE
+        for v, ri in model_personalized(sym, ["a", "d", "z"], 4).items()
+    }
+    assert got == want
+
+
+def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
+    """Seed-relative scores: the seed set must hold more mass than
+    under the uniform teleport, and total mass stays <= 1."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.sources.tables import load_table
+
+    edges = copurchase_edges(
+        load_table(spark, sf_smoke, "lineitem"),
+        load_table(spark, sf_smoke, "orders"),
+    )
+    seeds = (
+        load_table(spark, sf_smoke, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    seed_keys = {r["node"] for r in seeds.collect()}
+    pers = {r["node"]: r["pagerank"] for r in pagerank(edges, seeds=seeds).collect()}
+    unif = {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+    assert sum(pers.values()) <= 1.0 + 1e-9
+    p_seed = sum(v for k, v in pers.items() if k in seed_keys)
+    u_seed = sum(v for k, v in unif.items() if k in seed_keys)
+    assert p_seed > u_seed
