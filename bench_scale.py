@@ -102,6 +102,7 @@ QUERIES = (
     "sessionize_dynamic_gap",
     "quality_gopher_rules",
     "graph_pagerank_personalized",
+    "pit_device_dim_join",
 )
 
 TABLES = (

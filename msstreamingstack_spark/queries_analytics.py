@@ -1060,6 +1060,104 @@ def q_scd2_merge_device_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, changes, "user_id", "device", "change_ts")
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time dimension join: each event sees the SCD2 version that
+# was valid AT ITS TIMESTAMP (the temporal-join every warehouse needs)
+# ---------------------------------------------------------------------------
+@register(
+    "pit_device_dim_join",
+    f"""
+WITH en AS ({ENRICH_SQL}),
+pre AS (SELECT * FROM en WHERE ts_sec < {SCD2_CUT_SEC}),
+post AS (SELECT * FROM en WHERE ts_sec >= {SCD2_CUT_SEC}),
+dimq AS (
+  SELECT user_id, device, ts_sec AS valid_from_sec FROM (
+    SELECT user_id, device, ts_sec,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_sec, event_id) AS rn
+    FROM pre) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, device AS new_device, ts_sec AS change_ts FROM (
+    SELECT user_id, device, ts_sec,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_sec DESC, event_id DESC) AS rn
+    FROM post) WHERE rn = 1
+),
+dim AS (
+  SELECT d.user_id, d.device, d.valid_from_sec,
+         c.change_ts AS valid_to_sec
+  FROM dimq d JOIN chg c USING (user_id) WHERE c.new_device <> d.device
+  UNION ALL
+  SELECT COALESCE(d.user_id, c.user_id), c.new_device, c.change_ts,
+         CAST(253402300799 AS BIGINT)
+  FROM dimq d FULL OUTER JOIN chg c ON d.user_id = c.user_id
+  WHERE c.user_id IS NOT NULL
+    AND (d.user_id IS NULL OR c.new_device <> d.device)
+  UNION ALL
+  SELECT d.user_id, d.device, d.valid_from_sec,
+         CAST(253402300799 AS BIGINT)
+  FROM dimq d LEFT JOIN chg c USING (user_id)
+  WHERE c.user_id IS NULL OR c.new_device = d.device
+),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts_sec,
+         d.device AS dim_device, d.valid_to_sec
+  FROM en e ASOF LEFT JOIN dim d
+    ON e.user_id = d.user_id AND e.ts_sec >= d.valid_from_sec
+)
+SELECT event_id, user_id, ts_sec,
+       COALESCE(CASE WHEN ts_sec < valid_to_sec THEN dim_device END,
+                'UNKNOWN') AS dim_device
+FROM m
+""",
+    tags=("analytics", "scd2", "asof-join", "temporal"),
+    doc="Point-in-time dimension join: every event is matched to the "
+    "SCD2 device-dimension VERSION that was valid at its timestamp — "
+    "the temporal join behind every as-was report. Composition of "
+    "two existing kernels: the merged dim (scd2_merge_device_dim's "
+    "build) and a backward as-of on valid_from (operators/asof.py — "
+    "single-shuffle union+window, never a per-key range explosion), "
+    "then a validity check against valid_to sentinels events before "
+    "a user's first version to 'UNKNOWN'. Because SCD2 versions are "
+    "CONTIGUOUS per user, the greatest valid_from ≤ ts is the valid "
+    "version whenever one exists — the as-of IS the temporal join.",
+)
+def q_pit_device_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.asof import asof_join
+
+    en = events_enriched(spark, sf_dir)
+    ua = synthetic_user_agent(F.col("prop_k"))
+    base = en.withColumn("device", classify_device(ua)).select(
+        "user_id", "event_id", "ts_sec", "device"
+    )
+    dim = q_scd2_merge_device_dim(spark, sf_dir).select(
+        "user_id",
+        F.col("device").alias("dim_device"),
+        "valid_from_sec",
+        "valid_to_sec",
+    )
+    out = asof_join(
+        base.select("event_id", "user_id", "ts_sec"),
+        dim,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="valid_from_sec",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.coalesce(
+            F.when(
+                F.col("ts_sec") < F.col("valid_to_sec"),
+                F.col("dim_device"),
+            ),
+            F.lit("UNKNOWN"),
+        ).alias("dim_device"),
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through
