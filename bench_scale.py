@@ -103,6 +103,7 @@ QUERIES = (
     "quality_gopher_rules",
     "graph_pagerank_personalized",
     "pit_device_dim_join",
+    "sketch_countmin_user_events",
 )
 
 TABLES = (

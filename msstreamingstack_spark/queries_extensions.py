@@ -2052,6 +2052,118 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency sketch, fully deterministic)
+# ---------------------------------------------------------------------------
+CMS_WIDTH = 64
+CMS_DEPTH = 4
+
+
+def _cms_bucket_sql(expr: str, depth: int) -> str:
+    # independent rows via salted md5 — same idiom as the engine's
+    # bucket hash, one hash per sketch row
+    return (
+        f"TRY_CAST(('0x' || substr(md5('r{depth}:' || {expr}), 1, 8)) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "sketch_countmin_user_events",
+    f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+rows_ AS (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS d, {_cms_bucket_sql('k', d)} AS b, COUNT(*) AS c "
+      f"FROM ev GROUP BY 2"
+      for d in range(CMS_DEPTH)
+  )}
+),
+truth AS (
+  SELECT k, COUNT(*) AS true_count FROM ev GROUP BY k
+  ORDER BY true_count DESC, k LIMIT 20
+),
+est AS (
+  SELECT t.k, t.true_count,
+         MIN(r.c) AS cms_est
+  FROM truth t
+  JOIN rows_ r
+    ON r.b = CASE r.d
+       {" ".join(
+           f"WHEN {d} THEN {_cms_bucket_sql('t.k', d)}"
+           for d in range(CMS_DEPTH)
+       )} END
+  GROUP BY t.k, t.true_count
+)
+SELECT k AS user_key, true_count, CAST(cms_est AS BIGINT) AS cms_est
+FROM est
+""",
+    tags=("extension", "approx", "sketch", "countmin"),
+    doc="Count-min sketch over event user keys (Cormode & "
+    "Muthukrishnan 2005) — the third mergeable-sketch family next to "
+    "HLL distinct and the quantile sketch, and unlike both it is "
+    "FULLY oracled: the sketch is d×w integer counters built from "
+    "salted md5 row hashes (deterministic cross-engine, the engine's "
+    "bucket-hash idiom), so both engines materialize identical "
+    "counter tables. The query reports the true top-20 keys with "
+    "their point estimates (min over rows); the CMS overestimate "
+    "guarantee est ≥ true is pytest-pinned with the ε·N error bound. "
+    "Plan: d passes folded to (d, bucket) partial counts — d·w rows "
+    "TOTAL state regardless of stream length (mergeable by addition; "
+    "the streaming heavy-hitters store is the tracking counterpart). "
+    "Ref has no sketch surface (SURVEY.md §2.5 ABSENT) — north-star "
+    "extension.",
+)
+def q_sketch_countmin_user_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+    from msstreamingstack_spark.operators.textclf import bucket_hash
+
+    ev = rotating_persist(
+        spread(load_table(spark, sf_dir, "events")).select(
+            F.col("user_id").cast("string").alias("k")
+        ),
+        "sketch_countmin.ev",
+    )
+
+    def row_bucket(col, d):
+        return bucket_hash(F.concat(F.lit(f"r{d}:"), col), CMS_WIDTH)
+
+    rows = None
+    for d in range(CMS_DEPTH):
+        part = ev.groupBy(row_bucket(F.col("k"), d).alias("b")).agg(
+            F.count("*").alias("c")
+        ).select(F.lit(d).alias("d"), "b", "c")
+        rows = part if rows is None else rows.unionByName(part)
+    truth = (
+        ev.groupBy("k")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("k").asc())
+        .limit(20)
+    )
+    probes = truth
+    for d in range(CMS_DEPTH):
+        probes = probes.withColumn(
+            f"b{d}", row_bucket(F.col("k"), d)
+        )
+    est = (
+        probes.join(
+            F.broadcast(rows),
+            F.expr(
+                "b = CASE d "
+                + " ".join(f"WHEN {d} THEN b{d}" for d in range(CMS_DEPTH))
+                + " END"
+            ),
+        )
+        .groupBy("k", "true_count")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("user_key"), "true_count", "cms_est"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style rule filter (integer rule algebra, no division anywhere)
 # ---------------------------------------------------------------------------
 GOPHER_STOPWORDS = (
