@@ -308,9 +308,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # queries added after the window filled: graph_pagerank_copurchase,
 # sql_frontend_scripting_parity, merge_upsert_customers,
 # scd2_merge_device_dim, asof_next_purchase_tolerance,
-# sessionize_dynamic_gap (all locally driver-sim verified this
-# round), alongside the seven displaced r4-cohort rotations listed
-# in (d).
+# sessionize_dynamic_gap,
+# graph_pagerank_personalized, pit_device_dim_join,
+# quality_gopher_rules, sketch_countmin_user_events (all locally
+# driver-sim verified this round), alongside the seven displaced
+# r4-cohort rotations listed in (d).
 
 
 def _apply_driver_window() -> None:
