@@ -1158,6 +1158,79 @@ def q_pit_device_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# EWMA: per-user exponentially-weighted moving average — the
+# prefix-dependent temporal kernel (anomaly baselines, smoothed
+# rates) that no window frame expresses.
+# ---------------------------------------------------------------------------
+# Smoothing weights as EXACT literals on both sides: 1.0 - 0.3
+# computed in floating point is a DIFFERENT double than the literal
+# 0.7, so the recurrence is written 0.7*y + 0.3*x verbatim in the
+# pandas kernel AND the oracle — bit-identical IEEE fold, no
+# tolerance needed (only the final display round).
+@register(
+    "ewma_event_values",
+    f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts_sec, event_id) AS rn
+  FROM ({EVENTS_TS_SQL})
+),
+r AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.rn,
+         0.7 * r.ewma + 0.3 * e.value AS ewma
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, event_id, rn, round(ewma, 9) AS ewma FROM r
+""",
+    tags=("extension", "temporal", "pandas", "recursive"),
+    doc="Per-user EWMA (alpha=0.3, y_i = 0.7*y_{i-1} + 0.3*x_i, "
+    "y_1 = x_1) over time-ordered events. The recurrence has a strict "
+    "prefix dependency, so it is the legitimate applyInPandas case: "
+    "ONE shuffle partitions by user, then each group folds "
+    "sequentially in an Arrow-batched kernel — parallel across "
+    "users, O(group) memory, no driver involvement; at 100 TB the "
+    "group count (users) is the parallelism and the per-group cost "
+    "is linear. The DuckDB oracle iterates the same recurrence as a "
+    "recursive CTE stepping rn -> rn+1 (depth = max events/user). "
+    "Identical float literals both sides make the fold bit-exact.",
+)
+def q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def ewma_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = np.empty(len(vals), dtype="float64")
+        y = 0.0
+        for i in range(len(vals)):
+            y = vals[i] if i == 0 else 0.7 * y + 0.3 * vals[i]
+            out[i] = y
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "rn": np.arange(1, len(vals) + 1, dtype="int64"),
+                "ewma": out,
+            }
+        )
+
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "event_id", "ts_sec", "value"
+    )
+    smoothed = ev.groupBy("user_id").applyInPandas(
+        ewma_fn, "user_id bigint, event_id bigint, rn bigint, ewma double"
+    )
+    return smoothed.select(
+        "user_id", "event_id", "rn", F.round(F.col("ewma"), 9).alias("ewma")
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -2305,6 +2305,188 @@ def q_langid_fasttext_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_pinned(spread(load_table(spark, sf_dir, "documents")))
 
 
+# ---------------------------------------------------------------------------
+# Retrieval scoring (BM25) — the ranking function a data-curation /
+# RAG pipeline runs over the corpus it just cleaned and deduped.
+# ---------------------------------------------------------------------------
+# Fixed query-term set mixing common terms ('stream' df≈888-doc-scale,
+# 'window') with a rare one ('dup', df≈26 at sf0.01) so the idf
+# weighting is actually exercised, not a constant factor.
+BM25_TERMS = ("stream", "window", "dup")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "retrieval_bm25_topk",
+    f"""
+WITH words AS (
+  SELECT d.doc_id, u.word
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(word)
+  WHERE u.word <> ''
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM wc GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, word, tf FROM wc
+  WHERE word IN {BM25_TERMS!r}
+), idf AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+)
+SELECT t.doc_id,
+       CAST(SUM(CAST(round(
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * (t.tf * {BM25_K1 + 1.0})
+         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+         9) AS DECIMAL(28,9))) AS DOUBLE) AS bm25,
+       COUNT(*) AS n_terms_matched
+FROM tf t
+JOIN idf f USING (word)
+JOIN dl l USING (doc_id)
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id ASC
+LIMIT 20
+""",
+    tags=("extension", "text", "retrieval", "topk"),
+    doc="BM25 top-k document retrieval for a fixed query-term set "
+    "(Robertson/Sparck-Jones idf, k1=1.2 b=0.75). ONE wide shuffle "
+    "builds the per-(doc,word) tf table with map-side combine — "
+    "O(distinct doc-term pairs), not O(tokens) — and every other "
+    "input derives from it: doc lengths fold tf per doc, the "
+    "3-row df table and the (n_docs, avgdl) scalar are broadcast. "
+    "The tf->dl doc_id join co-partitions two children of the SAME "
+    "persisted subtree. Per-term scores round to 9 decimals then sum "
+    "in DECIMAL so the fold is order-free vs the oracle; top-20 is "
+    "tie-broken by doc_id. At 100 TB the tf table is the corpus "
+    "vocabulary footprint (bounded by doc count x vocab, far below "
+    "token count) and the only quadratic-looking piece — the "
+    "df/stats broadcasts — is O(|query terms|) and O(1).",
+)
+def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # tf over ALL words feeds both the per-doc length fold and the
+    # query-term scoring branch — persist once (rotating slot, so
+    # repeat invocations hold one cache entry)
+    wc = rotating_persist(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
+        "retrieval_bm25.wc",
+    )
+    dl = wc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = wc.filter(F.col("word").isin(*BM25_TERMS))
+    idf_df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf_df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = F.round(
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(term_score).cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy matching — the record-linkage
+# primitive (dedupe a noisy entity catalog without all-pairs edit
+# distance).
+# ---------------------------------------------------------------------------
+@register(
+    "entity_match_blocked",
+    """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+), blocked AS (
+  SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+    tags=("extension", "dedup", "fuzzy", "blocking"),
+    doc="Blocked fuzzy entity matching over the part-name catalog: "
+    "candidate pairs come from an equi-join on a blocking key (the "
+    "name's last token — the head noun), then a levenshtein<=3 "
+    "residual keeps near-identical entity labels ('red bolt' ~ "
+    "'blue bolt'). Two scale levers a 100 TB catalog needs: the "
+    "GROUP BY collapses row count to the distinct-entity vocabulary "
+    "BEFORE any pairing, and the blocking key turns all-pairs "
+    "O(V^2) into sum-of-block^2 — the standard record-linkage "
+    "blocking bound. Edit distance runs JVM-side (F.levenshtein), "
+    "identical metric to DuckDB's levenshtein; a.p_name < b.p_name "
+    "halves the pair space and makes the result orientation-"
+    "deterministic.",
+)
+def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

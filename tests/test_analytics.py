@@ -216,3 +216,61 @@ def test_dynamic_gap_matches_native_session_window(spark, sf_correctness):
         .collect()
     }
     assert mine == native
+
+
+def test_ewma_matches_python_model_bitwise(spark, sf_correctness):
+    """Pure-Python recurrence with the same float literals must agree
+    to the 9-decimal rounding the query emits; rn must enumerate each
+    user's events in time order."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    ev = (
+        events_with_time(spark, sf_correctness)
+        .select("user_id", "event_id", "ts_sec", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect: dict[tuple[int, int], tuple[int, float]] = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts_sec"], r["event_id"]))
+        y = 0.0
+        for i, r in enumerate(rows):
+            y = r["value"] if i == 0 else 0.7 * y + 0.3 * r["value"]
+            expect[(uid, r["event_id"])] = (i + 1, y)
+
+    out = REGISTRY["ewma_event_values"].builder(spark, sf_correctness).collect()
+    assert len(out) == len(ev)
+    for r in out:
+        rn, y = expect[(r["user_id"], r["event_id"])]
+        assert r["rn"] == rn
+        assert abs(r["ewma"] - round(y, 9)) <= 2e-9, (r, y)
+
+
+def test_ewma_stays_inside_prefix_envelope(spark, sf_smoke):
+    """EWMA is a convex combination: every smoothed value must lie
+    within [min, max] of the prefix values seen so far."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    vals = {
+        (r["user_id"], r["event_id"]): r["value"]
+        for r in events_with_time(spark, sf_smoke)
+        .select("user_id", "event_id", "value")
+        .collect()
+    }
+    out = sorted(
+        REGISTRY["ewma_event_values"].builder(spark, sf_smoke).collect(),
+        key=lambda r: (r["user_id"], r["rn"]),
+    )
+    lo = hi = None
+    prev_uid = None
+    for r in out:
+        v = vals[(r["user_id"], r["event_id"])]
+        if r["user_id"] != prev_uid:
+            prev_uid, lo, hi = r["user_id"], v, v
+        else:
+            lo, hi = min(lo, v), max(hi, v)
+        assert lo - 1e-9 <= r["ewma"] <= hi + 1e-9

@@ -995,3 +995,105 @@ def test_mine_hard_negatives_matches_numpy_model(spark, sf_smoke):
         assert all(
             labels[list(ids).index(n)] != qlabel for _, n, _, _ in rows
         )
+
+
+def test_bm25_rare_term_dominates_and_order_is_monotone(spark, sf_correctness):
+    """idf separates the rare query term ('dup', df~26/500) from the
+    near-ubiquitous ones: every top-20 hit must contain it, scores
+    must be non-increasing, and term-match counts must stay in
+    [1, |terms|]."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import BM25_TERMS
+
+    rows = REGISTRY["retrieval_bm25_topk"].builder(spark, sf_correctness).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_matched"] <= len(BM25_TERMS) for r in rows)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_correctness}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert all("dup" in docs[r["doc_id"]].split(" ") for r in rows)
+
+
+def test_bm25_matches_python_model(spark, sf_correctness):
+    """Full independent BM25 model in pure Python over the same corpus
+    — same tokenization, same k1/b, same rounding discipline."""
+    import math
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import BM25_B, BM25_K1, BM25_TERMS
+
+    docs = (
+        spark.read.parquet(f"{sf_correctness}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for r in docs:
+        toks = [w for w in r["text"].split(" ") if w]
+        dl[r["doc_id"]] = len(toks)
+        for w in toks:
+            if w in BM25_TERMS:
+                tf[(r["doc_id"], w)] = tf.get((r["doc_id"], w), 0) + 1
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+    df = {t: sum(1 for (_, w) in tf if w == t) for t in BM25_TERMS}
+    scores: dict[int, float] = {}
+    for (d, w), f in tf.items():
+        idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+        s = idf * (f * (BM25_K1 + 1.0)) / (
+            f + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl[d] / avgdl)
+        )
+        scores[d] = scores.get(d, 0.0) + round(s, 9)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in REGISTRY["retrieval_bm25_topk"].builder(spark, sf_correctness).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, g), (_, e) in zip(got, expect):
+        assert abs(g - e) <= 1e-9
+
+
+def test_entity_match_matches_python_levenshtein_model(spark, sf_correctness):
+    """Independent model: distinct part names, block on last token,
+    all pairs with edit distance <= 3 via a from-scratch DP
+    levenshtein."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        {
+            r["p_name"]
+            for r in spark.read.parquet(f"{sf_correctness}/part.parquet")
+            .select("p_name")
+            .collect()
+        }
+    )
+    expect = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1] and lev(a, b) <= 3:
+                expect.add((a, b))
+
+    rows = REGISTRY["entity_match_blocked"].builder(spark, sf_correctness).collect()
+    got = {(r["name_a"], r["name_b"]) for r in rows}
+    assert got == expect
+    assert all(r["dist"] <= 3 and r["name_a"] < r["name_b"] for r in rows)

@@ -560,3 +560,36 @@ def test_merge_single_key_shuffle_no_python(spark):
     f = plan_facts(REGISTRY["merge_upsert_customers"].builder(spark, SF))
     assert "CartesianProduct" not in f.text
     assert f.python_evals == 0, "merge must stay JVM-side"
+
+
+def test_bm25_broadcasts_and_reuses_tf_subtree(spark):
+    """df (3 rows) and the (n_docs, avgdl) scalar must broadcast; the
+    per-(doc,word) tf table feeds both the length fold and the scoring
+    branch through ONE persisted subtree (InMemoryTableScan x2), so
+    the corpus is exploded and shuffled exactly once."""
+    f = plan_facts(REGISTRY["retrieval_bm25_topk"].builder(spark, SF))
+    assert f.broadcast_joins >= 2, f.text
+    assert f.text.count("InMemoryTableScan") >= 2, f.text
+    assert "CartesianProduct" not in f.text
+    assert f.python_evals == 0
+
+
+def test_entity_match_no_cartesian(spark):
+    """Blocking must surface as an equi-join on the block key (hash or
+    sort-merge), never a cartesian/BNLJ over the name vocabulary."""
+    f = plan_facts(REGISTRY["entity_match_blocked"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.python_evals == 0
+
+
+def test_ewma_single_shuffle_into_pandas_kernel(spark):
+    """The EWMA kernel is the legitimate applyInPandas case: exactly
+    one FlatMapGroupsInPandas, fed by a single user_id exchange — no
+    extra shuffle before or after the grouped fold."""
+    f = plan_facts(REGISTRY["ewma_event_values"].builder(spark, SF))
+    assert "FlatMapGroupsInPandas" in f.text
+    # formatted plans list every node twice (tree + detail section), so
+    # one physical occurrence == count 2
+    assert f.python_evals == 2, f.text
+    assert f.shuffles == 2, f.text
