@@ -3032,6 +3032,127 @@ def q_graph_pagerank_personalized(
     )
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting — the third graph kernel (after the PageRank
+# fixed-points and connected components): cohesion/clustering
+# structure of the part co-occurrence graph.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_triangle_count",
+    """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN p.u ELSE p.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+              THEN p.v ELSE p.u END AS dst
+  FROM pairs p
+  JOIN deg du ON p.u = du.node
+  JOIN deg dv ON p.v = dv.node
+),
+tri AS (
+  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+  FROM oriented o1
+  JOIN oriented o2 ON o1.dst = o2.src
+  JOIN oriented o3 ON o3.src = o1.src AND o3.dst = o2.dst
+),
+node_tri AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT nt.node, d.deg, nt.n_triangles
+FROM node_tri nt JOIN deg d ON nt.node = d.node
+""",
+    tags=("extension", "graph", "self-join"),
+    doc="Per-node triangle counts of the part co-occurrence graph "
+    "(parts sharing an order are linked) via DEGREE-ORIENTED wedge "
+    "closure — the Schank/Ortmann trick: orient every undirected "
+    "edge from its (degree, id)-smaller endpoint, so each triangle "
+    "materializes exactly once and the wedge join's fan-out is "
+    "bounded by out-degree, which degree orientation caps near "
+    "sqrt(E) (arboricity bound) instead of max raw degree. That "
+    "bound is WHY this survives a power-law 100 TB graph where the "
+    "naive 3-cycle join explodes on hub nodes. Edge build is "
+    "per-order C(k,2) pair expansion (k = order size, bounded "
+    "small) followed by DISTINCT; the oriented edge frame is "
+    "persisted once and joined three times; all joins are equi-"
+    "joins on node keys.",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = rotating_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct(),
+        "triangles.und",
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = rotating_persist(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ),
+        "triangles.oriented",
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.src"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("x"),
+            F.col("o1.dst").alias("y"),
+            F.col("o2.dst").alias("z"),
+        )
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return node_tri.join(deg, "node").select("node", "deg", "n_triangles")
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

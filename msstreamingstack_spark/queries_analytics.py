@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from msstreamingstack_spark.queries import (
     ENRICH_SQL,
     EVENTS_TS_SQL,
+    PROP_K_SQL,
     _dec_sum,
     _dec_sum_sql,
     register,
@@ -1155,6 +1156,83 @@ def q_pit_device_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit("UNKNOWN"),
         ).alias("dim_device"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression / correlation aggregates — OLS slope, intercept and
+# Pearson r derived from EXACT integer moment sums, the
+# numerically-portable form of SQL's regr_* / corr family.
+# ---------------------------------------------------------------------------
+@register(
+    "regr_value_on_propk",
+    f"""
+WITH ev AS (
+  SELECT event_type,
+         {PROP_K_SQL} AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n_pts,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n_pts,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             9) AS intercept,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr
+FROM m
+""",
+    tags=("extension", "agg", "stats"),
+    doc="Per-event-type OLS regression of value (integer cents) on "
+    "the props k field: slope, intercept, Pearson correlation. The "
+    "engines' native corr/regr_* aggregates use different one-pass "
+    "update formulas (float-order dependent), so this computes the "
+    "FIVE exact integer moment sums (DECIMAL(38,0) — overflow-proof "
+    "at any scale, map-side combinable, one shuffle of 6 numbers "
+    "per group) and derives the statistics in double with an "
+    "identical expression tree both sides — the portable way to get "
+    "bit-stable second-order statistics out of a distributed fold.",
+)
+def q_regr_value_on_propk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_enriched(spark, sf_dir).select(
+        "event_type",
+        F.col("prop_k").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(y * y)).cast("double").alias("syy"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.count("*").cast("double").alias("n"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n_pts",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("corr"),
     )
 
 

@@ -274,3 +274,37 @@ def test_ewma_stays_inside_prefix_envelope(spark, sf_smoke):
         else:
             lo, hi = min(lo, v), max(hi, v)
         assert lo - 1e-9 <= r["ewma"] <= hi + 1e-9
+
+
+def test_regr_matches_numpy(spark, sf_correctness):
+    """slope/intercept/corr must agree with numpy's lstsq/corrcoef on
+    the same integer (x, cents) pairs."""
+    import numpy as np
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import events_enriched
+
+    ev = events_enriched(spark, sf_correctness).select(
+        "event_type", "prop_k", "value"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(
+            (r["prop_k"], round(r["value"] * 100))
+        )
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["regr_value_on_propk"].builder(spark, sf_correctness).collect()
+    }
+    assert set(out) == set(groups)
+    for et, pts in groups.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        r = out[et]
+        assert r["n_pts"] == len(pts)
+        assert abs(r["slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-6
+        assert abs(r["corr"] - corr) < 1e-9
+        assert -1.0 <= r["corr"] <= 1.0

@@ -152,3 +152,40 @@ def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
     p_seed = sum(v for k, v in pers.items() if k in seed_keys)
     u_seed = sum(v for k, v in unif.items() if k in seed_keys)
     assert p_seed > u_seed
+
+
+def test_triangle_count_matches_python_model(spark):
+    """Independent model: build the co-occurrence graph with Python
+    sets and count each node's triangles by neighbor intersection
+    (every triangle counted once per member node)."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj: dict[int, set] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    expect = {}
+    for node, nbrs in adj.items():
+        t = 0
+        for u in nbrs:
+            t += len(nbrs & adj[u])
+        # each triangle at `node` counted twice (once per ordered
+        # neighbor pair)
+        if t:
+            expect[node] = (len(nbrs), t // 2)
+
+    rows = REGISTRY["graph_triangle_count"].builder(spark, sf).collect()
+    got = {r["node"]: (r["deg"], r["n_triangles"]) for r in rows}
+    assert got == expect

@@ -77,6 +77,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "dedup_embedding_lsh",  # SRP bucket UDF (Arrow matmul)
             "chunk_documents_udtf",
             "pandas_udaf_value_moments",
+            "ewma_event_values",  # prefix-dependent applyInPandas fold
         ):
             continue
         if "streaming" in spec.tags:
@@ -593,3 +594,23 @@ def test_ewma_single_shuffle_into_pandas_kernel(spark):
     # one physical occurrence == count 2
     assert f.python_evals == 2, f.text
     assert f.shuffles == 2, f.text
+
+
+def test_triangle_count_no_cartesian_and_reuses_oriented(spark):
+    """All three triangle joins must be equi-joins on node keys (never
+    cartesian/BNLJ), and the oriented edge frame must come from ONE
+    persisted subtree consumed three times."""
+    f = plan_facts(REGISTRY["graph_triangle_count"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.text.count("InMemoryTableScan") >= 3, f.text
+    assert f.python_evals == 0
+
+
+def test_regr_single_shuffle_moment_fold(spark):
+    """The regression family is one partial-aggregated shuffle of six
+    numbers per group — no join, no window, no Python."""
+    f = plan_facts(REGISTRY["regr_value_on_propk"].builder(spark, SF))
+    assert f.python_evals == 0
+    assert f.broadcast_joins == 0 and f.sortmerge_joins == 0
+    assert "HashAggregate" in f.text
