@@ -104,6 +104,14 @@ QUERIES = (
     "graph_pagerank_personalized",
     "pit_device_dim_join",
     "sketch_countmin_user_events",
+    # fifth/sixth-wave additions: retrieval scoring, blocked entity
+    # matching, the pandas EWMA kernel, degree-oriented triangles,
+    # exact-moment regression aggregates
+    "retrieval_bm25_topk",
+    "entity_match_blocked",
+    "ewma_event_values",
+    "graph_triangle_count",
+    "regr_value_on_propk",
 )
 
 TABLES = (

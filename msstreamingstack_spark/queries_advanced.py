@@ -3037,13 +3037,42 @@ def q_graph_pagerank_personalized(
 # fixed-points and connected components): cohesion/clustering
 # structure of the part co-occurrence graph.
 # ---------------------------------------------------------------------------
+# Top-K sparsification bound for the co-occurrence KNN graph. The
+# testdata's part vocabulary is FIXED (does not grow with SF), so the
+# raw co-occurrence graph densifies toward a clique as orders grow and
+# an unthresholded triangle count would measure data density, not the
+# plan (measured: 30 s / 4x-ratio 2.74 at sf0.1 unsparsified). Keeping
+# each node's K strongest edges is the standard KNN-graph
+# construction: edge count <= N*K and wedge fan-out <= K by
+# construction, independent of corpus density.
+TRI_KNN_K = 8
+
+
 @register(
     "graph_triangle_count",
-    """
-WITH pairs AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    f"""
+WITH cpairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cnt
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT u AS node, v AS nbr, cnt FROM cpairs
+  UNION ALL
+  SELECT v AS node, u AS nbr, cnt FROM cpairs
+),
+topk AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY cnt DESC, nbr ASC) AS rk
+    FROM sym
+  ) WHERE rk <= {TRI_KNN_K}
+),
+pairs AS (
+  SELECT DISTINCT LEAST(node, nbr) AS u, GREATEST(node, nbr) AS v
+  FROM topk
 ),
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
@@ -3075,36 +3104,61 @@ node_tri AS (
 SELECT nt.node, d.deg, nt.n_triangles
 FROM node_tri nt JOIN deg d ON nt.node = d.node
 """,
-    tags=("extension", "graph", "self-join"),
-    doc="Per-node triangle counts of the part co-occurrence graph "
-    "(parts sharing an order are linked) via DEGREE-ORIENTED wedge "
-    "closure — the Schank/Ortmann trick: orient every undirected "
-    "edge from its (degree, id)-smaller endpoint, so each triangle "
-    "materializes exactly once and the wedge join's fan-out is "
-    "bounded by out-degree, which degree orientation caps near "
-    "sqrt(E) (arboricity bound) instead of max raw degree. That "
-    "bound is WHY this survives a power-law 100 TB graph where the "
-    "naive 3-cycle join explodes on hub nodes. Edge build is "
-    "per-order C(k,2) pair expansion (k = order size, bounded "
-    "small) followed by DISTINCT; the oriented edge frame is "
-    "persisted once and joined three times; all joins are equi-"
-    "joins on node keys.",
+    tags=("extension", "graph", "self-join", "topk"),
+    doc="Per-node triangle counts of the top-K part co-occurrence "
+    "graph: each part keeps its K=8 strongest co-occurrence edges "
+    "(weight = shared-order count, id tiebreak) — the standard "
+    "KNN-graph sparsification that bounds edge count at N*K and "
+    "degree at 2K regardless of how dense raw co-occurrence gets — "
+    "then counts closed triads via DEGREE-ORIENTED wedge closure "
+    "(Schank/Ortmann): orient every undirected edge from its "
+    "(degree, id)-smaller endpoint so each triangle materializes "
+    "exactly once and wedge fan-out is capped by out-degree. The "
+    "two bounds compose: the KNN cap handles corpus densification, "
+    "the orientation cap handles skew within the kept graph — "
+    "that is what lets this run on a 100 TB basket corpus where a "
+    "naive 3-cycle join explodes. Edge build is per-order C(k,2) "
+    "pair expansion (k = order size, bounded small) + one weighted "
+    "agg; top-K is one window over the symmetric adjacency; the "
+    "oriented edge frame is persisted once and joined three times; "
+    "all joins are equi-joins on node keys.",
 )
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from msstreamingstack_spark.caching import rotating_persist
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    und = rotating_persist(
+    cpairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct(),
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = cpairs.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr"), "cnt"
+    ).unionAll(
+        cpairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "cnt")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("nbr").asc()
+    )
+    topk = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TRI_KNN_K)
+        .select("node", "nbr")
+    )
+    und = rotating_persist(
+        topk.select(
+            F.least(F.col("node"), F.col("nbr")).alias("u"),
+            F.greatest(F.col("node"), F.col("nbr")).alias("v"),
+        ).distinct(),
         "triangles.und",
     )
     deg = (

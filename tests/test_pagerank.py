@@ -155,10 +155,12 @@ def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
 
 
 def test_triangle_count_matches_python_model(spark):
-    """Independent model: build the co-occurrence graph with Python
-    sets and count each node's triangles by neighbor intersection
+    """Independent model: weighted co-occurrence pairs, top-K
+    strongest neighbors per node (cnt desc, id asc), symmetric-union
+    KNN graph, then per-node triangles by neighbor intersection
     (every triangle counted once per member node)."""
     from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_advanced import TRI_KNN_K
 
     sf = "/root/testdata/sf0.001"
     li = (
@@ -166,16 +168,30 @@ def test_triangle_count_matches_python_model(spark):
         .select("l_orderkey", "l_partkey")
         .collect()
     )
-    by_order: dict[int, set] = {}
+    from collections import Counter
+
+    by_order: dict[int, Counter] = {}
     for r in li:
-        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
-    adj: dict[int, set] = {}
+        by_order.setdefault(r["l_orderkey"], Counter())[r["l_partkey"]] += 1
+    # lineitem ROW pairs (multiset): an order holding part u in two
+    # lines and v in one contributes 2 to cnt(u,v) — matches the SQL
+    # self-join exactly
+    wcnt: dict[tuple[int, int], int] = {}
     for parts in by_order.values():
         ps = sorted(parts)
         for i, u in enumerate(ps):
             for v in ps[i + 1 :]:
-                adj.setdefault(u, set()).add(v)
-                adj.setdefault(v, set()).add(u)
+                wcnt[(u, v)] = wcnt.get((u, v), 0) + parts[u] * parts[v]
+    nbr_w: dict[int, list] = {}
+    for (u, v), c in wcnt.items():
+        nbr_w.setdefault(u, []).append((c, v))
+        nbr_w.setdefault(v, []).append((c, u))
+    adj: dict[int, set] = {}
+    for node, lst in nbr_w.items():
+        lst.sort(key=lambda cv: (-cv[0], cv[1]))
+        for _, other in lst[:TRI_KNN_K]:
+            adj.setdefault(node, set()).add(other)
+            adj.setdefault(other, set()).add(node)
     expect = {}
     for node, nbrs in adj.items():
         t = 0
