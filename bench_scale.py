@@ -112,6 +112,7 @@ QUERIES = (
     "ewma_event_values",
     "graph_triangle_count",
     "regr_value_on_propk",
+    "coreset_kcenter",
 )
 
 TABLES = (

@@ -312,7 +312,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # graph_pagerank_personalized, pit_device_dim_join,
 # quality_gopher_rules, sketch_countmin_user_events,
 # retrieval_bm25_topk, entity_match_blocked, ewma_event_values,
-# graph_triangle_count, regr_value_on_propk (all locally
+# graph_triangle_count, regr_value_on_propk, coreset_kcenter (all locally
 # driver-sim verified this round), alongside the seven displaced
 # r4-cohort rotations listed in (d).
 

@@ -3033,6 +3033,145 @@ def q_graph_pagerank_personalized(
 
 
 # ---------------------------------------------------------------------------
+# Coreset selection: k-center greedy (farthest-point sampling) over
+# the embedding corpus — the diverse-subset primitive data curation
+# and active-learning pipelines run to pick representative documents.
+# ---------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def kcenter_sql(k: int = KCENTER_K) -> str:
+    """DuckDB twin of the greedy k-center selection — the k rounds
+    unrolled as chained CTEs (the pagerank_sql precedent), centers
+    derived INSIDE the SQL so the oracle is fully self-contained.
+    Distances are Σ round((a-b)*(a-b), 9) summed in DECIMAL(28,9):
+    identical per-term rounding on both sides makes the fold
+    order-free and the argmax ties deterministic (vec_id asc)."""
+    steps = []
+    for t in range(1, k):
+        prev_d = f"d{t-1}"
+        prev_c = f"c{t-1}"
+        steps.append(
+            f"""d{t} AS (
+  SELECT d.vec_id, LEAST(d.min_d, s.d2) AS min_d
+  FROM {prev_d} d JOIN (
+    SELECT a.vec_id,
+           CAST(SUM(CAST(round((a.v - b.v) * (a.v - b.v), 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS d2
+    FROM ue a JOIN ue b ON a.i = b.i
+    WHERE b.vec_id = (SELECT vid FROM {prev_c})
+    GROUP BY a.vec_id
+  ) s ON s.vec_id = d.vec_id
+),
+c{t} AS (
+  SELECT vec_id AS vid, min_d AS sel_d
+  FROM d{t} ORDER BY min_d DESC, vec_id ASC LIMIT 1
+)"""
+        )
+    chain = ",\n".join(steps)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t + 1} AS sel_round, vid AS vec_id, round(sel_d, 9) AS dist2 FROM c{t}"
+        for t in range(1, k)
+    )
+    return f"""
+WITH ue AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT MIN(vec_id) AS vid, CAST(0.0 AS DOUBLE) AS sel_d FROM embeddings
+),
+d0 AS (
+  SELECT a.vec_id,
+         CAST(SUM(CAST(round((a.v - b.v) * (a.v - b.v), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS min_d
+  FROM ue a JOIN ue b ON a.i = b.i
+  WHERE b.vec_id = (SELECT vid FROM c0)
+  GROUP BY a.vec_id
+),
+{chain}
+SELECT 1 AS sel_round, vid AS vec_id, round(sel_d, 9) AS dist2 FROM c0
+UNION ALL
+{selects}
+"""
+
+
+@register(
+    "coreset_kcenter",
+    kcenter_sql(),
+    tags=("extension", "similarity", "iterative", "coreset"),
+    doc="Greedy k-center coreset (farthest-point sampling, K=8) over "
+    "the embedding corpus: seed at the min vec_id, then repeatedly "
+    "pick the point farthest from its nearest selected center — the "
+    "2-approximation to the k-center cover that curation pipelines "
+    "use for diverse subset selection. Spark side is the IVF "
+    "discipline: driver state is K vectors (bounded at K*D "
+    "doubles), each round is one narrow map (distance to the ONE "
+    "new broadcast center, fold kept via least()) plus a top-1 "
+    "TakeOrdered reduce — no shuffle, O(K*N*D) total work, trivially "
+    "data-parallel at 100 TB. Per-term round-then-DECIMAL-sum makes "
+    "the squared distances bit-identical to the unrolled-CTE oracle "
+    "(which re-derives every center inside SQL), so the argmax "
+    "choices — and therefore the whole greedy trajectory — match "
+    "exactly.",
+)
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def d2_to(center_vals):
+        cvec = F.array(*[F.lit(float(x)) for x in center_vals])
+        term = F.zip_with(
+            F.col("embedding"),
+            cvec,
+            lambda a, b: F.round(
+                (a.cast("double") - b) * (a.cast("double") - b), 9
+            ).cast("decimal(28,9)"),
+        )
+        return F.aggregate(
+            term,
+            F.lit(0).cast("decimal(28,9)"),
+            # re-cast: DECIMAL addition widens precision each step and
+            # aggregate() requires the merge type to stay fixed; the
+            # cast is exact (terms are <1 with 9-decimal scale)
+            lambda acc, x: (acc + x).cast("decimal(28,9)"),
+        ).cast("double")
+
+    seed = (
+        emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    )  # 1 row: bounded driver state, like the IVF centroid load
+    selected = [(1, int(seed["vec_id"]), 0.0)]
+    # Persist each round's min_d so round t evaluates ONE new center
+    # distance over the materialized fold, not the whole re-derived
+    # least(...) chain — O(K*N*D) total instead of O(K^2*N*D), which
+    # matters because the decimal-HOF distance is interpreter-bound.
+    md = emb.withColumn("min_d", d2_to(seed["embedding"])).persist()
+    try:
+        for t in range(2, KCENTER_K + 1):
+            top = (
+                md.orderBy(F.desc("min_d"), F.asc("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )  # top-1 TakeOrdered: a reduce, not a sort-all
+            selected.append((t, int(top["vec_id"]), float(top["min_d"])))
+            if t < KCENTER_K:
+                nxt = md.withColumn(
+                    "min_d", F.least(F.col("min_d"), d2_to(top["embedding"]))
+                ).persist()
+                nxt.count()  # materialize before releasing the parent
+                md.unpersist()
+                md = nxt
+    finally:
+        md.unpersist()
+    out = spark.createDataFrame(
+        selected, "sel_round int, vec_id bigint, dist2 double"
+    )
+    return out.select(
+        "sel_round", "vec_id", F.round(F.col("dist2"), 9).alias("dist2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting — the third graph kernel (after the PageRank
 # fixed-points and connected components): cohesion/clustering
 # structure of the part co-occurrence graph.
