@@ -279,9 +279,12 @@ def test_ivf_pinned_probe_recall_and_fixture_integrity(spark, sf_correctness):
     """The pinned-quantizer probe (the oracled lifecycle path): both
     committed indexes must hit the same recall bound as the in-line
     fits, return exactly k ranked rows per query, and the fixture's
-    precomputed ||c||² must equal dot(c,c) bit-for-bit (both engines
-    consume it as a literal — a drifted cc would silently skew every
-    assignment)."""
+    precomputed ||c||² must equal the STRICTLY SEQUENTIAL float64
+    fold of c*c bit-for-bit (both engines consume it as a literal —
+    a drifted cc would silently skew every assignment). The fold, not
+    np.dot: BLAS summation order varies by kernel dispatch, so a
+    dot-based invariant is machine-dependent (it broke 1-ULP between
+    sessions on the SAME host)."""
     import numpy as np
 
     from msstreamingstack_spark.operators.similarity import (
@@ -294,7 +297,13 @@ def test_ivf_pinned_probe_recall_and_fixture_integrity(spark, sf_correctness):
     for which in ("lloyd", "ml"):
         C, cc = load_pinned_ivf(which)
         assert C.shape == (16, 64) and cc.shape == (16,)
-        assert all(float(np.dot(c, c)) == float(v) for c, v in zip(C, cc))
+        def _seq_sq(c) -> float:
+            y = 0.0
+            for x in c:
+                y += float(x) * float(x)
+            return y
+
+        assert all(_seq_sq(c) == float(v) for c, v in zip(C, cc))
 
     emb = load_table(spark, sf_correctness, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
