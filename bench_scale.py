@@ -113,6 +113,10 @@ QUERIES = (
     "graph_triangle_count",
     "regr_value_on_propk",
     "coreset_kcenter",
+    # round-6 session-6 additions: robust MAD fences, epoch-capped
+    # mixing
+    "anomaly_mad_events",
+    "mix_epochs_budget",
 )
 
 TABLES = (

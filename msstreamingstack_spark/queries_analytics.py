@@ -1309,6 +1309,168 @@ def q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Robust anomaly detection — median / MAD outlier rates per event
+# type. Mean/stddev thresholds (rolling_zscore_events) move with the
+# outliers they hunt; the median absolute deviation is the standard
+# robust alternative (50% breakdown point).
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_mad_events",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+m AS (
+  SELECT event_type,
+         CAST(CAST(quantile_cont(value, 0.50) AS DECIMAL(18,9)) AS DOUBLE)
+           AS med
+  FROM ev GROUP BY event_type
+),
+d AS (
+  SELECT ev.event_type, ev.value, m.med, abs(ev.value - m.med) AS dev
+  FROM ev JOIN m ON ev.event_type = m.event_type
+),
+s AS (
+  SELECT event_type,
+         CAST(CAST(quantile_cont(dev, 0.50) AS DECIMAL(18,9)) AS DOUBLE)
+           AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MIN(d.med) AS med,
+       MIN(s.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(SUM(CASE WHEN d.dev > 3.0 * s.mad THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 9) AS outlier_rate
+FROM d JOIN s ON d.event_type = s.event_type
+GROUP BY d.event_type
+""",
+    tags=("analytics", "anomaly", "percentile", "agg"),
+    doc="Robust outlier rates per event type: median and median-"
+    "absolute-deviation of value, events flagged where "
+    "|x - med| > 3·MAD. Unlike the z-score twin "
+    "(rolling_zscore_events), the MAD threshold has a 50% breakdown "
+    "point — the outliers cannot drag the fence toward themselves. "
+    "Both medians are exact interpolated percentiles (Spark "
+    "`percentile` ≡ DuckDB `quantile_cont`) pinned through "
+    "DECIMAL(18,9) BEFORE the deviation/threshold arithmetic, so the "
+    "flag predicate compares bit-identical doubles on both engines — "
+    "a raw cross-engine median ULP could otherwise flip a borderline "
+    "event. Plan: two grouped aggregates on event_type plus two "
+    "broadcast joins of the tiny per-type stats — the event relation "
+    "is scanned twice but never reshuffled; at 100 TB swap the exact "
+    "percentile for approx_percentile (the sketch twin "
+    "approx_percentile_event_values) and keep the identical fence "
+    "algebra.",
+)
+def q_anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select("event_type", "value")
+    pin9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        pin9(F.percentile(F.col("value"), F.lit(0.5))).alias("med")
+    )
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    s = d.groupBy("event_type").agg(
+        pin9(F.percentile(F.col("dev"), F.lit(0.5))).alias("mad")
+    )
+    flagged = F.when(F.col("dev") > 3.0 * F.col("mad"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(flagged).cast("double") / F.count("*"), 9
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-capped corpus mixing — uniform per-source token targets with a
+# maximum-repetition cap (the LLaMA-style "up to N epochs of the small
+# sources" mixture plan).
+# ---------------------------------------------------------------------------
+MIX_MAX_EPOCHS = 4
+
+from msstreamingstack_spark.functions.text import token_count_sql  # noqa: E402
+
+
+@register(
+    "mix_epochs_budget",
+    f"""
+WITH toks AS (
+  SELECT source, {token_count_sql('text')} AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM toks GROUP BY source
+),
+t AS (
+  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM c
+)
+SELECT c.source, c.n_docs, c.avail_tokens,
+       t.total_tokens // (2 * t.n_sources) AS target_tokens,
+       LEAST(t.total_tokens // (2 * t.n_sources),
+             c.avail_tokens * {MIX_MAX_EPOCHS}) AS planned_tokens,
+       (LEAST(t.total_tokens // (2 * t.n_sources),
+              c.avail_tokens * {MIX_MAX_EPOCHS}) * 100) // c.avail_tokens
+         AS epochs_pct
+FROM c, t
+""",
+    tags=("analytics", "pipeline", "sampling"),
+    doc=f"Epoch-capped mixture plan: each source gets a UNIFORM token "
+    "target (half the corpus split evenly across sources — the "
+    "rebalancing complement to mix_temperature_sources' "
+    "frequency-derived weights), but a small source may be repeated "
+    f"at most {MIX_MAX_EPOCHS} epochs (planned = min(target, "
+    f"avail x {MIX_MAX_EPOCHS})) — the standard guard against "
+    "memorizing a tiny source by oversampling it without bound. "
+    "epochs_pct is the planned repetition rate in integer percent "
+    "(400 = the cap, <100 = down-sampled head source). ALL "
+    "arithmetic is integer (div, LEAST, x100) so the plan is exact "
+    "on both engines; the corpus totals move as a broadcast one-row "
+    "join. One shuffle on source; the token count folds into the "
+    "scan.",
+)
+def q_mix_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail_tokens"),
+    )
+    t = c.agg(
+        F.sum("avail_tokens").cast("long").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = F.expr("total_tokens div (2 * n_sources)")
+    planned = F.least(target, F.col("avail_tokens") * MIX_MAX_EPOCHS)
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        target.alias("target_tokens"),
+        planned.alias("planned_tokens"),
+        F.expr(
+            f"least(total_tokens div (2 * n_sources), "
+            f"avail_tokens * {MIX_MAX_EPOCHS}) * 100 div avail_tokens"
+        ).alias("epochs_pct"),
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -308,3 +308,94 @@ def test_regr_matches_numpy(spark, sf_correctness):
         assert abs(r["intercept"] - intercept) < 1e-6
         assert abs(r["corr"] - corr) < 1e-9
         assert -1.0 <= r["corr"] <= 1.0
+
+
+def test_anomaly_mad_matches_numpy_model(spark, sf_correctness):
+    """med/MAD/outlier counts must agree with a from-scratch numpy
+    model using the same interpolated median and the same pinned
+    (9-digit-rounded) fence arithmetic."""
+    import numpy as np
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    vals: dict[str, list[float]] = {}
+    for r in events_with_time(spark, sf_correctness).select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["anomaly_mad_events"].builder(
+            spark, sf_correctness
+        ).collect()
+    }
+    assert set(out) == set(vals)
+
+    def pin9(x: float) -> float:
+        return float(np.format_float_positional(x, 9, fractional=True))
+
+    for et, xs in vals.items():
+        a = np.array(xs, dtype="float64")
+        med = pin9(float(np.percentile(a, 50)))
+        dev = np.abs(a - med)
+        mad = pin9(float(np.percentile(dev, 50)))
+        n_out = int(np.sum(dev > 3.0 * mad))
+        r = out[et]
+        assert r["n_events"] == len(xs)
+        assert abs(r["med"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        assert r["n_outliers"] == n_out
+        # a 3-MAD fence on real data should flag some but not most
+        assert 0 < r["n_outliers"] < 0.5 * r["n_events"]
+
+
+def test_mix_epochs_cap_binds_on_skewed_corpus(spark, tmp_path):
+    """On a corpus with one giant and one tiny source, the tiny source
+    must hit the 4-epoch repetition cap and the giant source must be
+    down-sampled below one epoch — both LEAST branches exercised
+    (the driver fixture's sources are near-uniform, so the cap is
+    data-inactive there). Spark builder and DuckDB oracle must agree
+    row-for-row on the same skewed corpus."""
+    import duckdb
+
+    rows = []
+    did = 0
+    for _ in range(200):  # giant source: ~200 docs x 8 tokens
+        rows.append((did, "w " * 8, "en", "big", 16))
+        did += 1
+    for _ in range(3):  # tiny source: 3 docs x 8 tokens
+        rows.append((did, "w " * 8, "en", "small", 16))
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "sf_skew")
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["mix_epochs_budget"].builder(spark, sf_dir).collect()
+    }
+    # total = 203*8 = 1624 tokens; target = 1624//(2*2) = 406/source
+    assert got["small"]["planned_tokens"] == got["small"]["avail_tokens"] * 4
+    assert got["small"]["epochs_pct"] == 400
+    assert got["big"]["planned_tokens"] == got["big"]["target_tokens"]
+    assert got["big"]["epochs_pct"] < 100
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r for r in con.execute(REGISTRY["mix_epochs_budget"].oracle).fetchall()
+    }
+    assert set(want) == set(got)
+    for src, w in want.items():
+        g = got[src]
+        assert (
+            w[1], w[2], w[3], w[4], w[5]
+        ) == (
+            g["n_docs"], g["avail_tokens"], g["target_tokens"],
+            g["planned_tokens"], g["epochs_pct"],
+        )
