@@ -117,6 +117,9 @@ QUERIES = (
     # mixing
     "anomaly_mad_events",
     "mix_epochs_budget",
+    "decontaminate_minhash",
+    "pack_blocks_fixed",
+    "quality_source_calibrated",
 )
 
 TABLES = (

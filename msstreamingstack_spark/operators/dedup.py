@@ -223,6 +223,107 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def _band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature row into its (band, key) LSH bucket rows —
+    the shared candidate generator for the self-join (dedup) and the
+    cross-corpus (decontamination) paths."""
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_cross_pairs(
+    docs: DataFrame,
+    eval_pred,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy cross-corpus decontamination: banded-minhash candidates
+    restricted to (train, eval) pairs — train docs that share an LSH
+    band bucket with any held-out eval doc, verified with exact
+    jaccard ≥ ``threshold``. The looser default threshold (0.5 vs the
+    dedup family's 0.8) is deliberate: contamination screening wants
+    paraphrase-level overlap, not just near-identity.
+
+    Same scale shape as :func:`minhash_lsh_pairs` — bucket equi-join,
+    never all-pairs — but the join is train×eval instead of a
+    self-join, so candidate volume is bounded by the (small) eval
+    side's bucket occupancy. ``eval_pred`` is an unbound Column
+    predicate over ``doc_id``."""
+    sh = doc_shingle_hashes(
+        docs, text_col=text_col, id_col=id_col, slot="minhash_cross.sh"
+    )
+    buckets = _band_buckets(minhash_signatures(sh), id_col)
+    train_b = buckets.filter(~eval_pred)
+    eval_b = buckets.filter(eval_pred)
+    cand = (
+        train_b.alias("x")
+        .join(eval_b.alias("y").hint("shuffle_hash"), ["band", "key"])
+        .select(
+            F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_on_pairs(sh, cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("d1").alias("train_id"),
+            F.col("d2").alias("eval_id"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_cross_sql(mod: int, rem: int, threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`minhash_cross_pairs` for the eval split
+    ``doc_id % mod = rem``."""
+    mh_cols = ",\n         ".join(
+        f"MIN({_perm_sql(i, 'h')}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, CAST(mh_{j0} AS VARCHAR) || '_' || CAST(mh_{j1} AS VARCHAR) AS key FROM sig".format(
+            b=b, j0=b * BAND_SIZE, j1=b * BAND_SIZE + 1
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({doc_shingle_hashes_sql()}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {mod} <> {rem} AND y.doc_id % {mod} = {rem}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.d1 AS train_id, i.d2 AS eval_id,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.d1 JOIN sizes sb ON sb.doc_id = i.d2
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -247,23 +348,7 @@ def minhash_lsh_pairs(
             docs, text_col=text_col, id_col=id_col, slot="minhash.sh"
         )
     )
-    sig = minhash_signatures(sh)
-    n_bands = NUM_HASHES // BAND_SIZE
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh_{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = _band_buckets(minhash_signatures(sh))
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"), ["band", "key"])

@@ -33,6 +33,7 @@ from msstreamingstack_spark.operators.dedup import (
     EXACT_DEDUP_SQL,
     eval_overlap_sql,
     exact_dedup,
+    minhash_cross_sql,
     minhash_lsh_pairs,
     minhash_lsh_sql,
     ngram_jaccard_pairs,
@@ -636,6 +637,104 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("chunk_tokens"),
     )
 
+
+# ---------------------------------------------------------------------------
+# Fixed-block packing — the GPT-style concat-and-chunk twin of
+# pack_sequences_greedy: the per-shard token stream (one EOD token
+# appended per doc) is sliced into EXACT BLOCK_TOKENS windows, so a
+# document may straddle a block boundary; each block reports how many
+# documents touch it, how many start in it, and its fill.
+# ---------------------------------------------------------------------------
+BLOCK_TOKENS = 512
+
+
+@register(
+    "pack_blocks_fixed",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {token_count_sql('text')} + 1 AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS fin
+  FROM toks
+),
+blocks AS (
+  SELECT source, doc_id, n_tokens, fin - n_tokens AS st, fin,
+         unnest(generate_series((fin - n_tokens) // {BLOCK_TOKENS},
+                                (fin - 1) // {BLOCK_TOKENS})) AS block_id
+  FROM spans
+)
+SELECT source, block_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN st // {BLOCK_TOKENS} = block_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starts,
+       CAST(SUM(LEAST(fin, (block_id + 1) * {BLOCK_TOKENS})
+                - GREATEST(st, block_id * {BLOCK_TOKENS})) AS BIGINT)
+         AS block_tokens
+FROM blocks
+GROUP BY source, block_id
+""",
+    tags=("extension", "pipeline", "packing"),
+    doc=f"Concat-and-chunk packing: per source shard, documents are "
+    "concatenated in deterministic doc_id order (one EOD token "
+    f"appended each) and the token stream is sliced into exact "
+    f"{BLOCK_TOKENS}-token training blocks — documents STRADDLE "
+    "boundaries (every block is full), unlike pack_sequences_greedy "
+    "where documents stay whole and chunks under/overfill. Per block: "
+    "documents touching it, documents starting in it, and fill "
+    "(= capacity except each shard's last block). The doc span "
+    "[cumsum - n, cumsum) explodes to its covered block ids via "
+    "sequence() — fan-out bounded by n_tokens/block + 1 per doc. One "
+    "window shuffle per source shard (never a global cumsum — the "
+    "single-partition shape that cannot exist at 100 TB) plus one "
+    "keyed re-aggregation.",
+)
+def q_pack_blocks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        (token_count(F.col("text")) + 1).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("fin", F.sum("n_tokens").over(w)).withColumn(
+        "st", F.col("fin") - F.col("n_tokens")
+    )
+    blocks = spans.withColumn(
+        "block_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {BLOCK_TOKENS}"),
+                F.expr(f"(fin - 1) div {BLOCK_TOKENS}"),
+            )
+        ),
+    )
+    cap = F.lit(BLOCK_TOKENS).cast("long")
+    return blocks.groupBy("source", "block_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.expr(f"st div {BLOCK_TOKENS}") == F.col("block_id"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_starts"),
+        F.sum(
+            F.least(F.col("fin"), (F.col("block_id") + 1) * cap)
+            - F.greatest(F.col("st"), F.col("block_id") * cap)
+        )
+        .cast("long")
+        .alias("block_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing, stratified sampling, shard assignment — the remaining
 # bookkeeping operators a pretraining corpus build needs between
@@ -854,6 +953,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     return eval_overlap_stats(d, F.col("doc_id") % EVAL_EVERY == 0)
+
+
+# Fuzzy decontamination split: a tenth of the corpus plays the
+# held-out benchmark (different slice than decontaminate_eval_overlap
+# 's 2%, chosen so the fixture actually contains cross-slice
+# near-dups to flag).
+DECON_MOD, DECON_REM = 10, 7
+DECON_JACCARD_T = 0.5
+
+
+@register(
+    "decontaminate_minhash",
+    minhash_cross_sql(DECON_MOD, DECON_REM, DECON_JACCARD_T),
+    tags=("extension", "pipeline", "decontamination", "lsh"),
+    doc="FUZZY benchmark decontamination: train docs sharing a banded-"
+    "minhash bucket with any held-out eval doc, verified with exact "
+    f"jaccard >= {DECON_JACCARD_T} — the paraphrase-level complement "
+    "to decontaminate_eval_overlap's exact shingle-overlap counts "
+    "(an eval item lightly rewritten into the crawl never hits the "
+    "exact path). Candidate generation is the train x eval bucket "
+    "equi-join, bounded by the SMALL eval side's bucket occupancy — "
+    "never all-pairs, and cheaper than the dedup self-join at equal "
+    "corpus size; at 100 TB the eval buckets broadcast. Shares the "
+    "slot-managed shingle table with the dedup family.",
+)
+def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import minhash_cross_pairs
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_cross_pairs(
+        d, F.col("doc_id") % DECON_MOD == DECON_REM, DECON_JACCARD_T
+    )
 
 
 @register(
@@ -2484,6 +2615,68 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_parts").alias("n_parts_a"),
             F.col("b.n_parts").alias("n_parts_b"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration — the cross-source comparability fix:
+# raw quality scores are not comparable between a forum crawl and an
+# encyclopedia, so each source is converted to its own percentile
+# scale before one global keep-gate is applied.
+# ---------------------------------------------------------------------------
+CALIB_KEEP_PCT = 0.7
+
+
+@register(
+    "quality_source_calibrated",
+    f"""
+WITH s AS (
+  SELECT doc_id, source,
+         {distinct_token_ratio_sql('text')} AS score
+  FROM documents
+)
+SELECT doc_id, source,
+       round(score, 9) AS score,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id), 9) AS pct_rank,
+       CAST(CASE WHEN percent_rank() OVER (PARTITION BY source
+                                           ORDER BY score, doc_id)
+                      >= {CALIB_KEEP_PCT}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
+    tags=("extension", "text", "quality", "window"),
+    doc="Per-source quality calibration: the distinct-token-ratio "
+    "signal is converted to a percent_rank WITHIN each source, then "
+    f"one global gate (top {int((1 - CALIB_KEEP_PCT) * 100)}% of each "
+    "source) is applied — quantile normalization, the standard fix "
+    "for raw quality scores not being comparable across sources with "
+    "different base styles. A raw global threshold would keep almost "
+    "everything from the cleanest source and almost nothing from the "
+    "noisiest; the calibrated gate keeps the same FRACTION of every "
+    "source. One window shuffle partitioned by source (parallel "
+    "across sources at any scale); percent_rank is pure integer-rank "
+    "arithmetic (rank-1)/(n-1), bit-identical cross-engine; the "
+    "doc_id tiebreak makes the ordering total so ranks are "
+    "deterministic.",
+)
+def q_quality_source_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import distinct_token_ratio
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    s = d.select(
+        "doc_id",
+        "source",
+        distinct_token_ratio(F.col("text")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return s.select(
+        "doc_id",
+        "source",
+        F.round(F.col("score"), 9).alias("score"),
+        F.round(pr, 9).alias("pct_rank"),
+        F.when(pr >= CALIB_KEEP_PCT, 1).otherwise(0).cast("long").alias("keep"),
     )
 
 

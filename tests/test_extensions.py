@@ -1097,3 +1097,98 @@ def test_entity_match_matches_python_levenshtein_model(spark, sf_correctness):
     got = {(r["name_a"], r["name_b"]) for r in rows}
     assert got == expect
     assert all(r["dist"] <= 3 and r["name_a"] < r["name_b"] for r in rows)
+
+
+def test_decontaminate_minhash_directed_and_verified(spark):
+    """On a constructed corpus: a train doc paraphrasing an eval doc
+    is flagged (train_id, eval_id); an equally-similar EVAL-EVAL pair
+    is NOT (duplication inside the benchmark is not contamination);
+    an unrelated train doc never appears; every output pair has
+    jaccard >= the threshold and the correct split sides."""
+    from msstreamingstack_spark.operators.dedup import minhash_cross_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " novelA novelB"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    rows = [
+        (7, base, "en", "s", 1),     # eval (7 % 10 == 7)
+        (17, near, "en", "s", 1),    # eval too — eval-eval near-dup
+        (21, near, "en", "s", 1),    # train paraphrase of doc 7
+        (30, other, "en", "s", 1),   # unrelated train doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = minhash_cross_pairs(docs, F.col("doc_id") % 10 == 7, 0.5).collect()
+    pairs = {(r["train_id"], r["eval_id"]) for r in got}
+    assert (21, 7) in pairs and (21, 17) in pairs
+    assert all(t % 10 != 7 and e % 10 == 7 for t, e in pairs)
+    assert 30 not in {t for t, _ in pairs}
+    assert all(r["jaccard"] >= 0.5 for r in got)
+
+
+def test_pack_blocks_fixed_invariants(spark, sf_correctness):
+    """Conservation + exact-slicing invariants: per source, block ids
+    are contiguous from 0, every non-final block holds exactly
+    BLOCK_TOKENS tokens, token mass is conserved (sum of block fills =
+    total tokens incl. one EOD per doc), and doc-start counts sum to
+    the source's doc count."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import BLOCK_TOKENS
+
+    rows = REGISTRY["pack_blocks_fixed"].builder(spark, sf_correctness).collect()
+    docs = load_table(spark, sf_correctness, "documents")
+    from msstreamingstack_spark.functions.text import token_count
+
+    truth = {
+        r["source"]: (r["n"], r["tot"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(token_count(F.col("text"))) + F.count("*")).alias("tot"),
+        )
+        .collect()
+    }
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r)
+    assert set(per_src) == set(truth)
+    for src, blocks in per_src.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        n_docs_src, tot_tokens = truth[src]
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        assert all(b["block_tokens"] == BLOCK_TOKENS for b in blocks[:-1])
+        assert 0 < blocks[-1]["block_tokens"] <= BLOCK_TOKENS
+        assert sum(b["block_tokens"] for b in blocks) == tot_tokens
+        assert sum(b["n_starts"] for b in blocks) == n_docs_src
+        # docs touching >= docs starting, and some straddling exists
+        assert all(b["n_docs"] >= b["n_starts"] for b in blocks)
+
+
+def test_quality_source_calibrated_gate(spark, sf_correctness):
+    """Each source keeps ~the same top fraction, and within a source
+    no kept doc scores strictly below a dropped doc (ties broken by
+    doc_id may interleave only at equal scores)."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.queries import REGISTRY
+
+    rows = REGISTRY["quality_source_calibrated"].builder(
+        spark, sf_correctness
+    ).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r)
+    for src, rs in per_src.items():
+        n = len(rs)
+        kept = [r for r in rs if r["keep"] == 1]
+        assert 0 < len(kept) < n
+        # percent_rank >= 0.7 keeps ceil(0.3*(n-1)) + ties
+        assert abs(len(kept) / n - 0.3) < 0.15
+        min_kept = min(r["score"] for r in kept)
+        max_drop = max(r["score"] for r in rs if r["keep"] == 0)
+        assert min_kept >= max_drop or any(
+            r["score"] == min_kept and r["keep"] == 0 for r in rs
+        )
