@@ -2525,6 +2525,44 @@ def q_sql_frontend_setops_all_parity(
     return run_sql(spark, sf_dir, _SETOPS_SQL_TEXT)
 
 
+# Modern aggregate syntax: FILTER clauses (per-aggregate predicates
+# without CASE-WHEN contortions) + GROUP BY ALL (keys inferred from
+# the non-aggregate select list) — one text, both engines.
+_AGG_FILTER_SQL_TEXT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS sum_large
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register(
+    "sql_frontend_agg_filter_parity",
+    _AGG_FILTER_SQL_TEXT,
+    tags=("extension", "sql-frontend", "agg", "parity"),
+    doc="SQL front-end on modern aggregate syntax: per-aggregate "
+    "FILTER (WHERE ...) clauses and GROUP BY ALL inference, one query "
+    "text run verbatim on both engines. Spark plans FILTER aggregates "
+    "as conditional partial aggregates inside the same single "
+    "map-combined shuffle as the unfiltered COUNT — one pass, not one "
+    "scan per predicate — and GROUP BY ALL resolves to the "
+    "non-aggregate select list at analysis time (no runtime cost). "
+    "The filtered SUM routes through exact DECIMAL so the driver "
+    "hash-compare gates the conditional-aggregation path bit-for-bit; "
+    "the filtered-to-empty case returns NULL identically on both "
+    "engines.",
+)
+def q_sql_frontend_agg_filter_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _AGG_FILTER_SQL_TEXT)
+
+
 # The recursive term must stay UNION ALL (Spark 4 does not support
 # UNION-distinct recursion — probed, UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
 # so the recursion must be a DAG by construction: a monotone integer

@@ -342,6 +342,21 @@ def test_sql_frontend_grouping_sets_single_expand(spark):
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text
 
 
+def test_sql_frontend_agg_filter_single_pass(spark):
+    """FILTER-clause aggregates must fold into ONE map-combined hash
+    aggregate over ONE scan of orders — never a scan or join per
+    filtered aggregate — and GROUP BY ALL must add no plan operator."""
+    import re
+
+    f = plan_facts(REGISTRY["sql_frontend_agg_filter_parity"].builder(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", f.text))) == 1, f.text
+    assert len(set(re.findall(r"\((\d+)\) Exchange", f.text))) == 1, f.text
+    assert "Join" not in f.text
+    assert "Expand" not in f.text
+    # the conditional aggregates ride the partial (map-side) stage
+    assert "partial_count(1) FILTER" in f.text, f.text
+
+
 def test_top_ngrams_partial_agg_no_join(spark):
     """Per-lang n-gram counts: partial-then-final aggregation over the
     explode, a window for top-k, and nothing else."""
