@@ -120,6 +120,8 @@ QUERIES = (
     "decontaminate_minhash",
     "pack_blocks_fixed",
     "quality_source_calibrated",
+    "resample_ohlc_hourly",
+    "wau_sliding_distinct",
 )
 
 TABLES = (

@@ -312,9 +312,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # graph_pagerank_personalized, pit_device_dim_join,
 # quality_gopher_rules, sketch_countmin_user_events,
 # retrieval_bm25_topk, entity_match_blocked, ewma_event_values,
-# graph_triangle_count, regr_value_on_propk, coreset_kcenter (all locally
-# driver-sim verified this round), alongside the seven displaced
-# r4-cohort rotations listed in (d).
+# graph_triangle_count, regr_value_on_propk, coreset_kcenter,
+# anomaly_mad_events, mix_epochs_budget, decontaminate_minhash,
+# pack_blocks_fixed, quality_source_calibrated,
+# sql_frontend_agg_filter_parity, resample_ohlc_hourly,
+# wau_sliding_distinct (all locally driver-sim verified
+# this round), alongside the seven displaced r4-cohort rotations
+# listed in (d).
 
 
 def _apply_driver_window() -> None:

@@ -1471,6 +1471,121 @@ def q_mix_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OHLC resampling — order-sensitive downsampling (open/close need the
+# first/last observation per bucket, not just extrema), the candle
+# shape every timeseries store exports.
+# ---------------------------------------------------------------------------
+@register(
+    "resample_ohlc_hourly",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL})
+SELECT event_type,
+       (ts_sec // 3600) * 3600 AS hour_bucket,
+       COUNT(*) AS n_events,
+       (min(struct_pack(t := ts_sec, e := event_id, v := value))).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (max(struct_pack(t := ts_sec, e := event_id, v := value))).v AS close
+FROM ev
+GROUP BY 1, 2
+""",
+    tags=("analytics", "timeseries", "rollup"),
+    doc="OHLC candle resampling: per (event_type, hour) open / high / "
+    "low / close of value. Open and close are ORDER-SENSITIVE — the "
+    "portable distributed form is min/max over a (ts_sec, event_id, "
+    "value) struct, whose lexicographic comparison both engines share "
+    "(Spark struct ordering = DuckDB struct_pack ordering) and whose "
+    "(ts_sec, event_id) prefix is UNIQUE, so ties can never fall "
+    "through to the value field — unlike first()/arg_min(), whose "
+    "tie-breaks are engine- or partition-order-dependent. Struct "
+    "min/max is map-side combinable, so the whole candle table is ONE "
+    "partial-aggregated shuffle on (type, hour) — the downsampling "
+    "pattern that turns 100 TB of raw ticks into a bounded candle "
+    "relation without a per-key sort. Values pass through unmodified "
+    "(no float arithmetic), so cross-engine bits match trivially.",
+)
+def q_resample_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_type", "ts_sec", "event_id", "value"
+    )
+    stamp = F.struct(
+        F.col("ts_sec").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.expr("ts_sec div 3600") * 3600).alias("hour_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(stamp).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(stamp).getField("v").alias("close"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users — trailing 7-day active users per day
+# via bounded fan-out, not a range-frame COUNT(DISTINCT) (which no
+# engine can map-combine).
+# ---------------------------------------------------------------------------
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "wau_sliding_distinct",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+ud AS (SELECT DISTINCT user_id, ts_sec // {DAY_SEC} AS day FROM ev),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT ud.user_id, ud.day + o.off AS report_day
+  FROM ud, (SELECT unnest(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS off) o
+)
+SELECT c.report_day,
+       COUNT(DISTINCT c.user_id) AS active_users
+FROM contrib c JOIN days d ON d.day = c.report_day
+GROUP BY 1
+""",
+    tags=("analytics", "timeseries", "distinct", "window"),
+    doc=f"Trailing {WAU_WINDOW_DAYS}-day active users for every "
+    "observed day. A RANGE-frame COUNT(DISTINCT) window is the naive "
+    "form, but distinct cannot be map-combined inside a sliding "
+    "frame; the scalable identity is: dedupe events to (user, day) "
+    f"FIRST (the big shrink), fan each user-day out to the "
+    f"{WAU_WINDOW_DAYS} report days it supports (bounded explode), "
+    "semi-join to observed days (no phantom trailing windows), then "
+    "an ordinary COUNT(DISTINCT) per report day. Every stage is a "
+    "keyed partial-aggregated shuffle; the fan-out factor is the "
+    "window length, independent of data volume — at 100 TB the "
+    "user-day relation is the only thing that moves.",
+)
+def q_wau_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.expr(f"ts_sec div {DAY_SEC}").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct().withColumnRenamed("day", "report_day")
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(days, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

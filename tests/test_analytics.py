@@ -399,3 +399,63 @@ def test_mix_epochs_cap_binds_on_skewed_corpus(spark, tmp_path):
             g["n_docs"], g["avail_tokens"], g["target_tokens"],
             g["planned_tokens"], g["epochs_pct"],
         )
+
+
+def test_resample_ohlc_matches_sorted_model(spark, sf_correctness):
+    """open/close must equal the first/last value by (ts_sec,
+    event_id) order within each (event_type, hour) bucket; high/low
+    the extrema."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    raw = events_with_time(spark, sf_correctness).select(
+        "event_type", "ts_sec", "event_id", "value"
+    ).collect()
+    buckets = defaultdict(list)
+    for r in raw:
+        buckets[(r["event_type"], r["ts_sec"] // 3600 * 3600)].append(
+            (r["ts_sec"], r["event_id"], r["value"])
+        )
+    got = {
+        (r["event_type"], r["hour_bucket"]): r
+        for r in REGISTRY["resample_ohlc_hourly"].builder(
+            spark, sf_correctness
+        ).collect()
+    }
+    assert set(got) == set(buckets)
+    for key, rows in buckets.items():
+        rows.sort()
+        g = got[key]
+        assert g["n_events"] == len(rows)
+        assert g["open"] == rows[0][2]
+        assert g["close"] == rows[-1][2]
+        assert g["high"] == max(v for _, _, v in rows)
+        assert g["low"] == min(v for _, _, v in rows)
+
+
+def test_wau_sliding_matches_bruteforce(spark, sf_correctness):
+    """Trailing-7-day distinct users must equal the brute-force count
+    over the raw (user, day) pairs for every observed day."""
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    pairs = {
+        (r["user_id"], r["ts_sec"] // 86400)
+        for r in events_with_time(spark, sf_correctness)
+        .select("user_id", "ts_sec")
+        .collect()
+    }
+    days = sorted({d for _, d in pairs})
+    got = {
+        r["report_day"]: r["active_users"]
+        for r in REGISTRY["wau_sliding_distinct"].builder(
+            spark, sf_correctness
+        ).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        want = len({u for u, dd in pairs if d - 6 <= dd <= d})
+        assert got[d] == want
+    # the window must actually widen counts vs single-day actives
+    single = max(len({u for u, dd in pairs if dd == d}) for d in days)
+    assert max(got.values()) > single
