@@ -122,6 +122,8 @@ QUERIES = (
     "quality_source_calibrated",
     "resample_ohlc_hourly",
     "wau_sliding_distinct",
+    "session_paths_topk",
+    "event_transition_matrix",
 )
 
 TABLES = (

@@ -316,7 +316,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # anomaly_mad_events, mix_epochs_budget, decontaminate_minhash,
 # pack_blocks_fixed, quality_source_calibrated,
 # sql_frontend_agg_filter_parity, resample_ohlc_hourly,
-# wau_sliding_distinct (all locally driver-sim verified
+# wau_sliding_distinct, session_paths_topk,
+# event_transition_matrix (all locally driver-sim verified
 # this round), alongside the seven displaced r4-cohort rotations
 # listed in (d).
 

@@ -1586,6 +1586,120 @@ def q_wau_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Path analysis — the top user journeys (ordered event-type sequences
+# per user-day) and the first-order Markov transition matrix between
+# event types.
+# ---------------------------------------------------------------------------
+@register(
+    "session_paths_topk",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+p AS (
+  SELECT user_id, ts_sec // {DAY_SEC} AS day,
+         string_agg(event_type, '>' ORDER BY ts_sec, event_id) AS path
+  FROM ev GROUP BY user_id, ts_sec // {DAY_SEC}
+)
+SELECT path, COUNT(*) AS n_journeys
+FROM p GROUP BY path
+ORDER BY n_journeys DESC, path
+LIMIT 20
+""",
+    tags=("analytics", "path", "topk"),
+    doc="Top user journeys: each (user, day)'s event types concatenated "
+    "in (ts_sec, event_id) order into a path string, then the 20 most "
+    "common paths. Ordered aggregation is the cross-engine trap — "
+    "DuckDB's string_agg(... ORDER BY) and Spark's "
+    "sort_array(collect_list(struct))+transform+concat_ws build the "
+    "SAME string because the (ts_sec, event_id) sort key is unique "
+    "and total; a bare collect_list would be partition-order "
+    "nondeterministic. Per-journey state is one user-day's events "
+    "(bounded), the heavy shuffle keys on (user, day) — high "
+    "cardinality, no hot key — and the top-k is a partial-aggregated "
+    "count with a total tiebreak order. The classic funnel-discovery "
+    "complement to funnel_conversion's fixed-order check.",
+)
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    )
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts_sec").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("y"),
+            )
+        )
+    )
+    paths = (
+        ev.groupBy("user_id", F.expr(f"ts_sec div {DAY_SEC}").alias("day"))
+        .agg(
+            F.concat_ws(
+                ">", F.transform(arr, lambda x: x.getField("y"))
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS next_type
+  FROM ev
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type,
+       c.n AS n_transitions,
+       round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 9) AS prob
+FROM c JOIN t ON c.from_type = t.from_type
+""",
+    tags=("analytics", "path", "window"),
+    doc="First-order Markov transition matrix between event types: "
+    "within each user's (ts_sec, event_id)-ordered stream, count "
+    "(current, next) pairs via lead() and normalize per source type. "
+    "ONE window shuffle on user_id produces every pair; the "
+    "normalizer join moves |event_type|² tiny rows. Row-normalized "
+    "probabilities are an exact integer division rounded at 9 "
+    "digits, so the matrix hash-matches cross-engine. The "
+    "distribution-level generalization of device_transitions' "
+    "specific purchase-carry rule; each row's probs sum to 1 "
+    "(pinned in tests).",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 9)
+        .alias("prob"),
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

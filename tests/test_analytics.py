@@ -459,3 +459,63 @@ def test_wau_sliding_matches_bruteforce(spark, sf_correctness):
     # the window must actually widen counts vs single-day actives
     single = max(len({u for u, dd in pairs if dd == d}) for d in days)
     assert max(got.values()) > single
+
+
+def test_session_paths_topk_deterministic_and_modeled(spark, sf_correctness):
+    """Paths must equal a Python model (sorted by (ts_sec, event_id),
+    joined with '>'), and the top-20 must be the model's top-20 under
+    the same (count desc, path asc) total order."""
+    from collections import Counter, defaultdict
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    raw = events_with_time(spark, sf_correctness).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    ).collect()
+    per_day = defaultdict(list)
+    for r in raw:
+        per_day[(r["user_id"], r["ts_sec"] // 86400)].append(
+            (r["ts_sec"], r["event_id"], r["event_type"])
+        )
+    counts = Counter(
+        ">".join(t for _, _, t in sorted(v)) for v in per_day.values()
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n_journeys"])
+        for r in REGISTRY["session_paths_topk"].builder(
+            spark, sf_correctness
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_event_transition_matrix_rows_normalize(spark, sf_correctness):
+    """Each from_type's probabilities must sum to ~1, counts must
+    match a Python lead() model, and self-transitions must exist
+    (streams repeat types)."""
+    from collections import Counter, defaultdict
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    raw = events_with_time(spark, sf_correctness).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in raw:
+        per_user[r["user_id"]].append((r["ts_sec"], r["event_id"], r["event_type"]))
+    model = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            model[(a, b)] += 1
+    rows = REGISTRY["event_transition_matrix"].builder(
+        spark, sf_correctness
+    ).collect()
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in rows}
+    assert got == dict(model)
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["from_type"]] += r["prob"]
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+    assert any(a == b for a, b in got)
