@@ -64,6 +64,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # host-speed calibration: a fixed, data-independent pure-JVM fold.
+    # Round-6 measured the SAME commit 1.35x slower across the board in
+    # a later session (two idle-host runs agreeing within 1.4%) — the
+    # VM's effective CPU speed drifts between sessions, so every bench
+    # artifact carries this probe; compare per-query seconds ACROSS
+    # rounds only after dividing by the calib ratio.
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(1 << 27).selectExpr("sum(id * 3 + 1)").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    calib = _calibrate()
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -86,6 +104,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "calib_sec": calib,
     }
     # The driver records only the last 2000 chars of stdout and
     # json-parses from that tail — a single 5 KB line with all 126
@@ -112,6 +131,7 @@ def main() -> None:
         "queries": {},
         "sf": payload["sf"],
         "n_queries": len(timings),
+        "calib_sec": calib,
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4)
         if timings
         else 0.0,
