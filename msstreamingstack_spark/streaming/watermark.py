@@ -98,3 +98,51 @@ def dedup_stream(
         return events.dropDuplicates(keys)
     ev = with_event_time(events).withWatermark("event_time", watermark)
     return ev.dropDuplicatesWithinWatermark(keys).drop("event_time")
+
+
+def ohlc_candles(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked OHLC candles per (event_type, window) — the
+    STREAMING twin of the batch ``resample_ohlc_hourly`` registry
+    query (same open/close semantics, same struct-ordering
+    determinism; the batch/stream parity is pinned in
+    tests/test_watermark.py).
+
+    Open and close ride min/max over a (ts_sec, event_id, value)
+    struct — both are map-combinable AND mergeable across
+    micro-batches, so a candle stays correct no matter how its events
+    split over batches; first()/last() would depend on batch arrival
+    order. In append mode a candle emits exactly once, when the
+    watermark passes its window end, and its state is then evicted —
+    bounded by (horizon x active types), not stream length.
+    """
+    ev = with_event_time(events)
+    if events.isStreaming:
+        ev = ev.withWatermark("event_time", watermark)
+    stamp = F.struct(
+        F.col("ts_sec").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(stamp).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(stamp).getField("v").alias("close"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )

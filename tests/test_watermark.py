@@ -211,3 +211,91 @@ def test_session_rollup_timeout_closes_idle_sessions(spark, tmp_path):
     # session B (t=B+10000) closed by TIMEOUT after watermark advanced
     end, n, by_timeout = rollups[(7, B + 10_000)]
     assert (end, n, by_timeout) == (B + 10_000, 1, True), rollups
+
+
+def _write_valued_events(path: str, rows: list[tuple[int, int, float]]) -> None:
+    """rows = [(event_id, ts_sec, value)] — like _write_events but with
+    per-event values so OHLC fields are distinguishable."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * NS for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        path,
+    )
+    _MTIME_SEQ[0] += 10
+    os.utime(path, (_MTIME_SEQ[0], _MTIME_SEQ[0]))
+
+
+def test_ohlc_candles_batch_matches_registry_twin(spark, sf_smoke):
+    """ohlc_candles on a BATCH frame must equal the oracled
+    resample_ohlc_hourly registry query row-for-row (win_start_sec ==
+    hour_bucket)."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.sources.tables import events_with_time
+    from msstreamingstack_spark.streaming.watermark import ohlc_candles
+
+    ev = events_with_time(spark, sf_smoke).select(
+        "event_type", "ts_sec", "event_id", "value"
+    )
+    got = {
+        (r["event_type"], r["win_start_sec"]): (
+            r["n_events"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in ohlc_candles(ev).collect()
+    }
+    want = {
+        (r["event_type"], r["hour_bucket"]): (
+            r["n_events"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in REGISTRY["resample_ohlc_hourly"].builder(spark, sf_smoke).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ohlc_candles_stream_equals_batch_and_splits_batches(spark, tmp_path):
+    """A candle whose events SPLIT across micro-batches must merge to
+    the same OHLC as batch execution — open/close ride mergeable
+    struct-min/max, not arrival order. The open (t=100) arrives in a
+    LATER file than a higher-t event of the same window, so any
+    arrival-order implementation would get open wrong."""
+    from msstreamingstack_spark.streaming.watermark import ohlc_candles
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # window [0, 3600): events at t=200/1000 first, then the true open
+    # t=100 in the NEXT file; highs/lows spread across batches too
+    _write_valued_events(str(src / "f1.parquet"), [(1, 200, 5.0), (2, 1000, 9.0)])
+    _write_valued_events(str(src / "f2.parquet"), [(3, 100, 2.0), (4, 3000, 1.0)])
+    # window [3600, 7200): single event; then a far-future row pushes
+    # the watermark past both windows so they emit and close
+    _write_valued_events(str(src / "f3.parquet"), [(5, 4000, 7.0)])
+    _write_valued_events(str(src / "f4.parquet"), [(6, 100000, 3.0)])
+
+    events = read_event_stream(spark, str(src)).select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    sink = CollectingSink()
+    q = (
+        ohlc_candles(events, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    by_win = {r.win_start_sec: r for r in sink.rows}
+    w0 = by_win[0]
+    assert (w0.n_events, w0.open, w0.high, w0.low, w0.close) == (4, 2.0, 9.0, 1.0, 1.0)
+    w1 = by_win[3600]
+    assert (w1.n_events, w1.open, w1.close) == (1, 7.0, 7.0)
+    # each candle emitted exactly once (append mode, closed windows)
+    assert len(sink.rows) == len(by_win)
