@@ -124,6 +124,8 @@ QUERIES = (
     "wau_sliding_distinct",
     "session_paths_topk",
     "event_transition_matrix",
+    "vocab_oov_coverage",
+    "bootstrap_ci_value_mean",
 )
 
 TABLES = (

@@ -317,7 +317,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # pack_blocks_fixed, quality_source_calibrated,
 # sql_frontend_agg_filter_parity, resample_ohlc_hourly,
 # wau_sliding_distinct, session_paths_topk,
-# event_transition_matrix (all locally driver-sim verified
+# event_transition_matrix, vocab_oov_coverage,
+# bootstrap_ci_value_mean, sql_frontend_range_frame_parity (all
+# locally driver-sim verified
 # this round), alongside the seven displaced r4-cohort rotations
 # listed in (d).
 

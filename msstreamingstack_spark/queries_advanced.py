@@ -2563,6 +2563,45 @@ def q_sql_frontend_agg_filter_parity(
     return run_sql(spark, sf_dir, _AGG_FILTER_SQL_TEXT)
 
 
+# Value-based (RANGE) window frames: the frame is defined by the
+# ORDER-BY value distance, not row offsets — trailing-window-by-key
+# semantics both engines must agree on, including tie groups (all
+# rows with equal order values share a frame).
+_RANGE_FRAME_SQL_TEXT = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_sum,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS n_in_range
+FROM orders
+"""
+
+
+@register(
+    "sql_frontend_range_frame_parity",
+    _RANGE_FRAME_SQL_TEXT,
+    tags=("extension", "sql-frontend", "window", "parity"),
+    doc="SQL front-end on value-based RANGE window frames: per "
+    "customer, the DECIMAL-exact sum and count of orders whose "
+    "orderkey lies within 1,000,000 BELOW the current row's — the "
+    "frame boundary is an ORDER-BY-value distance, not a row count, "
+    "so both engines must agree on boundary inclusion and tie-group "
+    "framing. One query text verbatim on both engines; Spark plans "
+    "it as a single hash-partitioned sort + running frame scan per "
+    "customer (one exchange — the DataFrame twin "
+    "range_frame_rolling_sum pins the same shape on events).",
+)
+def q_sql_frontend_range_frame_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.sql_frontend import run_sql
+
+    return run_sql(spark, sf_dir, _RANGE_FRAME_SQL_TEXT)
+
+
 # The recursive term must stay UNION ALL (Spark 4 does not support
 # UNION-distinct recursion — probed, UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
 # so the recursion must be a DAG by construction: a monotone integer

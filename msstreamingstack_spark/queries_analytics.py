@@ -1700,6 +1700,91 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bootstrap confidence intervals — distributional uncertainty for a
+# mean, with DETERMINISTIC replicate membership (hash half-sampling)
+# so the whole resampling plan is oracle-checkable.
+# ---------------------------------------------------------------------------
+BOOT_REPS = 32
+
+from msstreamingstack_spark.functions.text import hash48, hash48_sql  # noqa: E402
+
+
+@register(
+    "bootstrap_ci_value_mean",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+b AS (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS rep),
+m AS (
+  SELECT ev.event_type, b.rep,
+         CAST(SUM(CAST(round(ev.value * 100, 0) AS DECIMAL(38,0)))
+              AS DOUBLE) / COUNT(*) AS rep_mean
+  FROM ev JOIN b
+    ON {hash48_sql("CAST(ev.event_id AS VARCHAR) || '_' || CAST(b.rep AS VARCHAR)")} % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       COUNT(*) AS n_reps,
+       CAST(CAST(quantile_cont(rep_mean, 0.025) AS DECIMAL(18,9)) AS DOUBLE)
+         AS ci_lo,
+       CAST(CAST(quantile_cont(rep_mean, 0.500) AS DECIMAL(18,9)) AS DOUBLE)
+         AS ci_mid,
+       CAST(CAST(quantile_cont(rep_mean, 0.975) AS DECIMAL(18,9)) AS DOUBLE)
+         AS ci_hi
+FROM m GROUP BY event_type
+""",
+    tags=("analytics", "stats", "bootstrap"),
+    doc=f"Bootstrap CI for the per-type mean value (integer cents): "
+    f"{BOOT_REPS} half-sample replicates whose membership is a pure "
+    "hash of (event_id, replicate) — deterministic, so unlike RNG "
+    "bootstraps the whole resampling distribution is DuckDB-"
+    "oracle-checkable bit-for-bit. Replicate means are exact "
+    "DECIMAL(38,0) cent sums over one map-combined shuffle of the "
+    f"{BOOT_REPS}-way fan-out (constant factor, independent of data "
+    "volume — each event carries ~{BOOT_REPS}/2 replicate rows); the "
+    "2.5/50/97.5 percentiles run over just n_types x n_reps numbers. "
+    "Subsampling (m-out-of-n without replacement) rather than "
+    "multinomial resampling: same estimator family, and membership "
+    "stays a stateless per-row predicate at any scale.",
+)
+def q_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_type", "event_id", "value"
+    )
+    reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
+    member = (
+        hash48(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("rep").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    m = (
+        ev.crossJoin(F.broadcast(reps))
+        .filter(member)
+        .groupBy("event_type", "rep")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("rep_mean")
+        )
+    )
+    pin9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    return m.groupBy("event_type").agg(
+        F.count("*").alias("n_reps"),
+        pin9(F.percentile(F.col("rep_mean"), F.lit(0.025))).alias("ci_lo"),
+        pin9(F.percentile(F.col("rep_mean"), F.lit(0.500))).alias("ci_mid"),
+        pin9(F.percentile(F.col("rep_mean"), F.lit(0.975))).alias("ci_hi"),
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

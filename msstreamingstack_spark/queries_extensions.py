@@ -2619,6 +2619,101 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage — OOV statistics against a pinned top-N corpus
+# vocabulary (tokenizer-budget planning: which sources will shatter
+# into byte-fallback tokens).
+# ---------------------------------------------------------------------------
+VOCAB_SIZE = 16
+
+
+@register(
+    "vocab_oov_coverage",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, chr(32))) AS w
+  FROM documents
+),
+tc AS (SELECT doc_id, source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+freq AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cnt FROM tc GROUP BY w),
+vocab AS (SELECT w FROM freq ORDER BY cnt DESC, w LIMIT {VOCAB_SIZE}),
+d AS (
+  SELECT tc.doc_id, tc.source,
+         CAST(SUM(tc.c) AS BIGINT) AS n_toks,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN tc.c ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tc LEFT JOIN vocab v ON tc.w = v.w
+  GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       round(CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 9)
+         AS oov_rate,
+       CAST(SUM(CASE WHEN n_oov * 2 > n_toks THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_oov_docs
+FROM d GROUP BY source
+""",
+    tags=("extension", "text", "vocab", "pipeline"),
+    doc=f"Vocabulary coverage: per-source out-of-vocabulary token "
+    f"statistics against the corpus' own top-{VOCAB_SIZE} word "
+    "vocabulary (count-desc, word-asc total tiebreak — fully "
+    "deterministic; the budget sits BELOW the fixture's 31-word "
+    "observed vocabulary so a real OOV tail exists at every SF). The "
+    "tokenizer-planning signal: a source whose "
+    "high_oov_docs count is large will shatter into fallback tokens "
+    "and blow its token budget. Plan: per-(doc, word) counts fold "
+    "the explode once; the corpus frequency table re-aggregates "
+    "those counts; the vocabulary is a BOUNDED sort-limit "
+    f"(top-{VOCAB_SIZE} — a driver-bounded TakeOrdered, never a "
+    "global sort) and joins back as a broadcast; one keyed "
+    "re-aggregation per doc then per source. Everything integer "
+    "until the final rate division.",
+)
+def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import tokens
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        d.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    freq = tc.groupBy("w").agg(F.sum("c").cast("long").alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tc.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_toks"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_oov").cast("long").alias("oov_tokens"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_toks").cast("double"), 9
+        ).alias("oov_rate"),
+        F.sum(
+            F.when(F.col("n_oov") * 2 > F.col("n_toks"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("high_oov_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source quality calibration — the cross-source comparability fix:
 # raw quality scores are not comparable between a forum crawl and an
 # encyclopedia, so each source is converted to its own percentile

@@ -519,3 +519,29 @@ def test_event_transition_matrix_rows_normalize(spark, sf_correctness):
         sums[r["from_type"]] += r["prob"]
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
     assert any(a == b for a, b in got)
+
+
+def test_bootstrap_ci_brackets_full_sample_mean(spark, sf_correctness):
+    """Every type's CI must be ordered (lo <= mid <= hi), strictly
+    non-degenerate (replicate means vary), and bracket the
+    full-sample mean of integer cents."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.queries_analytics import BOOT_REPS
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    vals = defaultdict(list)
+    for r in events_with_time(spark, sf_correctness).select(
+        "event_type", "value"
+    ).collect():
+        vals[r["event_type"]].append(round(r["value"] * 100))
+    rows = REGISTRY["bootstrap_ci_value_mean"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert {r["event_type"] for r in rows} == set(vals)
+    for r in rows:
+        assert r["n_reps"] == BOOT_REPS
+        assert r["ci_lo"] <= r["ci_mid"] <= r["ci_hi"]
+        assert r["ci_lo"] < r["ci_hi"]  # replicates genuinely vary
+        full_mean = sum(vals[r["event_type"]]) / len(vals[r["event_type"]])
+        assert r["ci_lo"] <= full_mean <= r["ci_hi"]

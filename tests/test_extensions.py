@@ -1192,3 +1192,42 @@ def test_quality_source_calibrated_gate(spark, sf_correctness):
         assert min_kept >= max_drop or any(
             r["score"] == min_kept and r["keep"] == 0 for r in rs
         )
+
+
+def test_vocab_oov_coverage_matches_counter_model(spark, sf_correctness):
+    """Per-source token totals and OOV counts must match a Python
+    Counter model using the same top-N (count desc, word asc)
+    vocabulary."""
+    from collections import Counter, defaultdict
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import VOCAB_SIZE
+
+    docs = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    freq = Counter()
+    for r in docs:
+        freq.update(r["text"].split(" "))
+    vocab = {
+        w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]
+    }
+    tot = defaultdict(lambda: [0, 0, 0, 0])  # docs, toks, oov, high
+    for r in docs:
+        ws = r["text"].split(" ")
+        oov = sum(1 for w in ws if w not in vocab)
+        s = tot[r["source"]]
+        s[0] += 1
+        s[1] += len(ws)
+        s[2] += oov
+        s[3] += 1 if oov * 2 > len(ws) else 0
+    got = {
+        r["source"]: r
+        for r in REGISTRY["vocab_oov_coverage"].builder(spark, sf_correctness).collect()
+    }
+    assert set(got) == set(tot)
+    for src, (nd, nt, no, hi) in tot.items():
+        g = got[src]
+        assert (g["n_docs"], g["total_tokens"], g["oov_tokens"], g["high_oov_docs"]) == (nd, nt, no, hi)
+    # the word-salad corpus must actually have an OOV tail
+    assert sum(r["oov_tokens"] for r in got.values()) > 0
