@@ -129,3 +129,26 @@ def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_documents_orc(df: DataFrame, path: str) -> None:
     df.select(*_DOC_COLS).write.mode("overwrite").orc(path)
+
+
+def read_documents_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Batch XML corpus reader (Spark 4 NATIVE xml source — no
+    external spark-xml package): one <doc> element per document,
+    declared schema (no inference pass over 100 TB), PERMISSIVE mode
+    so a malformed element nulls its row instead of failing the job.
+    XML is a row-tag text format like JSONL — no pushdown/pruning at
+    the scan, so it is an INGEST format here: read once, write
+    parquet, query the parquet."""
+    apply_runtime_confs(spark)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(DOCUMENTS_SCHEMA)
+        .load(path)
+    )
+
+
+def write_documents_xml(df: DataFrame, path: str) -> None:
+    df.select(*_DOC_COLS).write.format("xml").option("rootTag", "corpus").option(
+        "rowTag", "doc"
+    ).mode("overwrite").save(path)

@@ -267,3 +267,22 @@ def test_jsonl_stream_corrupt_lines_counted_and_routed(spark, tmp_path):
     ]
     assert sum(m["n_corrupt"] for m in observed) == 1
     assert sum(m["n_rows"] for m in observed) == 3
+
+
+def test_xml_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
+    """Spark 4 native XML source: documents written as <doc> elements
+    read back bit-equal to the parquet originals under the declared
+    schema (same contract as the ORC round-trip)."""
+    from msstreamingstack_spark.sources.files import (
+        read_documents_xml,
+        write_documents_xml,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_xml")
+    write_documents_xml(docs, path)
+    back = read_documents_xml(spark, path)
+    want = sorted(map(tuple, docs.collect()))
+    got = sorted(map(tuple, back.select(*docs.columns).collect()))
+    assert got == want and len(got) > 0
