@@ -286,3 +286,42 @@ def test_xml_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
     want = sorted(map(tuple, docs.collect()))
     got = sorted(map(tuple, back.select(*docs.columns).collect()))
     assert got == want and len(got) > 0
+
+
+def test_manifest_jsonl_sink_commit_protocol(spark, sf_smoke, tmp_path):
+    """The Python DataSource writer publishes exactly the committed
+    part files through _manifest.json: (a) round-trip equals the
+    source rows; (b) an orphan file dropped into the directory (a
+    failed/zombie attempt) is invisible to the manifest reader;
+    (c) the manifest row count matches."""
+    import json as _json
+    import os as _os
+
+    from msstreamingstack_spark.sources.pysink import (
+        MANIFEST,
+        ManifestJsonlDataSource,
+        read_manifest_jsonl,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    spark.dataSource.register(ManifestJsonlDataSource)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "sink")
+    docs.write.format("manifest_jsonl").mode("append").save(path)
+
+    man = _json.load(open(_os.path.join(path, MANIFEST)))
+    assert man["n_rows"] == docs.count()
+    assert all(f.startswith("part-") for f in man["files"])
+
+    # orphan from a hypothetical failed attempt: unlisted => invisible
+    with open(_os.path.join(path, "part-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999999, "text": "zombie", "lang": "xx", '
+                 '"source": "zzz", "n_chars": 6}\n')
+
+    back = read_manifest_jsonl(spark, path, docs.schema)
+    got = sorted(map(tuple, back.select(*docs.columns).collect()))
+    want = sorted(map(tuple, docs.collect()))
+    assert got == want
+    assert not any(r[0] == 999999 for r in got)
