@@ -629,3 +629,54 @@ def test_regr_single_shuffle_moment_fold(spark):
     assert f.python_evals == 0
     assert f.broadcast_joins == 0 and f.sortmerge_joins == 0
     assert "HashAggregate" in f.text
+
+
+def test_sixth_wave_plans_no_cartesian_no_python(spark):
+    """Sixth-wave operators: every join is keyed (no cartesian/BNLJ
+    except declared broadcast scalars), and nothing drops to a Python
+    worker — all are pure JVM expression plans."""
+    for name in (
+        "anomaly_mad_events",
+        "mix_epochs_budget",
+        "pack_blocks_fixed",
+        "quality_source_calibrated",
+        "resample_ohlc_hourly",
+        "wau_sliding_distinct",
+        "session_paths_topk",
+        "event_transition_matrix",
+        "vocab_oov_coverage",
+        "bootstrap_ci_value_mean",
+    ):
+        f = plan_facts(REGISTRY[name].builder(spark, SF))
+        assert "CartesianProduct" not in f.text, name
+        assert f.python_evals == 0, (name, f.text)
+
+
+def test_ohlc_single_exchange_partial_agg(spark):
+    """The candle table is ONE map-combined shuffle: partial
+    struct-min/max on the scan side, one exchange on (type, hour)."""
+    import re
+
+    f = plan_facts(REGISTRY["resample_ohlc_hourly"].builder(spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Exchange", f.text))) == 1, f.text
+    assert "partial_min" in f.text and "partial_max" in f.text, f.text
+    assert "Join" not in f.text
+
+
+def test_decontaminate_minhash_bucketed_not_allpairs(spark):
+    """Candidate generation must be the (band, key) bucket equi-join —
+    shuffled hash, never cartesian — like its dedup sibling."""
+    f = plan_facts(REGISTRY["decontaminate_minhash"].builder(spark, SF))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.sortmerge_joins + f.broadcast_joins + f.text.count("ShuffledHashJoin") > 0
+
+
+def test_vocab_oov_broadcasts_bounded_vocab(spark):
+    """The top-N vocabulary is a bounded TakeOrdered that joins back
+    as a broadcast — the doc-side relation must never re-shuffle for
+    the vocab membership probe."""
+    f = plan_facts(REGISTRY["vocab_oov_coverage"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in f.text, f.text
+    assert f.broadcast_joins >= 1, f.text
+    assert "CartesianProduct" not in f.text
