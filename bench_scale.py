@@ -126,6 +126,7 @@ QUERIES = (
     "event_transition_matrix",
     "vocab_oov_coverage",
     "bootstrap_ci_value_mean",
+    "dedup_containment_pairs",
 )
 
 TABLES = (

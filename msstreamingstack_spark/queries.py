@@ -318,8 +318,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sql_frontend_agg_filter_parity, resample_ohlc_hourly,
 # wau_sliding_distinct, session_paths_topk,
 # event_transition_matrix, vocab_oov_coverage,
-# bootstrap_ci_value_mean, sql_frontend_range_frame_parity (all
-# locally driver-sim verified
+# bootstrap_ci_value_mean, sql_frontend_range_frame_parity,
+# dedup_containment_pairs (all locally driver-sim verified
 # this round), alongside the seven displaced r4-cohort rotations
 # listed in (d).
 

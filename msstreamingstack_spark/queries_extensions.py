@@ -31,6 +31,7 @@ from msstreamingstack_spark.functions.text import (
 )
 from msstreamingstack_spark.operators.dedup import (
     EXACT_DEDUP_SQL,
+    doc_shingle_hashes_sql,
     eval_overlap_sql,
     exact_dedup,
     minhash_cross_sql,
@@ -2615,6 +2616,126 @@ def q_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_parts").alias("n_parts_a"),
             F.col("b.n_parts").alias("n_parts_b"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup — asymmetric overlap (|A∩B| / |smaller|): the
+# excerpt/quote signal. A 50-token excerpt inside a 400-token parent
+# has jaccard ≈ 0.12 (invisible to every whole-doc near-dup kernel)
+# but containment ≈ 1.0. The fixture corpus has no excerpts, so the
+# query deterministically DERIVES them (pii_scrub precedent: inject
+# the phenomenon as a pure function of doc_id so the oracle agrees).
+# ---------------------------------------------------------------------------
+CONTAIN_MOD = 37
+CONTAIN_T = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+WITH exc AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           (string_split(text, chr(32)))[1 :
+              GREATEST(len(string_split(text, chr(32))) // 2, 4)],
+           chr(32)) AS text
+  FROM documents WHERE doc_id % {CONTAIN_MOD} = 5
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM exc
+),
+sh AS ({doc_shingle_hashes_sql('corpus')}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained_id,
+         CASE WHEN s1.n <= s2.n THEN d2 ELSE d1 END AS container_id,
+         CAST(ni AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+         CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+)
+SELECT contained_id, container_id,
+       round(containment, 9) AS containment,
+       round(jaccard, 9) AS jaccard
+FROM scored
+WHERE containment >= {CONTAIN_T} AND jaccard < {JACCARD_T}
+""",
+    tags=("extension", "dedup", "containment"),
+    doc=f"Containment near-dup pairs: |A∩B| / |smaller shingle set| "
+    f">= {CONTAIN_T} while whole-doc jaccard < {JACCARD_T} — exactly "
+    "the excerpt/quote pairs every symmetric near-dup kernel in the "
+    "registry is blind to (an excerpt's jaccard against its parent "
+    "shrinks with the parent's length; its containment does not). "
+    "Excerpt documents are derived deterministically (doc_id % "
+    f"{CONTAIN_MOD} = 5 contributes its first-half prefix as doc_id "
+    "+ 1e6) because the synthetic corpus contains no natural "
+    "excerpts — measured: ZERO containment-only pairs at any SF "
+    "without injection. Same inverted-index plan as "
+    "dedup_ngram_jaccard (shingle-hash self-join, shuffled hash on "
+    "h, only longs move); the direction is resolved by set size "
+    "(smaller = contained).",
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import doc_shingle_hashes
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = F.greatest(F.expr("size(split(text, ' ')) div 2"), F.lit(4))
+    exc = d.filter(F.col("doc_id") % CONTAIN_MOD == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
+    )
+    corpus = d.unionByName(exc)
+    sh = doc_shingle_hashes(corpus, slot="containment.sh")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("d1"), "h")
+        .join(
+            sh.select(F.col("doc_id").alias("d2"), "h").hint("shuffle_hash"),
+            "h",
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+            "d2",
+        )
+        .select(
+            F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias("contained_id"),
+            F.when(F.col("n1") <= F.col("n2"), F.col("d2"))
+            .otherwise(F.col("d1"))
+            .alias("container_id"),
+            (
+                F.col("ni").cast("double") / F.least(F.col("n1"), F.col("n2"))
+            ).alias("containment"),
+            (
+                F.col("ni").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(
+        (F.col("containment") >= CONTAIN_T) & (F.col("jaccard") < JACCARD_T)
+    ).select(
+        "contained_id",
+        "container_id",
+        F.round("containment", 9).alias("containment"),
+        F.round("jaccard", 9).alias("jaccard"),
     )
 
 

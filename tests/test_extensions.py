@@ -1231,3 +1231,58 @@ def test_vocab_oov_coverage_matches_counter_model(spark, sf_correctness):
         assert (g["n_docs"], g["total_tokens"], g["oov_tokens"], g["high_oov_docs"]) == (nd, nt, no, hi)
     # the word-salad corpus must actually have an OOV tail
     assert sum(r["oov_tokens"] for r in got.values()) > 0
+
+
+def test_containment_pairs_catch_excerpts_jaccard_misses(spark, sf_correctness):
+    """Every injected excerpt must be flagged as contained in its
+    parent; flagged pairs must be invisible to the jaccard kernel
+    (jaccard < 0.8) while containment >= 0.9; direction must point
+    small -> large."""
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import CONTAIN_MOD
+
+    rows = REGISTRY["dedup_containment_pairs"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert len(rows) > 0
+    got = {(r["contained_id"], r["container_id"]) for r in rows}
+    # each excerpt (id+1e6) is contained in its own parent
+    parents = [
+        r["doc_id"]
+        for r in load_table(spark, sf_correctness, "documents")
+        .filter(F.col("doc_id") % CONTAIN_MOD == 5)
+        .select("doc_id")
+        .collect()
+    ]
+    assert parents and all((p + 1000000, p) in got for p in parents)
+    for r in rows:
+        assert r["containment"] >= 0.9
+        assert r["jaccard"] < 0.8
+        assert r["contained_id"] != r["container_id"]
+
+
+def test_registry_metadata_consistency(spark):
+    """Every registry entry carries a doc and at least one tag; every
+    oracle references only fixture tables; names are unique and
+    builder callables are distinct (no accidental double-register)."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    tables = {"region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"}
+    builders = set()
+    for name, spec in REGISTRY.items():
+        assert spec.doc and len(spec.doc) > 40, name
+        assert spec.tags, name
+        assert id(spec.builder) not in builders, name
+        builders.add(id(spec.builder))
+        if spec.oracle:
+            import re as _re
+
+            refs = set(_re.findall(
+                r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle
+            ))
+            # every base-table reference must be a fixture table or a
+            # CTE defined inside the oracle itself
+            ctes = set(_re.findall(r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", spec.oracle))
+            unknown = refs - tables - ctes
+            assert not unknown, (name, unknown)
