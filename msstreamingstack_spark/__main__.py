@@ -656,6 +656,42 @@ def _cmd_compact_store(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    """Run a registry query and publish its result through a sink:
+    parquet, or the manifest_jsonl Python DataSource (atomic
+    publish-on-commit — see sources/pysink.py)."""
+    import json as _json
+    import os as _os
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.session import get_spark
+
+    if args.name not in REGISTRY:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="msstreamingstack-export")
+    spark.sparkContext.setLogLevel("WARN")
+    df = REGISTRY[args.name].builder(spark, args.sf_dir)
+    if args.format == "parquet":
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"exported {args.name} -> {args.out} (parquet)")
+    else:
+        from msstreamingstack_spark.sources.pysink import (
+            MANIFEST,
+            ManifestJsonlDataSource,
+        )
+
+        spark.dataSource.register(ManifestJsonlDataSource)
+        df.write.format("manifest_jsonl").mode("append").save(args.out)
+        man = _json.load(open(_os.path.join(args.out, MANIFEST)))
+        print(
+            f"exported {args.name} -> {args.out} "
+            f"(manifest_jsonl: {man['n_rows']} rows, "
+            f"{len(man['files'])} committed files)"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="msstreamingstack_spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -864,6 +900,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop partitions with value < cutoff (lexical)")
     rt.add_argument("--dry-run", action="store_true")
     rt.set_defaults(fn=_cmd_retain)
+
+    ex = sub.add_parser(
+        "export", help="run a registry query and publish the result"
+    )
+    ex.add_argument("name", help="registry query name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--out", required=True)
+    ex.add_argument(
+        "--format", choices=("parquet", "manifest_jsonl"), default="parquet"
+    )
+    ex.set_defaults(fn=_cmd_export)
 
     ct = sub.add_parser("catalog", help="emit the query catalog as markdown")
     ct.add_argument("--out", default=None, help="write to file instead of stdout")

@@ -325,3 +325,23 @@ def test_manifest_jsonl_sink_commit_protocol(spark, sf_smoke, tmp_path):
     want = sorted(map(tuple, docs.collect()))
     assert got == want
     assert not any(r[0] == 999999 for r in got)
+
+
+def test_export_cli_manifest_roundtrip(spark, tmp_path):
+    """`export <query> --format manifest_jsonl` publishes the query
+    result through the Python DataSource sink with a complete
+    manifest."""
+    import json as _json
+    import os as _os
+
+    from msstreamingstack_spark.__main__ import main as cli_main
+    from msstreamingstack_spark.sources.pysink import MANIFEST
+
+    out = str(tmp_path / "exp")
+    rc = cli_main([
+        "export", "tpch_q1", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--format", "manifest_jsonl",
+    ])
+    assert rc == 0
+    man = _json.load(open(_os.path.join(out, MANIFEST)))
+    assert man["n_rows"] > 0 and man["files"]
