@@ -127,6 +127,9 @@ QUERIES = (
     "vocab_oov_coverage",
     "bootstrap_ci_value_mean",
     "dedup_containment_pairs",
+    "events_gap_stats",
+    "rfm_segments",
+    "basket_lift_pairs",
 )
 
 TABLES = (

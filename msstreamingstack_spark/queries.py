@@ -319,7 +319,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # wau_sliding_distinct, session_paths_topk,
 # event_transition_matrix, vocab_oov_coverage,
 # bootstrap_ci_value_mean, sql_frontend_range_frame_parity,
-# dedup_containment_pairs (all locally driver-sim verified
+# dedup_containment_pairs, events_gap_stats, rfm_segments,
+# basket_lift_pairs (all locally driver-sim verified
 # this round), alongside the seven displaced r4-cohort rotations
 # listed in (d).
 

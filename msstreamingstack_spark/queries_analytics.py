@@ -1785,6 +1785,235 @@ def q_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics — the temporal-health signal behind
+# sessionization gap thresholds and rate alerting.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_stats",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+g AS (
+  SELECT event_type,
+         ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                                    ORDER BY ts_sec, event_id) AS gap
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       CAST(CAST(quantile_cont(gap, 0.50) AS DECIMAL(18,9)) AS DOUBLE)
+         AS p50_gap_sec,
+       CAST(CAST(quantile_cont(gap, 0.90) AS DECIMAL(18,9)) AS DOUBLE)
+         AS p90_gap_sec,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("analytics", "temporal", "percentile"),
+    doc="Inter-arrival gap percentiles: per event type, the "
+    "distribution of seconds since the SAME USER's previous event "
+    "(any type) — the evidence behind choosing a sessionization gap "
+    "threshold (p90 ≪ 1800 s validates the 30-min rule) and the "
+    "baseline for arrival-rate anomaly alerts. One user_id window "
+    "shuffle computes every lag; integer gaps flow into the pinned "
+    "exact-percentile pattern (Spark percentile ≡ DuckDB "
+    "quantile_cont through DECIMAL(18,9)). At 100 TB swap the exact "
+    "percentile for the sketch twin, keeping the identical lag "
+    "derivation.",
+)
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    pin9 = lambda c: c.cast("decimal(18,9)").cast("double")  # noqa: E731
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        pin9(F.percentile(F.col("gap"), F.lit(0.5))).alias("p50_gap_sec"),
+        pin9(F.percentile(F.col("gap"), F.lit(0.9))).alias("p90_gap_sec"),
+        F.max("gap").cast("long").alias("max_gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintiles, the classic
+# customer-base stratification.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS od_sec,
+         o_totalprice
+  FROM orders
+),
+c AS (
+  SELECT o_custkey AS custkey, MAX(od_sec) AS last_sec,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS monetary
+  FROM o GROUP BY 1
+),
+q AS (
+  SELECT custkey, n_orders, monetary,
+         NTILE(5) OVER (ORDER BY last_sec, custkey) AS r_q,
+         NTILE(5) OVER (ORDER BY n_orders, custkey) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary, custkey) AS m_q
+  FROM c
+)
+SELECT r_q * 100 + f_q * 10 + m_q AS rfm_code,
+       COUNT(*) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+       CAST(SUM(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+         AS avg_monetary
+FROM q GROUP BY 1
+""",
+    tags=("analytics", "segmentation", "window"),
+    doc="RFM segmentation: customers scored into quintiles on "
+    "recency (last order epoch), frequency (order count) and "
+    "monetary (DECIMAL-exact spend), composed into the classic "
+    "3-digit RFM code (555 = best) and profiled per segment. All "
+    "three NTILE orders carry the custkey tiebreak (total order ⇒ "
+    "identical quintile boundaries cross-engine; monetary is an "
+    "exact-decimal-derived double so its sort is bit-stable too). "
+    "The global NTILE windows are single-partition but run over ONE "
+    "ROW PER CUSTOMER after the aggregate — the same bounded-input "
+    "justification as ltv_deciles/window_rank_family; the per-order "
+    "shuffle on custkey is the scaling stage.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("timestamp_ltz").cast("long")).alias(
+            "last_sec"
+        ),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    q = c.select(
+        "custkey",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_sec", "custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("n_orders", "custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m_q"),
+    )
+    return (
+        q.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
+                "rfm_code"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            (
+                F.sum(F.col("monetary").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association — brand co-occurrence support/confidence/
+# lift over order baskets.
+# ---------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 5
+
+
+@register(
+    "basket_lift_pairs",
+    f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+bc AS (SELECT brand, COUNT(*) AS n_b FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) / n.n_orders, 9) AS support,
+       round(CAST(n_ab AS DOUBLE) / ca.n_b, 9) AS confidence_a_to_b,
+       round(CAST(n_ab AS DOUBLE) * n.n_orders / (ca.n_b * cb.n_b), 9)
+         AS lift
+FROM pairs
+JOIN bc ca ON ca.brand = pairs.brand_a
+JOIN bc cb ON cb.brand = pairs.brand_b, n
+WHERE n_ab >= {BASKET_MIN_SUPPORT}
+""",
+    tags=("analytics", "association", "join"),
+    doc="Market-basket association rules over order baskets: brand "
+    "pairs co-occurring in the same order, with support, directional "
+    "confidence and lift (lift > 1 ⇒ bought together more than "
+    "independence predicts). The basket relation dedupes to "
+    "(order, brand) FIRST, so the okey self-join's fan-out is "
+    "bounded by basket width (distinct brands per order), never by "
+    "line items; brand cardinality (25) bounds the output and makes "
+    "the per-brand counts a broadcast. All ratios are divisions of "
+    "exact integers rounded at 9 digits. The association-rule "
+    "complement to the copurchase PageRank (which ranks nodes; this "
+    "scores EDGES with calibrated statistics).",
+)
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.select("okey").distinct().agg(F.count("*").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
+    pairs = (
+        ob.alias("a")
+        .join(ob.alias("b").hint("shuffle_hash"), "okey")
+        .filter(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 9).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 9).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

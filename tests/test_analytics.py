@@ -545,3 +545,87 @@ def test_bootstrap_ci_brackets_full_sample_mean(spark, sf_correctness):
         assert r["ci_lo"] < r["ci_hi"]  # replicates genuinely vary
         full_mean = sum(vals[r["event_type"]]) / len(vals[r["event_type"]])
         assert r["ci_lo"] <= full_mean <= r["ci_hi"]
+
+
+def test_events_gap_stats_matches_python_lag(spark, sf_correctness):
+    """Gap counts and max must match a per-user sorted Python model;
+    p50 <= p90 <= max for every type."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    per_user = defaultdict(list)
+    for r in events_with_time(spark, sf_correctness).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    ).collect():
+        per_user[r["user_id"]].append((r["ts_sec"], r["event_id"], r["event_type"]))
+    gaps = defaultdict(list)
+    for evs in per_user.values():
+        evs.sort()
+        for (t0, _, _), (t1, _, ty) in zip(evs, evs[1:]):
+            gaps[ty].append(t1 - t0)
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_gap_stats"].builder(spark, sf_correctness).collect()
+    }
+    assert set(got) == set(gaps)
+    for ty, gs in gaps.items():
+        g = got[ty]
+        assert g["n_gaps"] == len(gs)
+        assert g["max_gap_sec"] == max(gs)
+        assert g["p50_gap_sec"] <= g["p90_gap_sec"] <= g["max_gap_sec"]
+
+
+def test_rfm_segments_partition_customers(spark, sf_correctness):
+    """Segment counts must sum to the customer base; codes must be
+    valid 3-digit quintile composites; the best segment (555) must
+    outspend the worst (111) on average."""
+    from msstreamingstack_spark.sources.tables import load_table
+
+    rows = REGISTRY["rfm_segments"].builder(spark, sf_correctness).collect()
+    n_cust = (
+        load_table(spark, sf_correctness, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    by_code = {r["rfm_code"]: r for r in rows}
+    for code in by_code:
+        r, f, m = code // 100, (code // 10) % 10, code % 10
+        assert 1 <= r <= 5 and 1 <= f <= 5 and 1 <= m <= 5
+    if 555 in by_code and 111 in by_code:
+        assert by_code[555]["avg_monetary"] > by_code[111]["avg_monetary"]
+
+
+def test_basket_lift_matches_counter_model(spark, sf_correctness):
+    """Pair counts and lift must agree with a Python Counter model
+    over the deduped (order, brand) baskets."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from msstreamingstack_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_correctness, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, sf_correctness, "part").collect()
+    }
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(part[r["l_partkey"]])
+    n_orders = len(baskets)
+    bc = Counter(b for bs in baskets.values() for b in bs)
+    pc = Counter()
+    for bs in baskets.values():
+        for a, b in combinations(sorted(bs), 2):
+            pc[(a, b)] += 1
+    rows = REGISTRY["basket_lift_pairs"].builder(spark, sf_correctness).collect()
+    got = {(r["brand_a"], r["brand_b"]): r for r in rows}
+    want = {k: v for k, v in pc.items() if v >= 5}
+    assert set(got) == set(want)
+    for (a, b), n_ab in want.items():
+        g = got[(a, b)]
+        assert g["n_ab"] == n_ab
+        lift = n_ab * n_orders / (bc[a] * bc[b])
+        assert abs(g["lift"] - lift) < 1e-6
