@@ -304,6 +304,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # serving (fastText-style hashed classifier, PCA projection)
     "langid_fasttext_hashed", "embedding_pca_project",
 )
+# ROUND-7 WINDOW BUDGET (arithmetic, do this first next session):
+# the debt exceeds 50 slots, so prioritize — (1) the SEVEN displaced
+# r4-cohort rotations in (d) below (oldest latest-rows, would go 3
+# rounds stale); (2) the ~28 continuation queries below that were
+# never driver-checked and were added BEFORE this window filled
+# (r8 would make them 2 rounds old); (3) the seventeen sixth-wave
+# session additions (anomaly_mad_events .. basket_lift_pairs) — all
+# first registered in r6, so r8 first-rows still satisfy the
+# "nothing >2 rounds stale" invariant; fill remaining slots from (3)
+# in registry order and roll the overflow to r8. Every (2)+(3) entry
+# was locally driver-sim verified (vanilla session) in round 6 —
+# see CORRECTNESS notes in SURVEY.md.
 # Round-7 window MUST also give first rows to the continuation
 # queries added after the window filled: graph_pagerank_copurchase,
 # sql_frontend_scripting_parity, merge_upsert_customers,
