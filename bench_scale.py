@@ -130,6 +130,7 @@ QUERIES = (
     "events_gap_stats",
     "rfm_segments",
     "basket_lift_pairs",
+    "events_dow_profile",
 )
 
 TABLES = (

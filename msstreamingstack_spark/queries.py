@@ -332,7 +332,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # event_transition_matrix, vocab_oov_coverage,
 # bootstrap_ci_value_mean, sql_frontend_range_frame_parity,
 # dedup_containment_pairs, events_gap_stats, rfm_segments,
-# basket_lift_pairs (all locally driver-sim verified
+# basket_lift_pairs, events_dow_profile (all locally driver-sim verified
 # this round), alongside the seven displaced r4-cohort rotations
 # listed in (d).
 

@@ -2014,6 +2014,57 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Weekly seasonality profile — day-of-week x type traffic shape from
+# pure integer epoch arithmetic (no calendar functions, whose week
+# conventions differ by engine and locale).
+# ---------------------------------------------------------------------------
+@register(
+    "events_dow_profile",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+d AS (
+  SELECT event_type, (ts_sec // {DAY_SEC} + 4) % 7 AS dow FROM ev
+),
+t AS (SELECT event_type, COUNT(*) AS n_type FROM d GROUP BY event_type)
+SELECT d.event_type, d.dow, COUNT(*) AS n_events,
+       round(CAST(COUNT(*) AS DOUBLE) / t.n_type, 9) AS share_of_type
+FROM d JOIN t ON d.event_type = t.event_type
+GROUP BY d.event_type, d.dow, t.n_type
+""",
+    tags=("analytics", "temporal", "agg"),
+    doc="Weekly seasonality: event share per (type, day-of-week). The "
+    "dow derives from INTEGER epoch arithmetic — (epoch_day + 4) % 7, "
+    "0=Sunday (1970-01-01, epoch day 0, maps to 4=Thursday; pinned "
+    "against python datetime in tests) — instead of "
+    "calendar functions (dayofweek()/dow() start weeks differently "
+    "per engine and locale, a classic silent cross-engine split). "
+    "One map-combined shuffle on (type, dow) plus a broadcast of the "
+    "per-type totals; shares are exact integer divisions rounded at "
+    "9 digits.",
+)
+def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select("event_type", "ts_sec")
+    d = ev.select(
+        "event_type",
+        ((F.expr(f"ts_sec div {DAY_SEC}") + 4) % 7).alias("dow"),
+    )
+    t = d.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    return (
+        d.groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n_events"))
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_type"), 9
+            ).alias("share_of_type"),
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -629,3 +629,35 @@ def test_basket_lift_matches_counter_model(spark, sf_correctness):
         assert g["n_ab"] == n_ab
         lift = n_ab * n_orders / (bc[a] * bc[b])
         assert abs(g["lift"] - lift) < 1e-6
+
+
+def test_events_dow_profile_anchored_and_partitioned(spark, sf_correctness):
+    """Every (type, dow) share must be a valid partition (per-type
+    shares sum to ~1), dow in [0, 6], the anchor must be correct
+    (1970-01-01 = Thursday = dow 3 under 0=Monday), and counts must
+    match a Python datetime model."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timezone
+
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    # anchor: 1970-01-01 (epoch day 0) is a Thursday; our integer
+    # convention (epoch_day + 4) % 7 maps it to 4, i.e. 0=Sunday —
+    # equal to (python weekday + 1) % 7, pinned per-row below
+    assert datetime(1970, 1, 1, tzinfo=timezone.utc).weekday() == 3
+    model = Counter()
+    for r in events_with_time(spark, sf_correctness).select(
+        "event_type", "ts_sec"
+    ).collect():
+        dow = (r["ts_sec"] // 86400 + 4) % 7
+        wd = datetime.fromtimestamp(r["ts_sec"], tz=timezone.utc).weekday()
+        assert dow == (wd + 1) % 7  # engine dow = python weekday shifted
+        model[(r["event_type"], dow)] += 1
+    rows = REGISTRY["events_dow_profile"].builder(spark, sf_correctness).collect()
+    got = {(r["event_type"], r["dow"]): r["n_events"] for r in rows}
+    assert got == dict(model)
+    sums = defaultdict(float)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6
+        sums[r["event_type"]] += r["share_of_type"]
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
