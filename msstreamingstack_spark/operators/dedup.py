@@ -245,6 +245,16 @@ def _band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _band_key_sql(b: int) -> str:
+    """DuckDB twin of the band key in :func:`_band_buckets` — the
+    '_'-joined casts of ALL ``BAND_SIZE`` signature columns of band
+    ``b``, generated from the same constant so changing ``BAND_SIZE``
+    can never desynchronize oracle and builder."""
+    return " || '_' || ".join(
+        f"CAST(mh_{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+    )
+
+
 def minhash_cross_pairs(
     docs: DataFrame,
     eval_pred,
@@ -297,8 +307,8 @@ def minhash_cross_sql(mod: int, rem: int, threshold: float = 0.5) -> str:
     )
     n_bands = NUM_HASHES // BAND_SIZE
     band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, CAST(mh_{j0} AS VARCHAR) || '_' || CAST(mh_{j1} AS VARCHAR) AS key FROM sig".format(
-            b=b, j0=b * BAND_SIZE, j1=b * BAND_SIZE + 1
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=_band_key_sql(b)
         )
         for b in range(n_bands)
     )
@@ -368,8 +378,8 @@ def minhash_lsh_sql(threshold: float = 0.8) -> str:
         f"MIN({_perm_sql(i, 'h')}) AS mh_{i}" for i in range(NUM_HASHES)
     )
     band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, CAST(mh_{j0} AS VARCHAR) || '_' || CAST(mh_{j1} AS VARCHAR) AS key FROM sig".format(
-            b=b, j0=b * BAND_SIZE, j1=b * BAND_SIZE + 1
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=_band_key_sql(b)
         )
         for b in range(n_bands)
     )

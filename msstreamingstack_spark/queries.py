@@ -251,90 +251,80 @@ from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-6 rotation (audit basis: CORRECTNESS_r1-r5 union — 122
-# distinct queries driver-checked, all latest-hash-green; r5 covered
-# 50, r4 46, r3 26). Invariant: no oracled query goes more than 2
-# rounds without a driver row. This window holds (a) ALL 26 queries
-# whose latest driver row is round 3 (they would go 3 rounds stale
-# otherwise), (b) the IVF pair's FIRST driver rows — newly fully
-# oracled this round via the pinned persisted index, (c) family-slot
-# holders the invariants require (multimodal/grouping-sets/layout/
-# tpch representatives; zorder_cluster_stats is the only oracled
-# layout query so it sits in every window), then (d) fills from the
-# round-4 cohort in registry order — leaving only r4/r5 rows outside.
+# Round-7 rotation — debt payment (audit basis: CORRECTNESS_r1-r6
+# union = 136 distinct queries driver-checked, all latest-hash-green;
+# latest-round histogram r6=50, r5=49, r4=37; 36 oracled round-6
+# additions never externally checked). The registry is FROZEN this
+# round (judge mandate): no new oracled queries until the
+# never-checked list fits one window. Composition, in the judge's
+# priority order:
+#   (a) the SEVEN displaced r4-cohort queries (oldest latest-rows —
+#       3 rounds stale if r7 missed them);
+#   (b) ALL 36 never-externally-checked oracled round-6 additions
+#       (LLM-pipeline kernels first, then graph/temporal, analytics,
+#       SQL-front-end parity) — every one locally driver-sim verified
+#       in round 6 AND re-verified this session;
+#   (c) multimodal_features — FIRST hash row: newly fully oracled this
+#       round (integer feature codes '|'-joined; DuckDB hex-pair byte
+#       extraction twin) per the round-6 verdict task #4;
+#   (d) six r4-latest fills chosen to keep every mandatory family slot
+#       (tpch/skew/grouping-sets/layout/similarity/range-join);
+#       zorder_cluster_stats is the only oracled layout query so it
+#       sits in every window, grouping_sets_revenue likewise for
+#       grouping-sets.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) round-3-stale — mandatory this round
-    "sessionize_events_bucketed", "join_inner_customer_geo",
-    "running_revenue_bucketed", "skew_profile_events_user", "dedup_exact",
-    "text_cleaning", "mix_weighted_sources", "pack_sequences_greedy",
-    "quality_char_entropy", "corpus_version_diff",
-    "percentile_event_values", "hof_component_means", "hof_array_pipeline",
-    "wordcount_frequent", "dq_report", "cohort_retention",
-    "funnel_conversion", "scd2_device_runs", "rolling_zscore_events",
-    "heavy_hitters_exact", "mix_temperature_sources",
-    "distinct_users_sketch_rollup", "ltv_deciles",
-    "inverted_index_sampled", "pydatasource_events_profile",
-    "histogram_event_values",
-    # (b) first driver rows for the newly-oracled pinned-IVF pair
-    "similarity_ann_ivf", "similarity_ann_ivf_ml",
-    # (c) family slots (tpch/multimodal/grouping-sets/layout)
-    "tpch_q18_large_orders", "multimodal_frame_sample",
+    # (a) displaced r4-cohort — mandatory this round
+    "join_semi_customers_with_orders", "running_revenue_per_customer",
+    "cube_orders_status_priority", "rollup_lineitem_flags",
+    "join_anti_customers_no_orders", "device_transitions",
+    "dedup_ngram_jaccard",
+    # (b) never-checked round-6 additions: LLM-pipeline kernels
+    "decontaminate_minhash", "dedup_containment_pairs",
+    "retrieval_bm25_topk", "mine_hard_negatives", "quality_gopher_rules",
+    "quality_source_calibrated", "mix_epochs_budget", "pack_blocks_fixed",
+    "vocab_oov_coverage", "entity_match_blocked", "coreset_kcenter",
+    "sketch_countmin_user_events",
+    # (b) graph/temporal kernels
+    "graph_pagerank_copurchase", "graph_pagerank_personalized",
+    "graph_triangle_count", "merge_upsert_customers",
+    "scd2_merge_device_dim", "pit_device_dim_join",
+    "asof_next_purchase_tolerance", "sessionize_dynamic_gap",
+    "resample_ohlc_hourly",
+    # (b) analytics kernels
+    "ewma_event_values", "anomaly_mad_events", "regr_value_on_propk",
+    "wau_sliding_distinct", "session_paths_topk",
+    "event_transition_matrix", "bootstrap_ci_value_mean",
+    "events_gap_stats", "rfm_segments", "basket_lift_pairs",
+    "events_dow_profile",
+    # (b) SQL-front-end parity shapes
+    "sql_frontend_agg_filter_parity", "sql_frontend_range_frame_parity",
+    "sql_frontend_lateral_topk_parity", "sql_frontend_scripting_parity",
+    # (c) first hash row for the newly-oracled multimodal decode
+    "multimodal_features",
+    # (d) r4-latest fills / family slots
+    "tpch_q9_product_profit", "salted_join_events_customer",
     "grouping_sets_revenue", "zorder_cluster_stats",
-    # (d) round-4 cohort fills (registry order; seven were displaced
-    # late in round 6 by (f)/(g) below — join_semi_customers_with_orders,
-    # running_revenue_per_customer, cube_orders_status_priority,
-    # rollup_lineitem_flags, join_anti_customers_no_orders,
-    # device_transitions, dedup_ngram_jaccard stay r4-latest and MUST
-    # be in the round-7 window)
-    "sessionize_events", "enrich_clickstream", "tpch_q1",
-    "join_left_orders_customer",
-    "order_priority_check", "user_state_table",
-    # (e) first rows for the round-6 additions: SQL-front-end parity
-    # shapes, the pinned-quantizer analytics reuse, and the
-    # sliding-window substring detector
-    "sql_frontend_exists_parity", "sql_frontend_setops_all_parity",
-    "corpus_topic_balance", "substring_dup_spans",
-    "quality_ensemble_score",
-    # (f) first rows for the late round-6 additions: SemDeDup over the
-    # pinned quantizer, CCNet chunk-rewrite, DSIR importance weights,
-    # and the Spark-4 recursive-CTE parity shape
-    "dedup_semantic", "dedup_chunk_rewrite", "dsir_importance_weights",
-    "sql_frontend_recursive_spine_parity", "dedup_events_debounce",
-    # (g) first rows for the continuation additions: pinned-model
-    # serving (fastText-style hashed classifier, PCA projection)
-    "langid_fasttext_hashed", "embedding_pca_project",
+    "similarity_ann_quantized", "range_join_price_bands",
 )
-# ROUND-7 WINDOW BUDGET (arithmetic, do this first next session):
-# the debt exceeds 50 slots, so prioritize — (1) the SEVEN displaced
-# r4-cohort rotations in (d) below (oldest latest-rows, would go 3
-# rounds stale); (2) the ~28 continuation queries below that were
-# never driver-checked and were added BEFORE this window filled
-# (r8 would make them 2 rounds old); (3) the seventeen sixth-wave
-# session additions (anomaly_mad_events .. basket_lift_pairs) — all
-# first registered in r6, so r8 first-rows still satisfy the
-# "nothing >2 rounds stale" invariant; fill remaining slots from (3)
-# in registry order and roll the overflow to r8. Every (2)+(3) entry
-# was locally driver-sim verified (vanilla session) in round 6 —
-# see CORRECTNESS notes in SURVEY.md.
-# Round-7 window MUST also give first rows to the continuation
-# queries added after the window filled: graph_pagerank_copurchase,
-# sql_frontend_scripting_parity, merge_upsert_customers,
-# scd2_merge_device_dim, asof_next_purchase_tolerance,
-# sessionize_dynamic_gap,
-# graph_pagerank_personalized, pit_device_dim_join,
-# quality_gopher_rules, sketch_countmin_user_events,
-# retrieval_bm25_topk, entity_match_blocked, ewma_event_values,
-# graph_triangle_count, regr_value_on_propk, coreset_kcenter,
-# anomaly_mad_events, mix_epochs_budget, decontaminate_minhash,
-# pack_blocks_fixed, quality_source_calibrated,
-# sql_frontend_agg_filter_parity, resample_ohlc_hourly,
-# wau_sliding_distinct, session_paths_topk,
-# event_transition_matrix, vocab_oov_coverage,
-# bootstrap_ci_value_mean, sql_frontend_range_frame_parity,
-# dedup_containment_pairs, events_gap_stats, rfm_segments,
-# basket_lift_pairs, events_dow_profile (all locally driver-sim verified
-# this round), alongside the seven displaced r4-cohort rotations
-# listed in (d).
+# ROUND-8 WINDOW BUDGET (arithmetic, do this first next session):
+# after this rotation the never-externally-checked list is EMPTY and
+# the oldest latest-rows are the 25 r4-latest queries left outside
+# this window (3 rounds stale if r8 misses them):
+#   asof_last_purchase, corpus_duplication_rate, dedup_clusters,
+#   dedup_embedding_cosine, dedup_simhash_pairs, doc_fingerprints,
+#   embedding_norm_stats, hash_split_assign, hypertable_rollup,
+#   interval_join_attribution, lang_shingle_overlap, langid_heuristic,
+#   pii_scrub, pivot_event_type_counts, repetition_quality,
+#   sample_reservoir_stratified, session_window_native,
+#   set_ops_customers, shuffle_shard_assign, similarity_topk_cosine,
+#   sql_frontend_window_join_parity, top_ngrams_per_lang,
+#   top_orders_by_price, tpch_q13_custdist, tpch_q22_idle_rich_customers,
+#   window_rank_family.
+# Those are ~26 slots; fill the remaining ~24 from the r5-latest
+# cohort (2 rounds stale by then) in registry order, keeping the
+# family slots (zorder_cluster_stats, grouping_sets_revenue, one
+# tpch, one multimodal, one skew). Debt then fits inside one window
+# and the normal 2-round rotation resumes in r9.
 
 
 def _apply_driver_window() -> None:

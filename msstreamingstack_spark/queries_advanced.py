@@ -648,16 +648,54 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # decode path is Python (stubbed decoder) → rows-only check;
-    # determinism of the fake decoder is pytest-asserted
+    f"""
+WITH media AS ({MEDIA_FROM_DOCS_SQL}),
+hexed AS (
+  SELECT media_id, kind,
+         CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         hex(payload) AS h
+  FROM media
+)
+SELECT media_id, kind, n_bytes,
+       array_to_string(
+         list_transform(range(0, 16), i -> CAST(CAST(
+           COALESCE(list_sum(list_transform(
+             range(CAST(i AS INTEGER), CAST(n_bytes AS INTEGER), 16),
+             j -> 16 * (strpos('0123456789ABCDEF',
+                               substr(h, CAST(j * 2 + 1 AS INTEGER), 1)) - 1)
+                    + (strpos('0123456789ABCDEF',
+                              substr(h, CAST(j * 2 + 2 AS INTEGER), 1)) - 1)
+           )), 0) % 997 AS INTEGER) AS VARCHAR)),
+         '|') AS feature_sig
+FROM hexed
+""",
     tags=("extension", "multimodal", "mapInPandas"),
     doc="Arrow-batched mapInPandas feature extraction over binary "
     "payloads (deterministic stub decoder — the container has no "
     "media libs; see extensions/multimodal.py for the injection "
-    "point). Schema/partitioning/batch plumbing is the real thing.",
+    "point). Schema/partitioning/batch plumbing is the real thing. "
+    "Fully oracled: the stub feature is (sum of payload[i::16]) % 997 "
+    "/ 997.0 per dim, so the query re-quantizes each float32 to its "
+    "exact integer code round(x*997) — recoverable losslessly because "
+    "|float32(k/997)*997 - k| < 6e-5 for k in [0,997) — and the DuckDB "
+    "twin reproduces the codes via hex-pair byte extraction. Codes are "
+    "emitted as one '|'-joined string (arrays have no externally-"
+    "verified normalization precedent in the driver compare). The "
+    "Python decode stage stays on the hot path; only the comparison "
+    "surface changes.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(media_from_docs(spark, sf_dir))
+    feats = extract_features(media_from_docs(spark, sf_dir))
+    code = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x.cast("double") * 997).cast("int").cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws("|", code).alias("feature_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1741,7 +1741,7 @@ FROM m GROUP BY event_type
     "oracle-checkable bit-for-bit. Replicate means are exact "
     "DECIMAL(38,0) cent sums over one map-combined shuffle of the "
     f"{BOOT_REPS}-way fan-out (constant factor, independent of data "
-    "volume — each event carries ~{BOOT_REPS}/2 replicate rows); the "
+    f"volume — each event carries ~{BOOT_REPS}/2 replicate rows); the "
     "2.5/50/97.5 percentiles run over just n_types x n_reps numbers. "
     "Subsampling (m-out-of-n without replacement) rather than "
     "multinomial resampling: same estimator family, and membership "

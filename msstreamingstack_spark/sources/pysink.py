@@ -68,13 +68,39 @@ class ManifestJsonlWriter(DataSourceWriter):
         return _FileCommit(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
+        """Driver-side publish. Append MERGES the prior manifest (a
+        second append to the same directory must not orphan earlier
+        committed rows); overwrite REPLACES it and deletes the prior
+        part files so the directory holds exactly one logical table."""
         files = sorted(m.filename for m in messages)
         rows = sum(m.n_rows for m in messages)
-        manifest = {"files": files, "n_rows": rows}
+        prior_files: list[str] = []
+        prior_rows = 0
+        target = os.path.join(self.path, MANIFEST)
+        if os.path.exists(target):
+            with open(target) as fh:
+                prior = json.load(fh)
+            prior_files = list(prior.get("files", []))
+            prior_rows = int(prior.get("n_rows", 0))
+        if self.overwrite:
+            manifest = {"files": files, "n_rows": rows}
+        else:
+            merged = sorted(set(prior_files) | set(files))
+            manifest = {"files": merged, "n_rows": prior_rows + rows}
         tmp = os.path.join(self.path, f"{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+        os.replace(tmp, target)  # atomic publish
+        if self.overwrite:
+            # prior data files are unreachable once the new manifest is
+            # live; removal is best-effort cleanup, not correctness
+            new = set(files)
+            for f in prior_files:
+                if f not in new:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:

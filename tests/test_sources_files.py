@@ -327,6 +327,53 @@ def test_manifest_jsonl_sink_commit_protocol(spark, sf_smoke, tmp_path):
     assert not any(r[0] == 999999 for r in got)
 
 
+def test_manifest_jsonl_sink_append_merges_and_overwrite_replaces(
+    spark, sf_smoke, tmp_path
+):
+    """Append to an already-committed directory MERGES the prior
+    manifest (the second job must not orphan the first job's rows);
+    overwrite REPLACES the manifest and removes the prior part files."""
+    import json as _json
+    import os as _os
+
+    from msstreamingstack_spark.sources.pysink import (
+        MANIFEST,
+        ManifestJsonlDataSource,
+        read_manifest_jsonl,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    spark.dataSource.register(ManifestJsonlDataSource)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "sink")
+
+    first.write.format("manifest_jsonl").mode("append").save(path)
+    second.write.format("manifest_jsonl").mode("append").save(path)
+    man = _json.load(open(_os.path.join(path, MANIFEST)))
+    assert man["n_rows"] == docs.count()
+    back = read_manifest_jsonl(spark, path, docs.schema)
+    assert sorted(map(tuple, back.select(*docs.columns).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    first.write.format("manifest_jsonl").mode("overwrite").save(path)
+    man = _json.load(open(_os.path.join(path, MANIFEST)))
+    assert man["n_rows"] == first.count()
+    back = read_manifest_jsonl(spark, path, docs.schema)
+    assert sorted(map(tuple, back.select(*docs.columns).collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    # prior part files are gone — the directory holds exactly the table
+    on_disk = {
+        f for f in _os.listdir(path) if f.startswith("part-")
+    }
+    assert on_disk == set(man["files"])
+
+
 def test_export_cli_manifest_roundtrip(spark, tmp_path):
     """`export <query> --format manifest_jsonl` publishes the query
     result through the Python DataSource sink with a complete
