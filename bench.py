@@ -80,17 +80,63 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
-    calib = _calibrate()
+    # shuffle-path calibration: the CPU probe above never exchanges, so
+    # it cannot explain drift on persist/shuffle-heavy queries (round-6
+    # saw calib IMPROVE while exchange-bound queries degraded 1.6-2x).
+    # This probe is a fixed two-exchange aggregate — groupBy(k) then
+    # groupBy(count) — so its best-of-3 tracks shuffle write/read + IO
+    # speed of the host; compare exchange-heavy queries across rounds
+    # against THIS ratio, pure-JVM scans against the CPU one.
+    def _calibrate_shuffle() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(1 << 24)
+                .selectExpr("id % 100000 AS k")
+                .groupBy("k")
+                .count()
+                .groupBy("count")
+                .count()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
 
+    calib = _calibrate()
+    shuffle_calib = _calibrate_shuffle()
+
+    # Steady-state protocol: every query runs `repeat` times (best-of);
+    # queries whose best still exceeds 2 s get a third run so the
+    # committed number is a true best-of-3 steady state, and their
+    # FIRST-run (cold: persist population, Python-worker spin-up,
+    # codegen) time is recorded beside it — the iterative family
+    # (PageRank, CC fixpoint, triangle) is dominated by cold persist
+    # costs a resident engine pays once.
+    STEADY_THRESHOLD_S = 2.0
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(max(repeat, 1)):
+        first = None
+        reps = max(repeat, 1)
+        done = 0
+        while done < reps:
             t0 = time.perf_counter()
             df = REGISTRY[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if first is None:
+                first = dt
+            best = min(best, dt)
+            done += 1
+            if done == reps and best > STEADY_THRESHOLD_S and reps < 3:
+                reps += 1  # one extra rep for the expensive cohort
         timings[name] = round(best, 4)
+        if first is not None and first > STEADY_THRESHOLD_S:
+            cold[name] = round(first, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop the previous query's shuffle/broadcast refs between
         # measurements — accumulated heap inflates later queries 2-4x
@@ -103,8 +149,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
         "sf": _sf_from_dir(sf_dir),
         "calib_sec": calib,
+        "shuffle_calib_sec": shuffle_calib,
     }
     # The driver records only the last 2000 chars of stdout and
     # json-parses from that tail — a single 5 KB line with all 126
@@ -132,6 +180,7 @@ def main() -> None:
         "sf": payload["sf"],
         "n_queries": len(timings),
         "calib_sec": calib,
+        "shuffle_calib_sec": shuffle_calib,
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4)
         if timings
         else 0.0,

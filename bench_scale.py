@@ -122,6 +122,9 @@ QUERIES = (
     "quality_source_calibrated",
     "resample_ohlc_hourly",
     "wau_sliding_distinct",
+    # round-7: mergeable HLL twin — must hold ~flat where the exact
+    # form's distinct sets scale with users (r6 worst ratio 2.95)
+    "wau_sliding_hll",
     "session_paths_topk",
     "event_transition_matrix",
     "vocab_oov_coverage",

@@ -1586,6 +1586,53 @@ def q_wau_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wau_sliding_hll",
+    None,  # HLL sketch estimates are engine-specific → rows-only;
+    # the error bound vs the exact twin is pytest-asserted
+    tags=("analytics", "timeseries", "sketch", "approx"),
+    doc=("Mergeable-sketch twin of wau_sliding_distinct — THE 100 TB "
+    "path for sliding distinct counts. The exact twin fans every "
+    "(user, day) row out x{WAU} and re-deduplicates users inside "
+    "every report day (its 16x scale ratio was the registry's worst "
+    "at 2.95: 16x users => 16x distinct sets per day). Here the "
+    "per-day DataSketches HLL sketch is built ONCE (one map-combined "
+    "shuffle of the raw events), and the x{WAU} fan-out moves only "
+    "day-level SKETCHES — a few KB per day, O(days x window) total, "
+    "INDEPENDENT of user cardinality — then hll_union_agg merges the "
+    "trailing window per report day. Daily sketches are persistable "
+    "and re-mergeable to any window length without touching raw "
+    "events (same lifecycle as distinct_users_sketch_rollup). Exact "
+    "twin stays the oracle; the <2% error bound is pinned in "
+    "tests/test_sketches.py.").replace("{WAU}", str(WAU_WINDOW_DAYS)),
+)
+def q_wau_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    daily = (
+        ev.select("user_id", F.expr(f"ts_sec div {DAY_SEC}").alias("day"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    days = daily.select(F.col("day").alias("report_day"))
+    contrib = daily.select(
+        "sk",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.join(days, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "active_users_est"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Path analysis — the top user journeys (ordered event-type sequences
 # per user-day) and the first-order Markov transition matrix between
@@ -1714,13 +1761,18 @@ from msstreamingstack_spark.functions.text import hash48, hash48_sql  # noqa: E4
     "bootstrap_ci_value_mean",
     f"""
 WITH ev AS ({EVENTS_TS_SQL}),
+h AS (
+  SELECT event_type, value,
+         {hash48_sql("CAST(event_id AS VARCHAR)")} AS h
+  FROM ev
+),
 b AS (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS rep),
 m AS (
-  SELECT ev.event_type, b.rep,
-         CAST(SUM(CAST(round(ev.value * 100, 0) AS DECIMAL(38,0)))
+  SELECT h.event_type, b.rep,
+         CAST(SUM(CAST(round(h.value * 100, 0) AS DECIMAL(38,0)))
               AS DOUBLE) / COUNT(*) AS rep_mean
-  FROM ev JOIN b
-    ON {hash48_sql("CAST(ev.event_id AS VARCHAR) || '_' || CAST(b.rep AS VARCHAR)")} % 2 = 0
+  FROM h JOIN b
+    ON (h.h // (CAST(1 AS BIGINT) << b.rep)) % 2 = 0
   GROUP BY 1, 2
 )
 SELECT event_type,
@@ -1735,34 +1787,37 @@ FROM m GROUP BY event_type
 """,
     tags=("analytics", "stats", "bootstrap"),
     doc=f"Bootstrap CI for the per-type mean value (integer cents): "
-    f"{BOOT_REPS} half-sample replicates whose membership is a pure "
-    "hash of (event_id, replicate) — deterministic, so unlike RNG "
+    f"{BOOT_REPS} half-sample replicates whose membership is bit r of "
+    "ONE 48-bit md5 of the event_id — deterministic, so unlike RNG "
     "bootstraps the whole resampling distribution is DuckDB-"
-    "oracle-checkable bit-for-bit. Replicate means are exact "
-    "DECIMAL(38,0) cent sums over one map-combined shuffle of the "
-    f"{BOOT_REPS}-way fan-out (constant factor, independent of data "
-    f"volume — each event carries ~{BOOT_REPS}/2 replicate rows); the "
-    "2.5/50/97.5 percentiles run over just n_types x n_reps numbers. "
-    "Subsampling (m-out-of-n without replacement) rather than "
-    "multinomial resampling: same estimator family, and membership "
-    "stays a stateless per-row predicate at any scale.",
+    "oracle-checkable bit-for-bit, and ~2.4x cheaper than the round-6 "
+    f"form ({BOOT_REPS} per-(event,rep) md5s of a concat string; the "
+    "round-7 A/B measured 5.1 -> 2.1 s at sf0.1): the hash runs once "
+    "per event BEFORE the replicate fan-out, and per-pair membership "
+    "is a pure integer bit test (h div 2^rep) % 2 — md5 bits are "
+    "independent, so 32 bits of one digest are 32 half-samples. "
+    "Replicate means are exact DECIMAL(38,0) cent sums over one "
+    f"map-combined shuffle of the {BOOT_REPS}-way fan-out (constant "
+    f"factor, independent of data volume — each event carries "
+    f"~{BOOT_REPS}/2 replicate rows); the 2.5/50/97.5 percentiles run "
+    "over just n_types x n_reps numbers. Subsampling (m-out-of-n "
+    "without replacement) rather than multinomial resampling: same "
+    "estimator family, and membership stays a stateless per-row "
+    "predicate at any scale.",
 )
 def q_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir).select(
-        "event_type", "event_id", "value"
+        "event_type",
+        hash48(F.col("event_id").cast("string")).alias("h"),
+        "value",
     )
-    reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
-    member = (
-        hash48(
-            F.concat(
-                F.col("event_id").cast("string"),
-                F.lit("_"),
-                F.col("rep").cast("string"),
-            )
-        )
-        % 2
-        == 0
+    reps = spark.range(BOOT_REPS).select(
+        F.col("id").cast("int").alias("rep"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias(
+            "rep_pow"
+        ),
     )
+    member = F.expr("(h div rep_pow) % 2 = 0")
     m = (
         ev.crossJoin(F.broadcast(reps))
         .filter(member)

@@ -236,15 +236,24 @@ def kafka_records(rows, key_col: str = "event_id"):
         )
 
 
-def _kafka_write_partition(rows, topic: str, key_col: str, producer_factory) -> int:
+def _kafka_write_partition(
+    rows, topic: str, key_col: str, producer_factory, sync: bool = False
+) -> int:
     """Executor-side partition write: one producer per partition,
-    async send per record, flush+close at the end (the async-producer
-    discipline of the reference's GetProducerAPI). Returns records
-    sent."""
+    send per record, flush+close at the end. ``sync=False`` is the
+    async-producer discipline of the reference's GetProducerAPI;
+    ``sync=True`` reproduces its synchronous third strategy
+    (GetProducerAPI.scala:57-79, ``send().get()`` per record): each
+    send's returned future/handle is awaited via ``.get()`` BEFORE the
+    next record goes out — per-record delivery confirmation at the
+    cost of pipelining (the reference keeps both for exactly this
+    trade). Returns records sent."""
     producer = producer_factory()
     n = 0
     for key, value in kafka_records(rows, key_col):
-        producer.send(topic, key=key, value=value)
+        handle = producer.send(topic, key=key, value=value)
+        if sync and handle is not None and hasattr(handle, "get"):
+            handle.get()
         n += 1
     producer.flush()
     producer.close()
@@ -256,21 +265,25 @@ def kafka_writer(
     topic: str,
     key_col: str = "event_id",
     producer_factory=None,
+    sync: bool = False,
 ):
     """K5: Kafka producer sink (GetProducerAPI.scala:82-105's async
     producer, as a foreachBatch writer).
 
     With ``producer_factory`` (picklable zero-arg callable → object
     with ``send(topic, key=, value=)/flush/close``) the adapter runs
-    client-side per partition and is contract-testable with a fake.
-    Without it, the bulk JVM kafka datasource path is used — config-
-    gated, no broker in this environment; the delivery-semantics knobs
-    (acks/max.in.flight) are Kafka client config, not engine code."""
+    client-side per partition and is contract-testable with a fake;
+    ``sync=True`` awaits each send's ``.get()`` before the next record
+    (the reference's synchronous strategy, GetProducerAPI.scala:57-79).
+    Without a factory, the bulk JVM kafka datasource path is used —
+    config-gated, no broker in this environment; the delivery-semantics
+    knobs (acks/max.in.flight) are Kafka client config, not engine
+    code (``sync`` only governs the per-record await discipline)."""
     if producer_factory is not None:
         def write(df: DataFrame, batch_id: int) -> None:
             df.foreachPartition(
                 lambda rows: _kafka_write_partition(
-                    rows, topic, key_col, producer_factory
+                    rows, topic, key_col, producer_factory, sync
                 )
             )
 

@@ -48,6 +48,19 @@ def test_q10_selective_pushdown(spark):
     assert f.broadcast_joins >= 2  # nation + customer/orders side
 
 
+def test_bigram_lm_is_window_passes_not_rejoins(spark):
+    """quality_bigram_lm's LM count tables are WINDOW passes over the
+    persisted bigram fold, not re-joins of it on three different keys
+    (the round-6 plan: 3 agg + 3 join shuffles, 4.4-8.3 s at sf0.1 and
+    the ensemble's variance source; the window plan measured 2.2 s
+    flat). Pin: no sort-merge join, no Python, and the Exchange count
+    stays at the window-plan level."""
+    f = plan_facts(REGISTRY["quality_bigram_lm"].builder(spark, SF))
+    assert f.sortmerge_joins == 0, f.text
+    assert f.python_evals == 0
+    assert f.shuffles <= 14, f"exchange count regressed: {f.shuffles}"
+
+
 def test_range_join_is_broadcast_not_cartesian(spark):
     f = plan_facts(REGISTRY["range_join_price_bands"].builder(spark, SF))
     assert "BroadcastNestedLoopJoin" in f.text

@@ -229,3 +229,55 @@ def test_kafka_writer_end_to_end(spark, tmp_path):
     assert all(r["topic"] == "events" for r in recs)
     payloads = {r["key"]: json.loads(r["value"]) for r in recs}
     assert payloads["1"] == {"event_id": 1, "event_type": "view"}
+
+
+def test_kafka_sync_strategy_awaits_each_send_before_next():
+    """The reference's synchronous producer strategy
+    (GetProducerAPI.scala:57-79) awaits send().get() PER RECORD:
+    with sync=True the event order must be strictly
+    send(k) -> get(k) -> send(k+1) -> ..., flush/close after all;
+    with sync=False no get() ever happens (async discipline)."""
+    from msstreamingstack_spark.sinks.writers import _kafka_write_partition
+
+    class _Handle:
+        def __init__(self, log, idx):
+            self.log, self.idx = log, idx
+
+        def get(self):
+            self.log.append(("get", self.idx))
+
+    class _SyncFake:
+        def __init__(self):
+            self.log = []
+            self.n = 0
+
+        def __call__(self):
+            return self
+
+        def send(self, topic, key=None, value=None):
+            self.log.append(("send", self.n))
+            h = _Handle(self.log, self.n)
+            self.n += 1
+            return h
+
+        def flush(self):
+            self.log.append(("flush", None))
+
+        def close(self):
+            self.log.append(("close", None))
+
+    rows = [Row(event_id=i, v=i * 10) for i in range(3)]
+
+    fake = _SyncFake()
+    n = _kafka_write_partition(iter(rows), "t", "event_id", fake, sync=True)
+    assert n == 3
+    assert fake.log == [
+        ("send", 0), ("get", 0),
+        ("send", 1), ("get", 1),
+        ("send", 2), ("get", 2),
+        ("flush", None), ("close", None),
+    ]
+
+    fake = _SyncFake()
+    _kafka_write_partition(iter(rows), "t", "event_id", fake, sync=False)
+    assert [e for e in fake.log if e[0] == "get"] == []

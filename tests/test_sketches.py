@@ -121,3 +121,23 @@ def test_countmin_overestimates_within_epsilon_bound(spark, sf_correctness):
     for r in rows:
         assert r["cms_est"] >= r["true_count"], r
         assert r["cms_est"] - r["true_count"] <= bound, r
+
+
+def test_wau_hll_twin_tracks_exact_within_bound(spark):
+    """wau_sliding_hll (mergeable day-sketch path) vs
+    wau_sliding_distinct (exact): identical day set, exact match in
+    HLL coupon mode at sf0.01, <2% per-day error at sf0.1 — the bound
+    that licenses the sketch twin as the 100 TB path."""
+    for sf, tol in (("/root/testdata/sf0.01", 0.0),
+                    ("/root/testdata/sf0.1", 0.02)):
+        exact = {
+            r["report_day"]: r["active_users"]
+            for r in REGISTRY["wau_sliding_distinct"].builder(spark, sf).collect()
+        }
+        est = {
+            r["report_day"]: r["active_users_est"]
+            for r in REGISTRY["wau_sliding_hll"].builder(spark, sf).collect()
+        }
+        assert set(est) == set(exact), sf
+        for day, n in exact.items():
+            assert abs(est[day] - n) <= tol * n, (sf, day, est[day], n)
