@@ -1136,10 +1136,27 @@ GROUP BY doc_id
 """
 
 
-def bigram_lm_scores(d: DataFrame) -> DataFrame:
+def bigram_lm_scores(d: DataFrame, skew_robust: bool = False) -> DataFrame:
     """(doc_id, n_bigrams, bits_per_bigram) — the Spark twin of
     BIGRAM_LM_SQL (leave-one-out + Laplace; see the constant's comment
-    and q_quality_bigram_lm's docstring for the plan rationale)."""
+    and q_quality_bigram_lm's docstring for the plan rationale).
+
+    ``skew_robust`` selects the corpus-scale plan (the house
+    skew-twin discipline, cf. sessionize_events_bucketed): the default
+    window plan computes c12/c1 with ``partitionBy(w1)`` over the FULL
+    bigram fold, so every row whose left word is a stopword lands in
+    ONE window task — bounded at bench SF (16x ratio 1.45) but growing
+    linearly with corpus size at 100 TB, and window partitions, unlike
+    join partitions, cannot be AQE-skew-split. The robust plan folds
+    c12 through a partial-aggregated groupBy (map-side combine bounds
+    hot keys at #tasks rows each), derives c1 as a window over the
+    COMPACT bigram-type table (a hot w1's partition is bounded by its
+    following-word vocabulary, never by corpus size), and joins back
+    on (w1, w2) where AQE skew-split applies. Same-session A/B x4 at
+    sf0.1: window 1.18-1.45 s vs hybrid 1.58-1.68 s, values
+    bit-identical (integer counts) — the ~25% premium at uniform bench
+    scale buys bounded partitions at any scale; parity and both plan
+    shapes are pinned in tests."""
     from msstreamingstack_spark.caching import rotating_persist
     from msstreamingstack_spark.functions.text import doc_bigram_counts
 
@@ -1162,22 +1179,37 @@ def bigram_lm_scores(d: DataFrame) -> DataFrame:
     # (doc_id, w1), then the per-doc fold — 3 exchanges end-to-end,
     # measured 2.5x faster and flat across repeats. Counts are exact
     # integers, so the values (and the DuckDB oracle) are unchanged.
-    w_w1 = Window.partitionBy("w1")
-    w_w1w2 = (
-        Window.partitionBy("w1")
-        .orderBy("w2")
-        .rangeBetween(Window.currentRow, Window.currentRow)
-    )
     w_doc_w1 = Window.partitionBy("doc_id", "w1")
     # scalar |vocab(w2)| broadcast into every row (explicit-broadcast
     # scalar total — the house crossJoin discipline)
     vsz = dbc.agg(F.countDistinct("w2").alias("vsz"))
-    scored = (
-        dbc.withColumn("c12", F.sum("c").over(w_w1w2))
-        .withColumn("c1", F.sum("c").over(w_w1))
-        .withColumn("d1c", F.sum("c").over(w_doc_w1))
-        .crossJoin(F.broadcast(vsz))
-    )
+    if skew_robust:
+        # corpus-scale shape: see the docstring. One partial-agg
+        # shuffle to the bigram-type table, c1 as a window over THAT
+        # (compact; hot-w1 partition <= following-word vocab), one
+        # AQE-skew-splittable join back; d1c stays doc-bounded.
+        c12t = dbc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+        c1w = c12t.withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1"))
+        )
+        scored = (
+            dbc.join(c1w, ["w1", "w2"])
+            .withColumn("d1c", F.sum("c").over(w_doc_w1))
+            .crossJoin(F.broadcast(vsz))
+        )
+    else:
+        w_w1 = Window.partitionBy("w1")
+        w_w1w2 = (
+            Window.partitionBy("w1")
+            .orderBy("w2")
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        scored = (
+            dbc.withColumn("c12", F.sum("c").over(w_w1w2))
+            .withColumn("c1", F.sum("c").over(w_w1))
+            .withColumn("d1c", F.sum("c").over(w_doc_w1))
+            .crossJoin(F.broadcast(vsz))
+        )
     term = F.round(
         -F.log2(
             (F.col("c12") - F.col("c") + F.lit(1)).cast("double")

@@ -452,6 +452,20 @@ def test_bigram_lm_ranks_gibberish_above_echoed_text(spark):
     assert got[0] < got[100] / 2
 
 
+def test_bigram_lm_skew_robust_twin_is_bit_identical(spark, sf_correctness):
+    """The skew_robust corpus-scale plan (partial-agg + compact-window
+    + join) and the default window plan produce bit-identical rows —
+    both sum the same exact integer counts, so the only thing the flag
+    may change is the physical shape (pinned in test_plans)."""
+    import msstreamingstack_spark.queries  # noqa: F401 — full registry first
+    from msstreamingstack_spark.queries_extensions import bigram_lm_scores
+
+    d = load_table(spark, sf_correctness, "documents")
+    a = sorted(map(tuple, bigram_lm_scores(d).collect()))
+    b = sorted(map(tuple, bigram_lm_scores(d, skew_robust=True).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
     """LM-gated ingest increment: an empty store accepts everything
     (the first drop defines the corpus); afterwards a doc echoing the

@@ -61,6 +61,29 @@ def test_bigram_lm_is_window_passes_not_rejoins(spark):
     assert f.shuffles <= 14, f"exchange count regressed: {f.shuffles}"
 
 
+def test_bigram_lm_skew_robust_twin_plan_shape(spark):
+    """The corpus-scale twin (skew_robust=True) must NOT window the
+    full bigram fold by w1 (a stopword's partition grows with corpus
+    size and windows cannot be AQE-skew-split): c12 goes through a
+    partial-aggregated groupBy(w1, w2), c1 windows only the COMPACT
+    bigram-type table, and the fold is re-attached via an equi-join
+    (AQE-skew-splittable). Pin: exactly two Window nodes (compact c1,
+    doc-bounded d1c), a hash aggregate keyed on the bigram, no
+    Python."""
+    import re
+
+    from msstreamingstack_spark.queries_extensions import bigram_lm_scores
+    from msstreamingstack_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    f = plan_facts(bigram_lm_scores(d, skew_robust=True))
+    assert f.python_evals == 0
+    assert len(re.findall(r"\bWindow\b", f.text)) <= 4, f.text[:2000]
+    assert re.search(r"Keys \[2\]: \[w1#\d+, w2#\d+\]", f.text), (
+        "bigram-type partial aggregate missing:\n" + f.text[:2000]
+    )
+
+
 def test_range_join_is_broadcast_not_cartesian(spark):
     f = plan_facts(REGISTRY["range_join_price_bands"].builder(spark, SF))
     assert "BroadcastNestedLoopJoin" in f.text
