@@ -63,3 +63,53 @@ def bucketed_running_sum(
         .withColumn(out, F.col("_base") + F.col("_lrun"))
         .drop("_bkt", "_lrun", "_base")
     )
+
+
+def bucketed_percent_rank(
+    df: DataFrame,
+    part_col: str,
+    order_cols: tuple,
+    bucket_col: Column,
+    out: str = "pct_rank",
+) -> DataFrame:
+    """percent_rank over (``part_col``, ``order_cols``) with the
+    event-sized shuffle keyed (part, bucket) — the RANK instance of
+    the prefix decomposition above: global row_number = rows in prior
+    buckets + local row_number, percent_rank = (rn−1)/(n−1) on exact
+    integers, so the result is bit-identical to the single-window
+    form.
+
+    Requires a TOTAL order (``order_cols`` must include a unique
+    tiebreaker) — under a total order percent_rank degenerates to the
+    row_number form this decomposes; with ties spanning a bucket
+    boundary plain rank() would not decompose. ``bucket_col`` must be
+    a monotone non-decreasing function of the leading order columns
+    (never of the tiebreaker alone).
+    """
+    ev = df.withColumn("_bkt", bucket_col.cast("long"))
+    w_b = Window.partitionBy(part_col, "_bkt").orderBy(*order_cols)
+    ev = ev.withColumn("_lrn", F.row_number().over(w_b))
+    # one row per (key, bucket): prior-bucket row counts and the
+    # per-key total ride the same tiny summary table
+    summary = ev.groupBy(part_col, "_bkt").agg(F.count("*").alias("_cnt"))
+    w_u = (
+        Window.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(part_col)
+    summary = summary.withColumn(
+        "_prior", F.coalesce(F.sum("_cnt").over(w_u), F.lit(0))
+    ).withColumn("_n", F.sum("_cnt").over(w_all))
+    return (
+        ev.join(
+            summary.select(part_col, "_bkt", "_prior", "_n"),
+            [part_col, "_bkt"],
+        )
+        .withColumn(
+            out,
+            (F.col("_prior") + F.col("_lrn") - F.lit(1)).cast("double")
+            / F.greatest(F.col("_n") - F.lit(1), F.lit(1)).cast("double"),
+        )
+        .drop("_bkt", "_lrn", "_prior", "_n")
+    )

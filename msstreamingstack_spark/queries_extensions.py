@@ -615,24 +615,55 @@ GROUP BY source, chunk_idx
     "cumsum. The per-chunk token sum may overshoot capacity by at "
     "most one document (greedy semantics, documents not split).",
 )
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_sequences(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
-        "chunk_idx",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAPACITY
-        ).cast("bigint"),
-    )
+    if skew_robust:
+        # source cardinality is FIXED (a handful of domains) while
+        # rows grow with the corpus, so a window partitioned by bare
+        # source pins one source's entire corpus slice to one task at
+        # 100 TB — and windows, unlike joins, cannot be AQE-skew-split.
+        # The prefix sum decomposes exactly over (source, doc_id-range
+        # bucket): long partials re-add exactly (operators/windows.py),
+        # so the twin is bit-identical; parity + plan pinned in tests.
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_running_sum,
+        )
+
+        cum = bucketed_running_sum(
+            toks,
+            "source",
+            ("doc_id",),
+            "n_tokens",
+            F.floor(F.col("doc_id") / 4096),
+            out="_cum",
+            prec="long",
+        )
+        packed = cum.withColumn(
+            "chunk_idx",
+            F.floor(
+                (F.col("_cum") - F.col("n_tokens")) / PACK_CAPACITY
+            ).cast("bigint"),
+        ).drop("_cum")
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        packed = toks.withColumn(
+            "chunk_idx",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / PACK_CAPACITY
+            ).cast("bigint"),
+        )
     return packed.groupBy("source", "chunk_idx").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("chunk_tokens"),
@@ -694,21 +725,39 @@ GROUP BY source, block_id
     "single-partition shape that cannot exist at 100 TB) plus one "
     "keyed re-aggregation.",
 )
-def q_pack_blocks_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_blocks_fixed(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         "source",
         (token_count(F.col("text")) + 1).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = toks.withColumn("fin", F.sum("n_tokens").over(w)).withColumn(
-        "st", F.col("fin") - F.col("n_tokens")
-    )
+    if skew_robust:
+        # same decomposition as q_pack_sequences — see its comment
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_running_sum,
+        )
+
+        spans = bucketed_running_sum(
+            toks,
+            "source",
+            ("doc_id",),
+            "n_tokens",
+            F.floor(F.col("doc_id") / 4096),
+            out="fin",
+            prec="long",
+        ).withColumn("st", F.col("fin") - F.col("n_tokens"))
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        spans = toks.withColumn(
+            "fin", F.sum("n_tokens").over(w)
+        ).withColumn("st", F.col("fin") - F.col("n_tokens"))
     blocks = spans.withColumn(
         "block_id",
         F.explode(
@@ -1672,24 +1721,45 @@ FROM c WHERE cum_tokens <= {QUALITY_BUDGET_PER_SOURCE}
     "sampler (the score join).",
 )
 def q_token_budget_quality_sample(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
 ) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
-    ).join(bigram_lm_scores(d).select("doc_id", "bits_per_bigram"), "doc_id")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("bits_per_bigram").asc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).join(
+        bigram_lm_scores(d, skew_robust=skew_robust).select(
+            "doc_id", "bits_per_bigram"
+        ),
+        "doc_id",
     )
-    return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= QUALITY_BUDGET_PER_SOURCE)
-        .select("doc_id", "source", "n_tokens", "bits_per_bigram", "cum_tokens")
-    )
+    if skew_robust:
+        # score-band bucket: floor(bits×4) is monotone in the leading
+        # order key (bits ASC); see q_pack_sequences for the hazard.
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_running_sum,
+        )
+
+        cum = bucketed_running_sum(
+            t,
+            "source",
+            (F.col("bits_per_bigram").asc(), F.col("doc_id")),
+            "n_tokens",
+            F.floor(F.col("bits_per_bigram") * 4),
+            out="cum_tokens",
+            prec="long",
+        )
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("bits_per_bigram").asc(), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") <= QUALITY_BUDGET_PER_SOURCE
+    ).select("doc_id", "source", "n_tokens", "bits_per_bigram", "cum_tokens")
 
 
 TOP_NGRAMS_K = 5
@@ -1778,23 +1848,43 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
     "the scan's output early, everything else is per-row. Integer "
     "sort keys only, so ordering is exact cross-engine.",
 )
-def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_budget_sample(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
-        .select("doc_id", "source", "n_tokens", "cum_tokens")
-    )
+    if skew_robust:
+        # prefix decomposition over (source, length-band): the bucket
+        # floor(−n_tokens/64) is a monotone function of the leading
+        # order key (n_tokens DESC), never of the tiebreaker, as
+        # bucketed_running_sum requires; see q_pack_sequences.
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_running_sum,
+        )
+
+        cum = bucketed_running_sum(
+            t,
+            "source",
+            (F.col("n_tokens").desc(), F.col("doc_id")),
+            "n_tokens",
+            F.floor(-F.col("n_tokens") / 64),
+            out="cum_tokens",
+            prec="long",
+        )
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
 @register(
@@ -2925,7 +3015,9 @@ FROM s
     "doc_id tiebreak makes the ordering total so ranks are "
     "deterministic.",
 )
-def q_quality_source_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_source_calibrated(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     from msstreamingstack_spark.functions.text import distinct_token_ratio
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -2934,9 +3026,30 @@ def q_quality_source_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         distinct_token_ratio(F.col("text")).alias("score"),
     )
-    w = Window.partitionBy("source").orderBy("score", "doc_id")
-    pr = F.percent_rank().over(w)
-    return s.select(
+    if skew_robust:
+        # the (doc_id tiebreak ⇒ total order) makes percent_rank the
+        # row_number form, which decomposes exactly over score bands
+        # (operators/windows.py::bucketed_percent_rank) — same integer
+        # rank arithmetic, same double bits; see q_pack_sequences for
+        # why bare partitionBy(source) cannot ship at corpus scale.
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_percent_rank,
+        )
+
+        ranked = bucketed_percent_rank(
+            s,
+            "source",
+            (F.col("score"), F.col("doc_id")),
+            F.floor(F.col("score") * 64),
+            out="_pr",
+        )
+        pr = F.col("_pr")
+        src = ranked
+    else:
+        w = Window.partitionBy("source").orderBy("score", "doc_id")
+        pr = F.percent_rank().over(w)
+        src = s
+    return src.select(
         "doc_id",
         "source",
         F.round(F.col("score"), 9).alias("score"),

@@ -466,6 +466,43 @@ def test_bigram_lm_skew_robust_twin_is_bit_identical(spark, sf_correctness):
     assert a == b and len(a) > 0
 
 
+def test_per_source_window_skew_robust_twins_bit_identical(
+    spark, sf_correctness
+):
+    """The five per-source corpus operators (greedy packing ×2, token
+    budget ×2, calibrated quality gate) window over partitionBy(source)
+    — source cardinality is fixed while rows grow, so each has a
+    skew_robust twin that decomposes the prefix sum / rank over
+    (source, bucket) via operators/windows.py. The decomposition is
+    exact (long partials; integer rank arithmetic), so each twin must
+    be BIT-identical to its default plan."""
+    import msstreamingstack_spark.queries  # noqa: F401 — full registry first
+    from msstreamingstack_spark.queries_extensions import (
+        q_pack_blocks_fixed,
+        q_pack_sequences,
+        q_quality_source_calibrated,
+        q_token_budget_quality_sample,
+        q_token_budget_sample,
+    )
+
+    for fn in (
+        q_pack_sequences,
+        q_pack_blocks_fixed,
+        q_token_budget_sample,
+        q_token_budget_quality_sample,
+        q_quality_source_calibrated,
+    ):
+        a = fn(spark, sf_correctness)
+        b = fn(spark, sf_correctness, skew_robust=True)
+        assert a.columns == b.columns, fn.__name__
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0, (
+            f"{fn.__name__}: twin diverged "
+            f"({len(ra)} vs {len(rb)} rows)"
+        )
+
+
 def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
     """LM-gated ingest increment: an empty store accepts everything
     (the first drop defines the corpus); afterwards a doc echoing the

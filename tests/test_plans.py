@@ -84,6 +84,37 @@ def test_bigram_lm_skew_robust_twin_plan_shape(spark):
     )
 
 
+def test_per_source_skew_robust_twins_bucket_the_exchange(spark):
+    """Every skew_robust per-source twin must shuffle events on
+    (source, _bkt) — never a bare partitionBy(source) window over the
+    corpus-sized input (fixed source cardinality ⇒ one task per source
+    at 100 TB, and windows cannot be AQE-skew-split). Pin: the plan
+    aggregates/windows on the two-part key and stays JVM-side."""
+    import re
+
+    from msstreamingstack_spark.queries_extensions import (
+        q_pack_blocks_fixed,
+        q_pack_sequences,
+        q_quality_source_calibrated,
+        q_token_budget_quality_sample,
+        q_token_budget_sample,
+    )
+
+    for fn in (
+        q_pack_sequences,
+        q_pack_blocks_fixed,
+        q_token_budget_sample,
+        q_token_budget_quality_sample,
+        q_quality_source_calibrated,
+    ):
+        f = plan_facts(fn(spark, SF, skew_robust=True))
+        assert re.search(
+            r"Keys \[2\]: \[source#\d+, _bkt#\d+L?\]", f.text
+        ) or re.search(
+            r"windowspecdefinition\(source#\d+, _bkt#\d+L?,", f.text
+        ), f"{fn.__name__}: (source,_bkt) keyed pass missing\n" + f.text[:1500]
+
+
 def test_range_join_is_broadcast_not_cartesian(spark):
     f = plan_facts(REGISTRY["range_join_price_bands"].builder(spark, SF))
     assert "BroadcastNestedLoopJoin" in f.text
