@@ -921,7 +921,9 @@ SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= {RESERVOIR_K}
     "window shuffle, so the exact top-k ranks a bounded candidate "
     "set instead of the full table.",
 )
-def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_reservoir(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     from msstreamingstack_spark.functions.text import hash48
@@ -931,6 +933,25 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = d.select("lang", "doc_id", h.alias("h")).filter(
         (F.col("h") % 100) < RESERVOIR_PREFILTER
     )
+    if skew_robust:
+        # the % prefilter trims a constant FRACTION, so a stratum's
+        # candidate set still grows with the corpus and the bare
+        # partitionBy(lang) rank sorts it in one task; the salted twin
+        # bounds the final rank input at p×k rows per stratum — exact
+        # under the (h, doc_id) total order (operators/windows.py).
+        from msstreamingstack_spark.operators.windows import (
+            topk_per_key_salted,
+        )
+
+        ranked = topk_per_key_salted(
+            cand,
+            ("lang",),
+            ("h", "doc_id"),
+            RESERVOIR_K,
+            F.col("doc_id"),
+            out="sample_rank",
+        )
+        return ranked.select("lang", "doc_id", "sample_rank")
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
         cand.withColumn("sample_rank", F.row_number().over(w))
@@ -1787,15 +1808,32 @@ FROM r WHERE rnk <= {TOP_NGRAMS_K}
     "dominant n-grams). Partial-aggregated count then a tiny "
     "per-lang top-k window; ties broken by gram for determinism.",
 )
-def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_top_ngrams_per_lang(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
     g = d.select("lang", F.explode(shingles(F.col("text"))).alias("gram"))
     c = g.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("lang").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
+    order = (F.col("cnt").desc(), F.col("gram").asc())
+    if skew_robust:
+        # the count fold is partial-aggregated (safe), but the rank
+        # window's per-lang partition is the lang's ngram-type
+        # vocabulary — Heaps-law growth with the corpus, one task per
+        # language; the salted twin bounds the final rank at p×k rows
+        # per language (salt from the gram, a deterministic row key).
+        from msstreamingstack_spark.operators.windows import (
+            topk_per_key_salted,
+        )
+
+        ranked = topk_per_key_salted(
+            c, ("lang",), order, TOP_NGRAMS_K, F.xxhash64("gram"), out="_rnk"
+        )
+        return ranked.select(
+            "lang", "gram", "cnt", F.col("_rnk").cast("long").alias("rnk")
+        )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
         c.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_NGRAMS_K)

@@ -503,6 +503,41 @@ def test_per_source_window_skew_robust_twins_bit_identical(
         )
 
 
+def test_topk_salted_twins_bit_identical(spark, sf_correctness):
+    """The four top-K-per-hot-key operators (segment top-3, posting
+    samples per term, reservoir per lang, top ngrams per lang) rank
+    with a window partitioned by a key whose slice grows with the
+    data; each has a skew_robust twin through
+    operators/windows.py::topk_per_key_salted (salted pre-rank →
+    ≤p×k survivors → exact re-rank). Under the queries' total orders
+    the twin must be BIT-identical."""
+    import msstreamingstack_spark.queries  # noqa: F401 — full registry first
+    from msstreamingstack_spark.queries_analytics import (
+        q_inverted_index_sampled,
+    )
+    from msstreamingstack_spark.queries_extensions import (
+        q_sample_reservoir,
+        q_top_ngrams_per_lang,
+    )
+    from msstreamingstack_spark.queries_relational import q_topk_per_segment
+
+    for fn in (
+        q_topk_per_segment,
+        q_inverted_index_sampled,
+        q_sample_reservoir,
+        q_top_ngrams_per_lang,
+    ):
+        a = fn(spark, sf_correctness)
+        b = fn(spark, sf_correctness, skew_robust=True)
+        assert a.columns == b.columns, fn.__name__
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0, (
+            f"{fn.__name__}: twin diverged "
+            f"({len(ra)} vs {len(rb)} rows)"
+        )
+
+
 def test_bigram_lm_increment_gates_junk_and_replays(spark, tmp_path):
     """LM-gated ingest increment: an empty store accepts everything
     (the first drop defines the corpus); afterwards a doc echoing the

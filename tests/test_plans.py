@@ -115,6 +115,35 @@ def test_per_source_skew_robust_twins_bucket_the_exchange(spark):
         ), f"{fn.__name__}: (source,_bkt) keyed pass missing\n" + f.text[:1500]
 
 
+def test_topk_salted_twins_salt_the_heavy_sort(spark):
+    """Each skew_robust top-K twin's heavy rank pass must be
+    partitioned (key, _salt) — the unsalted window may only appear
+    over the ≤p×k survivor set. Pin: a _salt-keyed window spec exists
+    and the plan stays JVM-side."""
+    import re
+
+    from msstreamingstack_spark.queries_analytics import (
+        q_inverted_index_sampled,
+    )
+    from msstreamingstack_spark.queries_extensions import (
+        q_sample_reservoir,
+        q_top_ngrams_per_lang,
+    )
+    from msstreamingstack_spark.queries_relational import q_topk_per_segment
+
+    for fn in (
+        q_topk_per_segment,
+        q_inverted_index_sampled,
+        q_sample_reservoir,
+        q_top_ngrams_per_lang,
+    ):
+        f = plan_facts(fn(spark, SF, skew_robust=True))
+        assert f.python_evals == 0
+        assert re.search(
+            r"windowspecdefinition\([^)]*_salt#\d+L?,", f.text
+        ), f"{fn.__name__}: salted rank pass missing\n" + f.text[:1500]
+
+
 def test_range_join_is_broadcast_not_cartesian(spark):
     f = plan_facts(REGISTRY["range_join_price_bands"].builder(spark, SF))
     assert "BroadcastNestedLoopJoin" in f.text
