@@ -57,15 +57,35 @@ def _perm_sql(i: int, h_sql: str) -> str:
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------------
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    skew_robust: bool = False,
+) -> DataFrame:
     """Canonical id per content-hash group = min doc id; rows flagged
-    as duplicates when not canonical. Window over the digest partition
-    → single shuffle, no join."""
+    as duplicates when not canonical. Default: window over the digest
+    partition → single shuffle, no join. ``skew_robust``: at web-crawl
+    scale a viral page's digest group holds millions of rows, and the
+    window buffers the whole group in one task; the twin computes
+    keep_id through a partial-aggregated groupBy (map-side combine
+    collapses any hot digest to one row per task) and re-attaches it
+    with an AQE-skew-splittable equi-join — same rows, one extra
+    compact-table shuffle."""
     digest = F.md5(F.col(text_col).cast("binary"))
+    hashed = docs.withColumn("content_md5", digest)
+    if skew_robust:
+        keep = hashed.groupBy("content_md5").agg(
+            F.min(id_col).alias("keep_id")
+        )
+        return (
+            hashed.join(keep, "content_md5")
+            .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
+            .select(id_col, "content_md5", "keep_id", "is_dup")
+        )
     w = Window.partitionBy("content_md5")
     return (
-        docs.withColumn("content_md5", digest)
-        .withColumn("keep_id", F.min(id_col).over(w))
+        hashed.withColumn("keep_id", F.min(id_col).over(w))
         .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
         .select(id_col, "content_md5", "keep_id", "is_dup")
     )

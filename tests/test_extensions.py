@@ -13,6 +13,7 @@ from msstreamingstack_spark.extensions.multimodal import (
     synthetic_media,
 )
 from msstreamingstack_spark.operators.dedup import (
+    exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -501,6 +502,16 @@ def test_per_source_window_skew_robust_twins_bit_identical(
             f"{fn.__name__}: twin diverged "
             f"({len(ra)} vs {len(rb)} rows)"
         )
+
+
+def test_exact_dedup_skew_robust_twin_bit_identical(spark, sf_correctness):
+    """exact_dedup's groupBy+join twin (hot-digest-safe: a viral page's
+    content group collapses map-side instead of buffering in one
+    window task) must flag the identical rows."""
+    docs = load_table(spark, sf_correctness, "documents")
+    a = sorted(map(tuple, exact_dedup(docs).collect()))
+    b = sorted(map(tuple, exact_dedup(docs, skew_robust=True).collect()))
+    assert a == b and len(a) > 0
 
 
 def test_topk_salted_twins_bit_identical(spark, sf_correctness):
