@@ -610,10 +610,12 @@ GROUP BY source, chunk_idx
     doc=f"Greedy sequence packing into {PACK_CAPACITY}-token training "
     "chunks: running token total per source shard (deterministic "
     "doc_id order), chunk index = pre-document total div capacity, "
-    "then per-chunk fill stats. One window shuffle on source, "
-    "parallel across shards — never a global single-partition "
-    "cumsum. The per-chunk token sum may overshoot capacity by at "
-    "most one document (greedy semantics, documents not split).",
+    "then per-chunk fill stats. One window shuffle on source at bench "
+    "SF; at corpus scale one source's slice is one task, so the "
+    "skew_robust twin decomposes the cumsum over (source, doc-range "
+    "bucket) — bit-identical, see operators/windows.py. The per-chunk "
+    "token sum may overshoot capacity by at most one document (greedy "
+    "semantics, documents not split).",
 )
 def q_pack_sequences(
     spark: SparkSession, sf_dir: str, skew_robust: bool = False
@@ -918,8 +920,9 @@ SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= {RESERVOIR_K}
     "and incremental loads (a new row only enters the reservoir by "
     "displacing the current max hash). The hash prefilter discards "
     f"~{100 - RESERVOIR_PREFILTER}%% of rows BEFORE the per-stratum "
-    "window shuffle, so the exact top-k ranks a bounded candidate "
-    "set instead of the full table.",
+    "window shuffle — a constant fraction, not a bound, so the "
+    "skew_robust twin additionally salts the rank (topk_per_key_salted"
+    ") to cap the final per-stratum sort at p×k rows.",
 )
 def q_sample_reservoir(
     spark: SparkSession, sf_dir: str, skew_robust: bool = False
@@ -1805,8 +1808,10 @@ FROM r WHERE rnk <= {TOP_NGRAMS_K}
     tags=("extension", "text", "analytics"),
     doc=f"Top-{TOP_NGRAMS_K} word trigrams per language — corpus "
     "inspection surface (boilerplate and template text shows up as "
-    "dominant n-grams). Partial-aggregated count then a tiny "
-    "per-lang top-k window; ties broken by gram for determinism.",
+    "dominant n-grams). Partial-aggregated count, then a per-lang "
+    "top-k window over the ngram-type table (Heaps-law growth — the "
+    "skew_robust twin salts the rank, bit-identical); ties broken by "
+    "gram for determinism.",
 )
 def q_top_ngrams_per_lang(
     spark: SparkSession, sf_dir: str, skew_robust: bool = False
@@ -1882,9 +1887,10 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
     doc=f"Token-budget subsampling: per source, keep the largest docs "
     f"(ties by id) until a {TOKEN_BUDGET_PER_SOURCE}-token budget is "
     "hit — the deterministic form of 'mix K tokens per domain' corpus "
-    "curation. One shuffle (window by source); the running sum stops "
-    "the scan's output early, everything else is per-row. Integer "
-    "sort keys only, so ordering is exact cross-engine.",
+    "curation. One shuffle (window by source) at bench SF; the "
+    "skew_robust twin decomposes the cumsum over (source, length "
+    "band) for corpus scale — bit-identical. Integer sort keys only, "
+    "so ordering is exact cross-engine.",
 )
 def q_token_budget_sample(
     spark: SparkSession, sf_dir: str, skew_robust: bool = False
@@ -3047,11 +3053,13 @@ FROM s
     "different base styles. A raw global threshold would keep almost "
     "everything from the cleanest source and almost nothing from the "
     "noisiest; the calibrated gate keeps the same FRACTION of every "
-    "source. One window shuffle partitioned by source (parallel "
-    "across sources at any scale); percent_rank is pure integer-rank "
-    "arithmetic (rank-1)/(n-1), bit-identical cross-engine; the "
-    "doc_id tiebreak makes the ordering total so ranks are "
-    "deterministic.",
+    "source. One window shuffle partitioned by source — parallel "
+    "ACROSS sources, one task per source WITHIN, so the skew_robust "
+    "twin decomposes the rank over score bands for corpus scale "
+    "(bucketed_percent_rank, bit-identical); percent_rank is pure "
+    "integer-rank arithmetic (rank-1)/(n-1), bit-identical "
+    "cross-engine; the doc_id tiebreak makes the ordering total so "
+    "ranks are deterministic.",
 )
 def q_quality_source_calibrated(
     spark: SparkSession, sf_dir: str, skew_robust: bool = False
