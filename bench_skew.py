@@ -58,6 +58,25 @@ FAMILIES = {
         "running_revenue_bucketed",
     ),
 }
+# Round-7 twins: flag-selected (not separate registry entries), timed
+# on a documents fixture where the hot variant concentrates ~60% of
+# docs into ONE source — the real shape of web corpora, where one
+# crawl dominates the source mix. DOC_HOT_FRAC is deliberately larger
+# than the events HOT_FRAC: "source" is ALREADY low-cardinality, so
+# the interesting regime is one-source dominance, not a mere hot tail.
+DOC_HOT_FRAC = 0.6
+
+
+def _doc_families():
+    from msstreamingstack_spark.queries_extensions import (
+        q_quality_source_calibrated,
+        q_token_budget_sample,
+    )
+
+    return {
+        "token_budget": q_token_budget_sample,
+        "calibrated_quality": q_quality_source_calibrated,
+    }
 
 
 def _link_base(out_dir: str, skip: set[str]) -> None:
@@ -112,13 +131,40 @@ def _scaled_orders(spark, k: int, hot: bool):
     return out
 
 
+def _scaled_documents(spark, k: int, hot: bool):
+    d = load_table(spark, BASE_SF, "documents")
+    parts = []
+    for i in range(k):
+        parts.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if hot:
+        # ~60% of docs collapse into one dominant source — texts and
+        # ids untouched, so scores/token counts keep their natural
+        # spread and only the partition-key histogram changes
+        out = out.withColumn(
+            "source",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 6,
+                F.lit("hot_crawl"),
+            ).otherwise(F.col("source")),
+        )
+    return out
+
+
 def build_fixture(spark, out_dir: str, k: int, hot: bool) -> None:
-    _link_base(out_dir, skip={"events", "orders"})
+    _link_base(out_dir, skip={"events", "orders", "documents"})
     _scaled_events(spark, k, hot).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
     _scaled_orders(spark, k, hot).write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet")
+    )
+    _scaled_documents(spark, k, hot).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
     )
 
 
@@ -159,6 +205,34 @@ def main() -> None:
             res[kind] = {
                 "plain": timed(spark, plain, dirs[kind]),
                 "bucketed": timed(spark, bucketed, dirs[kind]),
+            }
+            print(f"# {fam}/{kind}: {res[kind]}", file=sys.stderr)
+        res["plain_degradation"] = round(
+            res["hotkey"]["plain"] / res["uniform"]["plain"], 2
+        )
+        res["bucketed_degradation"] = round(
+            res["hotkey"]["bucketed"] / res["uniform"]["bucketed"], 2
+        )
+        out[fam] = res
+
+    def timed_fn(fn, sf_dir, robust, repeat=2):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir, skew_robust=robust).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        return round(best, 3)
+
+    for fam, fn in _doc_families().items():
+        res = {}
+        for kind in ("uniform", "hotkey"):
+            res[kind] = {
+                "plain": timed_fn(fn, dirs[kind], False),
+                "bucketed": timed_fn(fn, dirs[kind], True),
             }
             print(f"# {fam}/{kind}: {res[kind]}", file=sys.stderr)
         res["plain_degradation"] = round(
