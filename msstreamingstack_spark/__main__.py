@@ -389,7 +389,22 @@ def _cmd_query(args: argparse.Namespace) -> int:
         return 2
     spark = get_spark(app_name=f"msstreamingstack-query-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
-    df = REGISTRY[args.name].builder(spark, args.sf_dir)
+    builder = REGISTRY[args.name].builder
+    if getattr(args, "skew_robust", False):
+        # flag-selected corpus-scale plan (bit-identical twin; see
+        # operators/windows.py) — only where the builder supports it
+        import inspect
+
+        if "skew_robust" not in inspect.signature(builder).parameters:
+            print(
+                f"{args.name} has no skew_robust twin (its plan is "
+                "already bounded)",
+                file=sys.stderr,
+            )
+            return 2
+        df = builder(spark, args.sf_dir, skew_robust=True)
+    else:
+        df = builder(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
     df.show(args.rows, truncate=False)
@@ -721,6 +736,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--rows", type=int, default=20)
     q.add_argument("--explain", action="store_true")
+    q.add_argument(
+        "--skew-robust",
+        dest="skew_robust",
+        action="store_true",
+        help="run the bounded-partition twin plan (bit-identical "
+        "results; errors if the query has no twin)",
+    )
     q.set_defaults(fn=_cmd_query)
 
     i = sub.add_parser("ingest", help="run the streaming corpus ingester")

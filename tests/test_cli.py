@@ -44,6 +44,23 @@ def test_query_subcommand_runs_and_unknown_rejected(spark, capsys):
     assert rc == 2
 
 
+def test_query_skew_robust_flag(spark, capsys):
+    """--skew-robust selects the bounded-partition twin where one
+    exists and errors (exit 2) where the plan is already bounded."""
+    rc = main([
+        "query", "token_budget_sample",
+        "--sf-dir", "/root/testdata/sf0.001", "--rows", "2",
+        "--skew-robust",
+    ])
+    assert rc == 0
+    rc = main([
+        "query", "tpch_q1",
+        "--sf-dir", "/root/testdata/sf0.001", "--skew-robust",
+    ])
+    assert rc == 2
+    assert "no skew_robust twin" in capsys.readouterr().err
+
+
 def test_ingest_subcommand_end_to_end(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
