@@ -686,7 +686,20 @@ def _cmd_export(args: argparse.Namespace) -> int:
         return 1
     spark = get_spark(app_name="msstreamingstack-export")
     spark.sparkContext.setLogLevel("WARN")
-    df = REGISTRY[args.name].builder(spark, args.sf_dir)
+    builder = REGISTRY[args.name].builder
+    if getattr(args, "skew_robust", False):
+        import inspect
+
+        if "skew_robust" not in inspect.signature(builder).parameters:
+            print(
+                f"{args.name} has no skew_robust twin (its plan is "
+                "already bounded)",
+                file=sys.stderr,
+            )
+            return 1
+        df = builder(spark, args.sf_dir, skew_robust=True)
+    else:
+        df = builder(spark, args.sf_dir)
     if args.format == "parquet":
         df.write.mode("overwrite").parquet(args.out)
         print(f"exported {args.name} -> {args.out} (parquet)")
@@ -931,6 +944,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--out", required=True)
     ex.add_argument(
         "--format", choices=("parquet", "manifest_jsonl"), default="parquet"
+    )
+    ex.add_argument(
+        "--skew-robust",
+        dest="skew_robust",
+        action="store_true",
+        help="publish via the bounded-partition twin plan "
+        "(bit-identical results)",
     )
     ex.set_defaults(fn=_cmd_export)
 

@@ -392,3 +392,26 @@ def test_export_cli_manifest_roundtrip(spark, tmp_path):
     assert rc == 0
     man = _json.load(open(_os.path.join(out, MANIFEST)))
     assert man["n_rows"] > 0 and man["files"]
+
+
+def test_export_cli_skew_robust_twin_parquet(spark, tmp_path):
+    """--skew-robust publishes through the bounded-partition twin and
+    the parquet result matches the default plan's rows exactly."""
+    from msstreamingstack_spark.__main__ import main as cli_main
+
+    a, b = str(tmp_path / "plain"), str(tmp_path / "robust")
+    for out, extra in ((a, []), (b, ["--skew-robust"])):
+        rc = cli_main([
+            "export", "token_budget_sample",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ] + extra)
+        assert rc == 0
+    pa = sorted(map(tuple, spark.read.parquet(a).collect()))
+    pb = sorted(map(tuple, spark.read.parquet(b).collect()))
+    assert pa == pb and len(pa) > 0
+    # no twin -> clear error, nothing written
+    rc = cli_main([
+        "export", "tpch_q1", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(tmp_path / "no"), "--skew-robust",
+    ])
+    assert rc == 1
