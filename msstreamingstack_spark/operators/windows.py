@@ -65,6 +65,41 @@ def bucketed_running_sum(
     )
 
 
+def equidepth_bucket(
+    df: DataFrame,
+    col: str,
+    descending: bool = False,
+    target_rows: int = 100_000,
+    min_q: int = 16,
+    max_q: int = 4096,
+) -> Column:
+    """A monotone equi-depth bucket expression for ``col`` — the
+    bucket function for value-ordered prefix decompositions where
+    FIXED-width bands would not bound a hot band (document lengths and
+    quality scores cluster, so a popular band is corpus-sized).
+
+    Cutpoints come from approxQuantile with Q sized ≈ rows/target, so
+    expected bucket depth stays ~``target_rows`` as the data grows.
+    The bucket is the count of cutpoints strictly below (ASC) or above
+    (DESC) the value — monotone non-decreasing along the order
+    direction, as the prefix decomposition requires. EXACTNESS of the
+    decomposed result does not depend on the cutpoints at all (any
+    monotone bucket function yields bit-identical output; pinned by
+    the twins' parity tests), so the sketch's approximation only
+    shifts bucket boundaries, never values."""
+    n = df.count()
+    q = int(min(max_q, max(min_q, n // max(target_rows, 1))))
+    probs = [i / q for i in range(1, q)]
+    cuts = sorted(set(df.approxQuantile(col, probs, 0.001))) if probs else []
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(col).cast("double")
+    if descending:
+        return F.size(F.filter(arr, lambda c: c > v))
+    return F.size(F.filter(arr, lambda c: c < v))
+
+
 def topk_per_key_salted(
     df: DataFrame,
     key_cols: tuple,

@@ -1759,10 +1759,12 @@ def q_token_budget_quality_sample(
         "doc_id",
     )
     if skew_robust:
-        # score-band bucket: floor(bits×4) is monotone in the leading
-        # order key (bits ASC); see q_pack_sequences for the hazard.
+        # equi-depth score bands (scores cluster around the corpus
+        # mode, so fixed-width bands would not bound a hot band); see
+        # equidepth_bucket for why cutpoints never affect the values.
         from msstreamingstack_spark.operators.windows import (
             bucketed_running_sum,
+            equidepth_bucket,
         )
 
         cum = bucketed_running_sum(
@@ -1770,7 +1772,7 @@ def q_token_budget_quality_sample(
             "source",
             (F.col("bits_per_bigram").asc(), F.col("doc_id")),
             "n_tokens",
-            F.floor(F.col("bits_per_bigram") * 4),
+            equidepth_bucket(t, "bits_per_bigram"),
             out="cum_tokens",
             prec="long",
         )
@@ -1902,12 +1904,14 @@ def q_token_budget_sample(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
     if skew_robust:
-        # prefix decomposition over (source, length-band): the bucket
-        # floor(−n_tokens/64) is a monotone function of the leading
-        # order key (n_tokens DESC), never of the tiebreaker, as
-        # bucketed_running_sum requires; see q_pack_sequences.
+        # prefix decomposition over (source, equi-depth length band):
+        # document lengths CLUSTER, so fixed-width bands would leave a
+        # hot band corpus-sized — quantile cutpoints keep expected
+        # bucket depth constant as the data grows, and exactness never
+        # depends on where the cutpoints fall (see equidepth_bucket).
         from msstreamingstack_spark.operators.windows import (
             bucketed_running_sum,
+            equidepth_bucket,
         )
 
         cum = bucketed_running_sum(
@@ -1915,7 +1919,7 @@ def q_token_budget_sample(
             "source",
             (F.col("n_tokens").desc(), F.col("doc_id")),
             "n_tokens",
-            F.floor(-F.col("n_tokens") / 64),
+            equidepth_bucket(t, "n_tokens", descending=True),
             out="cum_tokens",
             prec="long",
         )
@@ -3080,13 +3084,14 @@ def q_quality_source_calibrated(
         # why bare partitionBy(source) cannot ship at corpus scale.
         from msstreamingstack_spark.operators.windows import (
             bucketed_percent_rank,
+            equidepth_bucket,
         )
 
         ranked = bucketed_percent_rank(
             s,
             "source",
             (F.col("score"), F.col("doc_id")),
-            F.floor(F.col("score") * 64),
+            equidepth_bucket(s, "score"),
             out="_pr",
         )
         pr = F.col("_pr")
