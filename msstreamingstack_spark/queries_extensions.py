@@ -1762,11 +1762,16 @@ def q_token_budget_quality_sample(
         # equi-depth score bands (scores cluster around the corpus
         # mode, so fixed-width bands would not bound a hot band); see
         # equidepth_bucket for why cutpoints never affect the values.
+        # Persist is load-bearing here: the frame embeds the bigram-LM
+        # join, and the cutpoint actions would otherwise re-run it
+        # twice more (measured 3.2x premium without, ~1.6x with).
+        from msstreamingstack_spark.caching import rotating_persist
         from msstreamingstack_spark.operators.windows import (
             bucketed_running_sum,
             equidepth_bucket,
         )
 
+        t = rotating_persist(t, "token_budget_quality.t")
         cum = bucketed_running_sum(
             t,
             "source",
@@ -1909,11 +1914,17 @@ def q_token_budget_sample(
         # hot band corpus-sized — quantile cutpoints keep expected
         # bucket depth constant as the data grows, and exactness never
         # depends on where the cutpoints fall (see equidepth_bucket).
+        # Persist first: the cutpoint derivation is two extra actions
+        # (count + quantile sketch) over this frame — without the slot
+        # the token scan would run three times (measured 3.3x premium,
+        # 1.8x with it).
+        from msstreamingstack_spark.caching import rotating_persist
         from msstreamingstack_spark.operators.windows import (
             bucketed_running_sum,
             equidepth_bucket,
         )
 
+        t = rotating_persist(t, "token_budget_sample.t")
         cum = bucketed_running_sum(
             t,
             "source",
@@ -3082,11 +3093,13 @@ def q_quality_source_calibrated(
         # (operators/windows.py::bucketed_percent_rank) — same integer
         # rank arithmetic, same double bits; see q_pack_sequences for
         # why bare partitionBy(source) cannot ship at corpus scale.
+        from msstreamingstack_spark.caching import rotating_persist
         from msstreamingstack_spark.operators.windows import (
             bucketed_percent_rank,
             equidepth_bucket,
         )
 
+        s = rotating_persist(s, "quality_source_calibrated.s")
         ranked = bucketed_percent_rank(
             s,
             "source",
