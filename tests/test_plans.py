@@ -467,6 +467,12 @@ def test_shuffle_budget_pins(spark):
     plan Exchange OCCURRENCES (each physical exchange appears twice:
     tree + details section). A regression that adds one real shuffle
     raises the count by 2 and fails here with the plan attached."""
+    # the budgets pin the UNCACHED shape: a rotating-persist slot left
+    # by an earlier test whose logical plan matches a subtree here
+    # would print the cached plan's own exchanges into the text and
+    # inflate the count (seen with token_budget_sample.t, whose frame
+    # equals pack_sequences' token fold)
+    spark.catalog.clearCache()
     budget = {
         "sessionize_events": 2,        # 1 real: user key (exchange reuse)
         "tpch_q1": 2,                  # 1 real: group keys after partial agg
@@ -492,6 +498,7 @@ def test_bucketed_window_plan_budgets(spark):
     double-count) and that the tiny summary side joins broadcast, so
     the only event-sized shuffles are the (key, bucket) window and the
     final stitch/session-id stage."""
+    spark.catalog.clearCache()  # pin the uncached shape (see above)
     f = plan_facts(REGISTRY["sessionize_events_bucketed"].builder(spark, SF))
     assert f.shuffles <= 8, f.text[:2000]
     assert f.broadcast_joins >= 1, "summary side must broadcast"
