@@ -251,80 +251,76 @@ from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-7 rotation — debt payment (audit basis: CORRECTNESS_r1-r6
-# union = 136 distinct queries driver-checked, all latest-hash-green;
-# latest-round histogram r6=50, r5=49, r4=37; 36 oracled round-6
-# additions never externally checked). The registry is FROZEN this
-# round (judge mandate): no new oracled queries until the
-# never-checked list fits one window. Composition, in the judge's
-# priority order:
-#   (a) the SEVEN displaced r4-cohort queries (oldest latest-rows —
-#       3 rounds stale if r7 missed them);
-#   (b) ALL 36 never-externally-checked oracled round-6 additions
-#       (LLM-pipeline kernels first, then graph/temporal, analytics,
-#       SQL-front-end parity) — every one locally driver-sim verified
-#       in round 6 AND re-verified this session;
-#   (c) multimodal_features — FIRST hash row: newly fully oracled this
-#       round (integer feature codes '|'-joined; DuckDB hex-pair byte
-#       extraction twin) per the round-6 verdict task #4;
-#   (d) six r4-latest fills chosen to keep every mandatory family slot
-#       (tpch/skew/grouping-sets/layout/similarity/range-join);
-#       zorder_cluster_stats is the only oracled layout query so it
-#       sits in every window, grouping_sets_revenue likewise for
-#       grouping-sets.
+# Round-8 rotation — executes the pre-computed round-8 window budget
+# verbatim (the round-7 verdict's task #1). Audit basis:
+# CORRECTNESS_r1-r7 union = 173 distinct oracled queries driver-
+# checked, all latest-hash-green, never-checked list EMPTY;
+# latest-round histogram entering r8: r7=50, r6=48, r5=49, r4=26.
+# Composition, in the judge's priority order:
+#   (a) ALL 26 r4-latest queries (3 rounds stale if r8 missed them) —
+#       the verdict's What's-wrong #1 list, verbatim order;
+#   (b) the two single-query family slots that sit in EVERY window:
+#       zorder_cluster_stats (only oracled layout query) and
+#       grouping_sets_revenue (only oracled grouping-sets query);
+#   (c) 22 r5-latest fills in registry order — the first 20 of the
+#       49-query r5 cohort, plus multimodal_stats and
+#       salted_agg_user_values pulled forward to keep the mandatory
+#       multimodal and skew family slots (tpch is already covered by
+#       (a)'s q13/q22 and the fills' q3/q5). The two r5 entries they
+#       displace (embedding_quantize_int8, token_budget_sample) join
+#       the 25 remaining r5-latest entries at the head of the r9
+#       window. pipeline_pretrain_corpus sits in the fills, so its
+#       round-8 v2 recomposition gets its driver hash row this round;
+#       dedup_jaccard_dfcapped (the row nearest the 2x perf gate)
+#       stays in the steady-state cohort per the verdict's watch item.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) displaced r4-cohort — mandatory this round
-    "join_semi_customers_with_orders", "running_revenue_per_customer",
-    "cube_orders_status_priority", "rollup_lineitem_flags",
-    "join_anti_customers_no_orders", "device_transitions",
-    "dedup_ngram_jaccard",
-    # (b) never-checked round-6 additions: LLM-pipeline kernels
-    "decontaminate_minhash", "dedup_containment_pairs",
-    "retrieval_bm25_topk", "mine_hard_negatives", "quality_gopher_rules",
-    "quality_source_calibrated", "mix_epochs_budget", "pack_blocks_fixed",
-    "vocab_oov_coverage", "entity_match_blocked", "coreset_kcenter",
-    "sketch_countmin_user_events",
-    # (b) graph/temporal kernels
-    "graph_pagerank_copurchase", "graph_pagerank_personalized",
-    "graph_triangle_count", "merge_upsert_customers",
-    "scd2_merge_device_dim", "pit_device_dim_join",
-    "asof_next_purchase_tolerance", "sessionize_dynamic_gap",
-    "resample_ohlc_hourly",
-    # (b) analytics kernels
-    "ewma_event_values", "anomaly_mad_events", "regr_value_on_propk",
-    "wau_sliding_distinct", "session_paths_topk",
-    "event_transition_matrix", "bootstrap_ci_value_mean",
-    "events_gap_stats", "rfm_segments", "basket_lift_pairs",
-    "events_dow_profile",
-    # (b) SQL-front-end parity shapes
-    "sql_frontend_agg_filter_parity", "sql_frontend_range_frame_parity",
-    "sql_frontend_lateral_topk_parity", "sql_frontend_scripting_parity",
-    # (c) first hash row for the newly-oracled multimodal decode
-    "multimodal_features",
-    # (d) r4-latest fills / family slots
-    "tpch_q9_product_profit", "salted_join_events_customer",
-    "grouping_sets_revenue", "zorder_cluster_stats",
-    "similarity_ann_quantized", "range_join_price_bands",
+    # (a) the 26 r4-latest queries — mandatory this round
+    "asof_last_purchase", "corpus_duplication_rate", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_simhash_pairs", "doc_fingerprints",
+    "embedding_norm_stats", "hash_split_assign", "hypertable_rollup",
+    "interval_join_attribution", "lang_shingle_overlap",
+    "langid_heuristic", "pii_scrub", "pivot_event_type_counts",
+    "repetition_quality", "sample_reservoir_stratified",
+    "session_window_native", "set_ops_customers", "shuffle_shard_assign",
+    "similarity_topk_cosine", "sql_frontend_window_join_parity",
+    "top_ngrams_per_lang", "top_orders_by_price", "tpch_q13_custdist",
+    "tpch_q22_idle_rich_customers", "window_rank_family",
+    # (b) every-window family slots (layout, grouping-sets)
+    "zorder_cluster_stats", "grouping_sets_revenue",
+    # (c) r5-latest fills, registry order
+    "topk_customers_per_segment", "agg_events_stats",
+    "distinct_user_days", "tpch_q3_building", "tpch_q5_regional_revenue",
+    "filter_purchases_high_value", "unpivot_event_counts",
+    "timeseries_gapfill", "events_new_vs_returning", "session_summary",
+    "text_stats", "dedup_minhash_lsh", "similarity_ann_srp",
+    "dedup_jaccard_dfcapped", "pipeline_pretrain_corpus",
+    "decontaminate_eval_overlap", "quality_chartrigram_df",
+    "quality_bigram_lm", "chunk_dup_fraction",
+    "token_budget_quality_sample",
+    # (c) family-slot pulls (multimodal, skew twin)
+    "multimodal_stats", "salted_agg_user_values",
 )
-# ROUND-8 WINDOW BUDGET (arithmetic, do this first next session):
-# after this rotation the never-externally-checked list is EMPTY and
-# the oldest latest-rows are the 25 r4-latest queries left outside
-# this window (3 rounds stale if r8 misses them):
-#   asof_last_purchase, corpus_duplication_rate, dedup_clusters,
-#   dedup_embedding_cosine, dedup_simhash_pairs, doc_fingerprints,
-#   embedding_norm_stats, hash_split_assign, hypertable_rollup,
-#   interval_join_attribution, lang_shingle_overlap, langid_heuristic,
-#   pii_scrub, pivot_event_type_counts, repetition_quality,
-#   sample_reservoir_stratified, session_window_native,
-#   set_ops_customers, shuffle_shard_assign, similarity_topk_cosine,
-#   sql_frontend_window_join_parity, top_ngrams_per_lang,
-#   top_orders_by_price, tpch_q13_custdist, tpch_q22_idle_rich_customers,
-#   window_rank_family.
-# Those are ~26 slots; fill the remaining ~24 from the r5-latest
-# cohort (2 rounds stale by then) in registry order, keeping the
-# family slots (zorder_cluster_stats, grouping_sets_revenue, one
-# tpch, one multimodal, one skew). Debt then fits inside one window
-# and the normal 2-round rotation resumes in r9.
+# ROUND-9 WINDOW BUDGET (arithmetic, do this first next session):
+# after this rotation nothing is >2 rounds stale and the normal
+# 2-round rotation resumes. The oldest latest-rows entering r9 are
+# the 27 r5-latest queries left outside this window:
+#   embedding_quantize_int8, token_budget_sample (displaced by the
+#   r8 family pulls), correlated_max_acctbal, dedup_cluster_canonical,
+#   dedup_embedding_lsh, variant_props_profile, chunk_documents_udtf,
+#   pandas_udaf_value_moments, set_ops_all_lineitem,
+#   tpch_q6_forecast_revenue, tpch_q10_returned_items,
+#   tpch_q14_promo_revenue, tpch_q19_disjunctive, tpch_q7_nation_volume,
+#   tpch_q8_market_share, tpch_q12_priority_by_linestatus,
+#   tpch_q15_top_supplier, tpch_q17_small_qty_revenue,
+#   range_frame_rolling_sum, tpch_q2_min_cost_supplier,
+#   tpch_q11_important_stock, tpch_q16_supplier_cnt,
+#   tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
+#   sql_frontend_q1_parity, sql_frontend_subquery_parity,
+#   sql_frontend_grouping_sets_parity.
+# Those are 27 slots; fill the remaining ~23 from the r6-latest
+# cohort in registry order, keeping the family slots
+# (zorder_cluster_stats, grouping_sets_revenue, one multimodal, one
+# skew twin — tpch is covered by the r5 list above).
 
 
 def _apply_driver_window() -> None:
