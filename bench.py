@@ -118,11 +118,34 @@ def main() -> None:
     STEADY_THRESHOLD_S = 2.0
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    affinity: dict[str, str] = {}
+
+    # Probe affinity: which calibration ratio explains this query's
+    # cross-round drift. Only round 7 onward carries BOTH probes, so a
+    # history correlation is underdetermined (one paired point); the
+    # causal stand-in is the plan itself — a query whose physical plan
+    # carries >=2 Exchange nodes lives on the shuffle write/read path
+    # the shuffle probe exercises, everything else tracks the pure-JVM
+    # CPU probe. Recorded per query so `catalog --audit` normalizes
+    # each row by the right probe instead of by prose. (Formatted
+    # explain prints each node twice — tree + detail — so 2 physical
+    # Exchanges == 4 regex hits; plan_facts counts raw hits.)
+    def _probe_affinity(df) -> str:
+        try:
+            from msstreamingstack_spark.plans.inspect import plan_facts
+
+            return "shuffle" if plan_facts(df).shuffles >= 4 else "cpu"
+        except Exception:
+            return "cpu"  # plan text unavailable: default to CPU probe
+
     for name in names:
         best = float("inf")
         first = None
         reps = max(repeat, 1)
         done = 0
+        # plan-derived, so computed OUTSIDE the timed region (explain
+        # costs planning time that would pollute the cold number)
+        affinity[name] = _probe_affinity(REGISTRY[name].builder(spark, sf_dir))
         while done < reps:
             t0 = time.perf_counter()
             df = REGISTRY[name].builder(spark, sf_dir)
@@ -153,6 +176,7 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "calib_sec": calib,
         "shuffle_calib_sec": shuffle_calib,
+        "probe_affinity": affinity,
     }
     # The driver records only the last 2000 chars of stdout and
     # json-parses from that tail — a single 5 KB line with all 126

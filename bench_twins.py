@@ -68,7 +68,6 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
         return round(best, 3)
 
     out = {}

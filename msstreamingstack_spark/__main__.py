@@ -204,12 +204,18 @@ def _cmd_retain(args: argparse.Namespace) -> int:
     return 0
 
 
-def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
+def _audit_rows(rounds_dir: str) -> tuple[dict, dict, dict]:
     """Scan CORRECTNESS_r*.json / BENCH*.json in ``rounds_dir`` and
     fold them into per-query audit facts: the latest driver round that
-    checked each query (and its verdict) and the latest bench second.
-    Pure-file aggregation — lets a judge audit 100+ queries without
-    recomputing the round-union by hand."""
+    checked each query (and its verdict), the latest bench second, and
+    a calib-normalized delta vs the FIRST recorded second — per-query
+    drift with host-speed drift divided out, using the probe the
+    query's plan is affine to (``probe_affinity`` in the bench
+    payload: shuffle-heavy plans normalize by the shuffle probe,
+    pure-JVM plans by the CPU probe; rounds predating a probe fall
+    back to the CPU probe, then to the raw ratio). Pure-file
+    aggregation — lets a judge audit 100+ queries without recomputing
+    the round-union by hand."""
     import glob
     import json
     import os
@@ -240,32 +246,19 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                 driver[name] = (rnd, verdict)
 
     bench: dict[str, float] = {}
-    # BENCH.json (latest, driver-written) wins; then BENCH_r*.json by
-    # round DESCENDING so each query keeps its newest recorded second —
-    # globbed like the CORRECTNESS side, so future rounds appear
-    # without editing this list.
-    round_files = sorted(
-        glob.glob(os.path.join(rounds_dir, "BENCH_r*.json")),
-        key=lambda p: -(
-            int(m.group(1))
-            if (m := re.search(r"BENCH_r(\d+)", os.path.basename(p)))
-            else -1
-        ),
-    )
-    for path in [os.path.join(rounds_dir, "BENCH.json"), *round_files]:
-        if not os.path.exists(path):
-            continue
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            continue
+    # Per-file parse (payload shape or driver tail wrapper) into
+    # (queries, calib_sec, shuffle_calib_sec, probe_affinity).
+    def _parse_bench(data) -> tuple[dict, float | None, float | None, dict]:
         parsed = data.get("parsed")
+        src = parsed if isinstance(parsed, dict) else data
         rows = (
             data.get("queries")
             or (isinstance(parsed, dict) and parsed.get("queries"))
             or {}
         )
+        calib = src.get("calib_sec") or data.get("calib_sec")
+        shuf = src.get("shuffle_calib_sec") or data.get("shuffle_calib_sec")
+        aff = src.get("probe_affinity") or data.get("probe_affinity") or {}
         if not rows and isinstance(data.get("tail"), str):
             # driver-written BENCH_r*.json wraps the bench stdout as a
             # HEAD-TRUNCATED "tail" string. Preferred recovery: the
@@ -285,6 +278,8 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                     obj.get("queries"), dict
                 ):
                     rows = obj["queries"]
+                    calib = calib or obj.get("calib_sec")
+                    shuf = shuf or obj.get("shuffle_calib_sec")
                     break
             if not rows:
                 qend = tail.find("}")  # head is cut ⇒ first '}' closes
@@ -302,9 +297,57 @@ def _audit_rows(rounds_dir: str) -> tuple[dict, dict]:
                         body,
                     )
                 }
+        return rows, calib, shuf, aff
+
+    # One record per artifact, ascending by round; BENCH.json (the
+    # committed full-registry run) is the CURRENT record.
+    records: list[tuple[dict, float | None, float | None, dict]] = []
+    round_files = sorted(
+        glob.glob(os.path.join(rounds_dir, "BENCH_r*.json")),
+        key=lambda p: (
+            int(m.group(1))
+            if (m := re.search(r"BENCH_r(\d+)", os.path.basename(p)))
+            else -1
+        ),
+    )
+    for path in [*round_files, os.path.join(rounds_dir, "BENCH.json")]:
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        records.append(_parse_bench(data))
+
+    # latest second per query (newest record wins)
+    for rows, _, _, _ in reversed(records):
         for name, sec in rows.items():
             bench.setdefault(name, sec)
-    return driver, bench
+
+    # calib-normalized delta vs the first recorded second
+    norm: dict[str, tuple[str, float]] = {}  # name -> (probe, delta)
+    if records:
+        cur_rows, cur_calib, cur_shuf, cur_aff = records[-1]
+        first: dict[str, tuple[float, float | None, float | None]] = {}
+        for rows, calib, shuf, _ in records[:-1]:
+            for name, sec in rows.items():
+                first.setdefault(name, (sec, calib, shuf))
+        for name, cur_sec in cur_rows.items():
+            if name not in first:
+                continue
+            base_sec, base_calib, base_shuf = first[name]
+            probe = cur_aff.get(name, "cpu")
+            if probe == "shuffle" and base_shuf and cur_shuf:
+                ratio = cur_shuf / base_shuf
+            elif base_calib and cur_calib:
+                probe = "cpu"  # fall back when a probe predates history
+                ratio = cur_calib / base_calib
+            else:
+                probe, ratio = "raw", 1.0
+            if base_sec > 0:
+                norm[name] = (probe, round(cur_sec / base_sec / ratio, 2))
+    return driver, bench, norm
 
 
 def _cmd_catalog(args: argparse.Namespace) -> int:
@@ -315,7 +358,11 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.queries import DRIVER_WINDOW, REGISTRY
 
     audit = getattr(args, "audit", False)
-    driver, bench = _audit_rows(getattr(args, "rounds_dir", ".")) if audit else ({}, {})
+    driver, bench, norm = (
+        _audit_rows(getattr(args, "rounds_dir", "."))
+        if audit
+        else ({}, {}, {})
+    )
 
     lines = [
         "# Query catalog (generated: `python -m msstreamingstack_spark catalog"
@@ -340,8 +387,8 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
             + (", ".join(f"`{n}`" for n in never) if never else "none")
             + ".",
             "",
-            "| query | tags | oracle | in window | last driver round | verdict | bench sec |",
-            "|---|---|---|---|---|---|---|",
+            "| query | tags | oracle | in window | last driver round | verdict | bench sec | norm Δ vs first (probe) |",
+            "|---|---|---|---|---|---|---|---|",
         ]
     else:
         lines += [
@@ -353,12 +400,14 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
         if audit:
             rnd, verdict = driver.get(name, (None, "never"))
             sec = bench.get(name)
+            nd = norm.get(name)
             lines.append(
                 f"| `{name}` | {', '.join(spec.tags)} | "
                 f"{'sql' if spec.oracle else 'rows-only'} | "
                 f"{'yes' if name in window else ''} | "
                 f"{'' if rnd is None else f'r{rnd}'} | {verdict} | "
-                f"{'' if sec is None else f'{sec:.2f}'} |"
+                f"{'' if sec is None else f'{sec:.2f}'} | "
+                f"{'' if nd is None else f'{nd[1]:.2f}x ({nd[0]})'} |"
             )
         else:
             doc = " ".join(spec.doc.split()).replace("|", "\\|")
@@ -379,6 +428,60 @@ def _cmd_catalog(args: argparse.Namespace) -> int:
     return 0
 
 
+def _check_skew_mode(name: str, mode, err_code: int):
+    """Validate a --skew-robust mode BEFORE any SparkSession exists.
+
+    Returns None when the combination is runnable, else the
+    command's error exit code (query uses 2, export uses 1 — each
+    matches its command's convention). Pure introspection: neither
+    check needs a session, so a bad flag exits without the ~10 s JVM
+    spin-up.
+    """
+    import inspect
+
+    from msstreamingstack_spark.operators.skew_dispatch import DISPATCH
+    from msstreamingstack_spark.queries import REGISTRY
+
+    if mode == "auto":
+        if name not in DISPATCH:
+            print(
+                f"{name} has no skew auto-dispatch entry (no probe/"
+                "crossover data); use an explicit --skew-robust on "
+                "where a twin exists",
+                file=sys.stderr,
+            )
+            return err_code
+    elif mode == "on":
+        builder = REGISTRY[name].builder
+        if "skew_robust" not in inspect.signature(builder).parameters:
+            print(
+                f"{name} has no skew_robust twin (its plan is "
+                "already bounded)",
+                file=sys.stderr,
+            )
+            return err_code
+    return None
+
+
+def _build_with_skew_mode(spark, sf_dir: str, name: str, mode):
+    """Build the query's DataFrame under a validated --skew-robust
+    mode (None = default plan, 'on' = forced twin, 'auto' =
+    probe-and-route via operators/skew_dispatch — bit-identical
+    either way; the decision line goes to stderr so piped stdout
+    stays clean)."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    if mode == "auto":
+        from msstreamingstack_spark.operators.skew_dispatch import auto_build
+
+        df, decision = auto_build(spark, sf_dir, name)
+        print(decision.describe(), file=sys.stderr)
+        return df
+    if mode == "on":
+        return REGISTRY[name].builder(spark, sf_dir, skew_robust=True)
+    return REGISTRY[name].builder(spark, sf_dir)
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.queries import REGISTRY
     from msstreamingstack_spark.session import get_spark
@@ -387,24 +490,13 @@ def _cmd_query(args: argparse.Namespace) -> int:
         known = ", ".join(sorted(REGISTRY))
         print(f"unknown query {args.name!r}; known: {known}", file=sys.stderr)
         return 2
+    mode = getattr(args, "skew_robust", None)
+    bad = _check_skew_mode(args.name, mode, err_code=2)
+    if bad is not None:
+        return bad
     spark = get_spark(app_name=f"msstreamingstack-query-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
-    builder = REGISTRY[args.name].builder
-    if getattr(args, "skew_robust", False):
-        # flag-selected corpus-scale plan (bit-identical twin; see
-        # operators/windows.py) — only where the builder supports it
-        import inspect
-
-        if "skew_robust" not in inspect.signature(builder).parameters:
-            print(
-                f"{args.name} has no skew_robust twin (its plan is "
-                "already bounded)",
-                file=sys.stderr,
-            )
-            return 2
-        df = builder(spark, args.sf_dir, skew_robust=True)
-    else:
-        df = builder(spark, args.sf_dir)
+    df = _build_with_skew_mode(spark, args.sf_dir, args.name, mode)
     if args.explain:
         df.explain("formatted")
     df.show(args.rows, truncate=False)
@@ -684,22 +776,13 @@ def _cmd_export(args: argparse.Namespace) -> int:
     if args.name not in REGISTRY:
         print(f"unknown query: {args.name}", file=sys.stderr)
         return 1
+    mode = getattr(args, "skew_robust", None)
+    bad = _check_skew_mode(args.name, mode, err_code=1)
+    if bad is not None:
+        return bad
     spark = get_spark(app_name="msstreamingstack-export")
     spark.sparkContext.setLogLevel("WARN")
-    builder = REGISTRY[args.name].builder
-    if getattr(args, "skew_robust", False):
-        import inspect
-
-        if "skew_robust" not in inspect.signature(builder).parameters:
-            print(
-                f"{args.name} has no skew_robust twin (its plan is "
-                "already bounded)",
-                file=sys.stderr,
-            )
-            return 1
-        df = builder(spark, args.sf_dir, skew_robust=True)
-    else:
-        df = builder(spark, args.sf_dir)
+    df = _build_with_skew_mode(spark, args.sf_dir, args.name, mode)
     if args.format == "parquet":
         df.write.mode("overwrite").parquet(args.out)
         print(f"exported {args.name} -> {args.out} (parquet)")
@@ -752,9 +835,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--skew-robust",
         dest="skew_robust",
-        action="store_true",
+        nargs="?",
+        const="on",
+        choices=("on", "auto"),
+        default=None,
         help="run the bounded-partition twin plan (bit-identical "
-        "results; errors if the query has no twin)",
+        "results; errors if the query has no twin). 'auto' probes "
+        "the top-key share and routes past the measured crossover "
+        "(operators/skew_dispatch.py)",
     )
     q.set_defaults(fn=_cmd_query)
 
@@ -948,9 +1036,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument(
         "--skew-robust",
         dest="skew_robust",
-        action="store_true",
+        nargs="?",
+        const="on",
+        choices=("on", "auto"),
+        default=None,
         help="publish via the bounded-partition twin plan "
-        "(bit-identical results)",
+        "(bit-identical results); 'auto' probes the top-key share "
+        "and routes past the measured crossover",
     )
     ex.set_defaults(fn=_cmd_export)
 

@@ -86,18 +86,53 @@ def equidepth_bucket(
     decomposed result does not depend on the cutpoints at all (any
     monotone bucket function yields bit-identical output; pinned by
     the twins' parity tests), so the sketch's approximation only
-    shifts bucket boundaries, never values."""
+    shifts bucket boundaries, never values.
+
+    Evaluation is a balanced binary-search WHEN-tree over the sorted
+    cutpoints — log2(Q) comparisons per row (12 at max_q=4096), not a
+    Q-wide array scan; the cutpoint literals still live in the plan
+    (they must, short of a side table), but per-row cost no longer
+    grows with Q on exactly the corpus-scale path Q sizing serves.
+
+    NULLs are bucketed to match Spark's window order: ASC ⇒ bucket 0
+    (asc_nulls_first — NULL rows sort before every cutpoint), DESC ⇒
+    the terminal bucket (desc_nulls_last). Callers ordering with
+    explicit NULLS LAST on ASC (or NULLS FIRST on DESC) must not pass
+    NULL-bearing columns here — the bucket would break monotonicity
+    silently."""
     n = df.count()
     q = int(min(max_q, max(min_q, n // max(target_rows, 1))))
     probs = [i / q for i in range(1, q)]
     cuts = sorted(set(df.approxQuantile(col, probs, 0.001))) if probs else []
     if not cuts:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
     v = F.col(col).cast("double")
+
+    def lower_count(lo: int, hi: int) -> Column:
+        # count of cutpoints c with (c < v) — ASC qualifying prefix
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.lit(float(cuts[mid])) < v, lower_count(mid + 1, hi)
+        ).otherwise(lower_count(lo, mid))
+
+    def first_above(lo: int, hi: int) -> Column:
+        # first index with (cuts[i] > v); DESC bucket = len - index
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.lit(float(cuts[mid])) > v, first_above(lo, mid)
+        ).otherwise(first_above(mid + 1, hi))
+
     if descending:
-        return F.size(F.filter(arr, lambda c: c > v))
-    return F.size(F.filter(arr, lambda c: c < v))
+        return F.when(v.isNull(), F.lit(len(cuts))).otherwise(
+            F.lit(len(cuts)) - first_above(0, len(cuts))
+        )
+    return F.when(v.isNull(), F.lit(0)).otherwise(
+        lower_count(0, len(cuts))
+    )
 
 
 def topk_per_key_salted(

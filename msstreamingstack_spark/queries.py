@@ -239,6 +239,7 @@ from msstreamingstack_spark import queries_streaming  # noqa: E402,F401
 from msstreamingstack_spark import queries_advanced  # noqa: E402,F401
 from msstreamingstack_spark import queries_layout  # noqa: E402,F401
 from msstreamingstack_spark import queries_analytics  # noqa: E402,F401
+from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver validates the FIRST 50
@@ -317,8 +318,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 #   sql_frontend_q1_parity, sql_frontend_subquery_parity,
 #   sql_frontend_grouping_sets_parity.
-# Those are 27 slots; fill the remaining ~23 from the r6-latest
-# cohort in registry order, keeping the family slots
+# Those are 27 slots, PLUS pipeline_pretrain_corpus_v2 (registered
+# r8 post-unfreeze, never driver-checked — the round-7 verdict's
+# task #4 wants its driver row); fill the remaining ~22 from the
+# r6-latest cohort in registry order, keeping the family slots
 # (zorder_cluster_stats, grouping_sets_revenue, one multimodal, one
 # skew twin — tpch is covered by the r5 list above).
 

@@ -1816,7 +1816,7 @@ FROM m GROUP BY event_type
     "Replicate means are exact DECIMAL(38,0) cent sums over one "
     f"map-combined shuffle of the {BOOT_REPS}-way fan-out (constant "
     f"factor, independent of data volume — each event carries "
-    f"~{BOOT_REPS}/2 replicate rows); the 2.5/50/97.5 percentiles run "
+    f"~{BOOT_REPS // 2} replicate rows); the 2.5/50/97.5 percentiles run "
     "over just n_types x n_reps numbers. Subsampling (m-out-of-n "
     "without replacement) rather than multinomial resampling: same "
     "estimator family, and membership stays a stateless per-row "

@@ -11,7 +11,9 @@ schema evolvable, RocksDB-backed.
 Status: CONTRACT-VERIFIED, not runtime-verified here. The TWS Python
 runner speaks protobuf to the JVM and google.protobuf cannot be
 installed in this build sandbox, so the wire path has never executed
-in CI — ``tws_available()`` gates it, and the state machine's
+in CI — re-checked round 8 (2026-08-15): ``import google.protobuf``
+still fails and the sandbox forbids package installs, so the gate
+stays honest — ``tws_available()`` gates it, and the state machine's
 semantics are pinned protobuf-free against a fake handle
 (tests/test_streaming.py::test_tws_processor_semantics_without_runner
 and the multi-chunk contract inside

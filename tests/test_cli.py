@@ -61,6 +61,26 @@ def test_query_skew_robust_flag(spark, capsys):
     assert "no skew_robust twin" in capsys.readouterr().err
 
 
+def test_query_skew_robust_auto_mode(spark, capsys):
+    """--skew-robust auto probes the top-key share and routes via the
+    measured crossover (operators/skew_dispatch.py); a query with no
+    dispatch entry errors BEFORE any session work (exit 2)."""
+    rc = main([
+        "query", "topk_customers_per_segment",
+        "--sf-dir", "/root/testdata/sf0.001", "--rows", "2",
+        "--skew-robust", "auto",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "top-key share" in err and "crossover" in err
+    rc = main([
+        "query", "tpch_q1",
+        "--sf-dir", "/root/testdata/sf0.001", "--skew-robust", "auto",
+    ])
+    assert rc == 2
+    assert "no skew auto-dispatch entry" in capsys.readouterr().err
+
+
 def test_ingest_subcommand_end_to_end(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -78,7 +78,11 @@ def test_bigram_lm_skew_robust_twin_plan_shape(spark):
     d = load_table(spark, SF, "documents")
     f = plan_facts(bigram_lm_scores(d, skew_robust=True))
     assert f.python_evals == 0
-    assert len(re.findall(r"\bWindow\b", f.text)) <= 4, f.text[:2000]
+    # formatted explain prints each physical node twice (tree + node
+    # detail section), so two Window NODES == exactly 4 regex hits —
+    # an inequality here would silently tolerate a third window (same
+    # x2 convention test_shuffle_budget_pins uses for Exchange).
+    assert len(re.findall(r"\bWindow\b", f.text)) == 4, f.text[:2000]
     assert re.search(r"Keys \[2\]: \[w1#\d+, w2#\d+\]", f.text), (
         "bigram-type partial aggregate missing:\n" + f.text[:2000]
     )
