@@ -281,6 +281,8 @@ def minhash_cross_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy cross-corpus decontamination: banded-minhash candidates
     restricted to (train, eval) pairs — train docs that share an LSH
@@ -293,9 +295,16 @@ def minhash_cross_pairs(
     never all-pairs — but the join is train×eval instead of a
     self-join, so candidate volume is bounded by the (small) eval
     side's bucket occupancy. ``eval_pred`` is an unbound Column
-    predicate over ``doc_id``."""
-    sh = doc_shingle_hashes(
-        docs, text_col=text_col, id_col=id_col, slot="minhash_cross.sh"
+    predicate over ``doc_id``. ``shingles_df`` lets a composed caller
+    (pipeline_pretrain_corpus_v2) share ONE shingle materialization
+    across the dedup + decontamination stages instead of exploding
+    the text three times — same contract as minhash_lsh_pairs."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else doc_shingle_hashes(
+            docs, text_col=text_col, id_col=id_col, slot="minhash_cross.sh"
+        )
     )
     buckets = _band_buckets(minhash_signatures(sh), id_col)
     train_b = buckets.filter(~eval_pred)
@@ -677,15 +686,22 @@ def eval_overlap_stats(
     frac_threshold: float = DECONTAM_FRAC_T,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-TRAIN-doc overlap with the eval shingle universe.
 
     Output: (doc_id, n_shingles, n_overlap, overlap_frac, contaminated)
     for every doc NOT matching ``eval_pred``; docs too short to shingle
-    get (0, 0, 0.0, 0).
+    get (0, 0, 0.0, 0). ``shingles_df`` shares a caller-owned shingle
+    table (same contract as minhash_lsh_pairs).
     """
-    sh = doc_shingle_hashes(
-        docs, text_col=text_col, id_col=id_col, slot="decontaminate.sh"
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else doc_shingle_hashes(
+            docs, text_col=text_col, id_col=id_col, slot="decontaminate.sh"
+        )
     )
     eval_ids = docs.filter(eval_pred).select(id_col)
     eval_h = (

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from msstreamingstack_spark.queries import REGISTRY, register
 from msstreamingstack_spark.functions.text import token_count, token_count_sql
 from msstreamingstack_spark.operators.dedup import (
+    doc_shingle_hashes,
     eval_overlap_stats,
     eval_overlap_sql,
     minhash_cross_pairs,
@@ -203,8 +204,13 @@ def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .builder(spark, sf_dir)
         .select("doc_id", "quality_decile")
     )
+    # ONE shingle materialization feeds fuzzy dedup AND both
+    # decontamination stages — the per-stage slots would explode the
+    # full text three times per execution (the most expensive subtree
+    # in the family; at 100 TB that's three corpus scans for one).
+    sh = doc_shingle_hashes(docs, slot="pipeline_v2.sh")
     fuzzy_drop = (
-        minhash_lsh_pairs(docs, FUZZY_JACCARD_T)
+        minhash_lsh_pairs(docs, FUZZY_JACCARD_T, shingles_df=sh)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("_fz", F.lit(True))
@@ -217,14 +223,19 @@ def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sem", F.lit(True))
     )
     exact_contam = (
-        eval_overlap_stats(docs, F.col("doc_id") % EVAL_EVERY == 0)
+        eval_overlap_stats(
+            docs, F.col("doc_id") % EVAL_EVERY == 0, shingles_df=sh
+        )
         .filter(F.col("contaminated") == 1)
         .select("doc_id")
         .withColumn("_ce", F.lit(True))
     )
     fuzzy_contam = (
         minhash_cross_pairs(
-            docs, F.col("doc_id") % DECON_MOD == DECON_REM, DECON_JACCARD_T
+            docs,
+            F.col("doc_id") % DECON_MOD == DECON_REM,
+            DECON_JACCARD_T,
+            shingles_df=sh,
         )
         .select(F.col("train_id").alias("doc_id"))
         .distinct()

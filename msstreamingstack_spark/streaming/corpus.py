@@ -151,6 +151,16 @@ def run_corpus_ingest(
     their own partition (idempotent) while a fresh checkpoint gets
     fresh labels and still sees all prior digests.
 
+    Trigger sizing: the near-dup-gated path carries ~16-17 s of FIXED
+    per-micro-batch machinery (store anti-join setup, shingle fold
+    warm-up, commit) at bench scale, so throughput amortizes almost
+    linearly with batch size — 58 → 938 docs/s from 1k to 25k docs
+    per batch, measured in ``bench_ingest_curve.py``
+    (INGEST_CURVE_r8.json). Size ``max_files_per_trigger`` × file
+    size to put AT LEAST ~10k documents in each micro-batch (93% of
+    the machinery amortized at 25k); below ~2.5k docs/batch the
+    pipeline spends most of its wall-clock on overhead.
+
     ``neardup_store_dir`` (optional) adds the NEAR-dup analogue
     (``minhash_increment``): each batch's surviving docs are banded
     against the persisted MinHash-signature store — a lightly-edited

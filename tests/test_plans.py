@@ -173,6 +173,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "similarity_ann_ivf_ml",  # same Arrow probe/assign UDFs
             "corpus_topic_balance",  # pinned_cell_assign (Arrow batch)
             "dedup_semantic",  # pinned_cell_assign (Arrow batch)
+            "pipeline_pretrain_corpus_v2",  # embeds dedup_semantic's assign
             "similarity_ann_quantized",  # Arrow matmul code scan
             "dedup_embedding_lsh",  # SRP bucket UDF (Arrow matmul)
             "chunk_documents_udtf",
@@ -787,3 +788,17 @@ def test_vocab_oov_broadcasts_bounded_vocab(spark):
     assert "TakeOrderedAndProject" in f.text, f.text
     assert f.broadcast_joins >= 1, f.text
     assert "CartesianProduct" not in f.text
+
+
+def test_pipeline_v2_plan_shape(spark):
+    """pipeline_pretrain_corpus_v2 composes six kernels into one plan;
+    pin the composition-level hazards: no CartesianProduct anywhere
+    (the semantic stage's scalar cross joins must stay broadcast), and
+    the mixing-rate join — a handful of per-source rows against the
+    doc-level flag frame — must be broadcast, never a shuffle of the
+    corpus on source (fixed source cardinality = the skew shape)."""
+    f = plan_facts(
+        REGISTRY["pipeline_pretrain_corpus_v2"].builder(spark, SF)
+    )
+    assert "CartesianProduct" not in f.text
+    assert f.broadcast_joins >= 1, f.text[:2000]
