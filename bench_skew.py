@@ -243,6 +243,54 @@ def main() -> None:
         )
         out[fam] = res
 
+    # -----------------------------------------------------------------
+    # Auto-dispatch audit (round 8): run the REAL dispatcher —
+    # operators/skew_dispatch.py's top-1-key-share probe + measured
+    # crossover — against the very fixtures the crossover numbers come
+    # from, and record its decision next to the measured plain/twin
+    # seconds so "the router picks the faster plan" is an artifact, not
+    # a claim. Expected shape: running_revenue flips to the twin on the
+    # hot fixture (share 0.30 ≥ h* 0.221); sessionize deliberately does
+    # NOT (share 0.30 < h* 0.336 — and the measured numbers agree: at
+    # 30% hot, plain is still marginally faster); the source-dominance
+    # families stay plain (h* = inf at this scale) on both fixtures.
+    # -----------------------------------------------------------------
+    import math
+
+    from msstreamingstack_spark.operators.skew_dispatch import (
+        DISPATCH,
+        decide,
+        hot_key_share,
+    )
+
+    DISPATCH_QUERIES = {
+        "sessionize": "sessionize_events",
+        "running_revenue": "running_revenue_per_customer",
+        "token_budget": "token_budget_sample",
+        "calibrated_quality": "quality_source_calibrated",
+    }
+    dispatch: dict = {}
+    for fam, qname in DISPATCH_QUERIES.items():
+        spec = DISPATCH[qname]
+        for kind in ("uniform", "hotkey"):
+            share = hot_key_share(spec.probe(spark, dirs[kind]))
+            dec = decide(qname, share)
+            m = out[fam][kind]
+            chosen = "twin" if dec.use_twin else "plain"
+            best = "twin" if m["bucketed"] < m["plain"] else "plain"
+            dispatch.setdefault(fam, {})[kind] = {
+                "share": round(share, 3),
+                "crossover": None
+                if math.isinf(dec.crossover)
+                else round(dec.crossover, 3),
+                "chosen": chosen,
+                "measured_best": best,
+                "plain_s": m["plain"],
+                "twin_s": m["bucketed"],
+            }
+            print(f"# dispatch {fam}/{kind}: {dispatch[fam][kind]}",
+                  file=sys.stderr)
+
     if not args.keep:
         shutil.rmtree(args.workdir, ignore_errors=True)
     print(
@@ -252,6 +300,7 @@ def main() -> None:
                 "scale": args.scale,
                 "hot_frac": HOT_FRAC,
                 "families": out,
+                "dispatch": dispatch,
             },
             separators=(",", ":"),
         ),
