@@ -702,6 +702,81 @@ def _cmd_fit_pinned(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_plan(args: argparse.Namespace) -> int:
+    """The 100 TB plan checklist as a product command: extract the
+    assertable facts from a registry query's physical plan (pushed
+    filters, read schemas, join strategies, exchange count, Python
+    eval sites, codegen spans) and flag the hazards the plan-pin test
+    suite guards — so 'explain and iterate' does not require reading
+    raw EXPLAIN output or writing a test first."""
+    import json as _json
+
+    from msstreamingstack_spark.plans.inspect import plan_facts
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.session import get_spark
+
+    if args.name not in REGISTRY:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"msstreamingstack-plan-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    f = plan_facts(REGISTRY[args.name].builder(spark, args.sf_dir))
+    warnings = []
+    if "CartesianProduct" in f.text:
+        warnings.append("CartesianProduct in plan — unbounded pair blow-up")
+    if f.python_evals:
+        warnings.append(
+            f"{f.python_evals} Python eval node(s) — verify each is an "
+            "Arrow-batched kernel, not a row-at-a-time hot path"
+        )
+    if f.sortmerge_joins and not f.broadcast_joins:
+        warnings.append(
+            "sort-merge joins with no broadcast anywhere — check the "
+            "small side really is too big to broadcast"
+        )
+    if not f.pushed_filters or all(not p for p in f.pushed_filters):
+        warnings.append(
+            "no pushed filters at the scan (fine for full-scan "
+            "aggregations; a red flag under a selective WHERE)"
+        )
+    payload = {
+        "query": args.name,
+        "pushed_filters": [p for p in f.pushed_filters if p],
+        "read_schemas": f.read_schemas,
+        "broadcast_joins": f.broadcast_joins,
+        "sortmerge_joins": f.sortmerge_joins,
+        "exchange_hits": f.shuffles,
+        "codegen_spans": f.codegen_spans,
+        "python_evals": f.python_evals,
+        "warnings": warnings,
+    }
+    print(_json.dumps(payload, indent=1))
+    if args.full:
+        print(f.text)
+    return 0
+
+
+def _cmd_corpus_build(args: argparse.Namespace) -> int:
+    """Materialize the pretraining corpus the v2 funnel keeps —
+    gates, exact/fuzzy/semantic dedup, decontamination, temperature
+    mixing — with each document's pack_blocks position, to parquet."""
+    from msstreamingstack_spark.queries_pipeline import build_pretrain_corpus
+    from msstreamingstack_spark.session import get_spark
+
+    spark = get_spark(app_name="msstreamingstack-corpus-build")
+    spark.sparkContext.setLogLevel("WARN")
+    df = build_pretrain_corpus(spark, args.sf_dir)
+    (
+        df.repartition(args.partitions, "source")
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite")
+        .parquet(args.out)
+    )
+    n = spark.read.parquet(args.out).count()
+    print(f"corpus-build: {n} kept documents -> {args.out}")
+    return 0
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     from msstreamingstack_spark.session import get_spark
     from msstreamingstack_spark.sql_frontend import run_sql
@@ -1045,6 +1120,29 @@ def main(argv: list[str] | None = None) -> int:
         "and routes past the measured crossover",
     )
     ex.set_defaults(fn=_cmd_export)
+
+    pl = sub.add_parser(
+        "plan",
+        help="extract the 100 TB plan checklist (pushdown, pruning, "
+        "joins, exchanges, Python) for a registry query",
+    )
+    pl.add_argument("name", help="registry query name")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pl.add_argument("--full", action="store_true",
+                    help="also print the raw EXPLAIN FORMATTED text")
+    pl.set_defaults(fn=_cmd_plan)
+
+    cb = sub.add_parser(
+        "corpus-build",
+        help="materialize the pretraining corpus the v2 funnel keeps "
+        "(gates -> dedup -> decontamination -> mixing) with pack "
+        "positions, to parquet",
+    )
+    cb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--partitions", type=int, default=32,
+                    help="output parquet partition count (source-keyed)")
+    cb.set_defaults(fn=_cmd_corpus_build)
 
     ct = sub.add_parser("catalog", help="emit the query catalog as markdown")
     ct.add_argument("--out", default=None, help="write to file instead of stdout")

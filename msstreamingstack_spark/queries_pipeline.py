@@ -190,6 +190,44 @@ GROUP BY source
     "verbatim), so composition and parts cannot desynchronize.",
 )
 def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = pretrain_corpus_doc_flags(spark, sf_dir)
+
+    def cnt_if(c: str, alias: str):
+        return F.count(F.when(F.col(c), 1)).alias(alias)
+
+    kept_tokens = F.coalesce(
+        F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)
+    ).cast("long")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt_if("gate", "n_gate"),
+            cnt_if("exact_pass", "n_exact"),
+            cnt_if("fuzzy_pass", "n_fuzzy"),
+            cnt_if("sem_pass", "n_sem"),
+            cnt_if("clean", "n_clean"),
+            cnt_if("keep", "n_kept"),
+            kept_tokens.alias("kept_tokens"),
+        )
+        .withColumn(
+            "n_blocks",
+            F.expr(
+                f"CAST((kept_tokens + {BLOCK_TOKENS_V2 - 1}) "
+                f"div {BLOCK_TOKENS_V2} AS BIGINT)"
+            ),
+        )
+    )
+
+
+def pretrain_corpus_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 funnel at DOCUMENT granularity: one row per input doc
+    with every stage flag (gate, exact_pass, fuzzy_pass, sem_pass,
+    clean, keep) plus n_tokens and the split bucket. The registry
+    query aggregates this to the per-source report;
+    :func:`build_pretrain_corpus` (the ``corpus-build`` CLI) filters
+    it to the kept set and re-attaches text + block positions — both
+    consumers share one persisted computation of the whole chain."""
     from msstreamingstack_spark.caching import rotating_persist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -325,36 +363,48 @@ def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * budget_docs) div n_clean_src").alias("keep_bp"),
         )
     )
-    kept = st.join(F.broadcast(rates), "source", "left").withColumn(
+    return st.join(F.broadcast(rates), "source", "left").withColumn(
         "keep",
         F.col("clean") & (F.col("bucket") < F.coalesce("keep_bp", F.lit(0))),
     )
 
-    def cnt_if(c: str, alias: str):
-        return F.count(F.when(F.col(c), 1)).alias(alias)
 
-    kept_tokens = F.coalesce(
-        F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)
-    ).cast("long")
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            cnt_if("gate", "n_gate"),
-            cnt_if("exact_pass", "n_exact"),
-            cnt_if("fuzzy_pass", "n_fuzzy"),
-            cnt_if("sem_pass", "n_sem"),
-            cnt_if("clean", "n_clean"),
-            cnt_if("keep", "n_kept"),
-            kept_tokens.alias("kept_tokens"),
-        )
-        .withColumn(
-            "n_blocks",
-            F.expr(
-                f"CAST((kept_tokens + {BLOCK_TOKENS_V2 - 1}) "
-                f"div {BLOCK_TOKENS_V2} AS BIGINT)"
-            ),
-        )
+def build_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the corpus the v2 funnel KEEPS — the deliverable
+    behind the report: (doc_id, source, n_tokens, first_block,
+    block_offset, text), where first_block/block_offset place each
+    document's first token in the pack_blocks_fixed layout
+    (per-source concat in doc_id order, +1 EOD per doc,
+    BLOCK_TOKENS_V2-token blocks). Filtering to the kept set BEFORE
+    the packing window means the cumsum runs over survivors only —
+    the block layout is the training layout, and at 100 TB the
+    window input is already mixing-budget-bounded (~half the clean
+    corpus)."""
+    kept = (
+        pretrain_corpus_doc_flags(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = kept.withColumn(
+        "fin", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("st", F.col("fin") - F.col("n_tokens"))
+    placed = spans.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"st div {BLOCK_TOKENS_V2}").alias("first_block"),
+        F.expr(f"st % {BLOCK_TOKENS_V2}").alias("block_offset"),
+    )
+    text = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return placed.join(text, "doc_id").select(
+        "doc_id", "source", "n_tokens", "first_block", "block_offset", "text"
     )
 
 

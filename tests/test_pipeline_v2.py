@@ -58,10 +58,10 @@ def test_eval_slices_never_kept(spark, sf_smoke):
     import inspect
 
     from msstreamingstack_spark.queries_pipeline import (
-        q_pipeline_pretrain_v2,
+        pretrain_corpus_doc_flags,
     )
 
-    src = inspect.getsource(q_pipeline_pretrain_v2)
+    src = inspect.getsource(pretrain_corpus_doc_flags)
     assert "EVAL_EVERY" in src and "DECON_REM" in src
     assert EVAL_EVERY == 50 and (DECON_MOD, DECON_REM) == (10, 7)
 
@@ -77,3 +77,69 @@ def test_v1_unchanged_and_both_registered():
     o = REGISTRY["pipeline_pretrain_corpus_v2"].oracle
     for part in ("gopher_pass", "is_semdup", "contaminated", "train_id"):
         assert part in o
+
+
+def test_corpus_build_matches_funnel_counts(spark, sf_smoke, tmp_path):
+    """build_pretrain_corpus materializes exactly the docs the funnel
+    counts as kept, with valid pack positions (block_offset within a
+    block; per-source first token at block 0 offset 0)."""
+    from msstreamingstack_spark.queries_pipeline import (
+        build_pretrain_corpus,
+    )
+
+    corpus = build_pretrain_corpus(spark, sf_smoke)
+    rows = corpus.collect()
+    funnel = {
+        r["source"]: r["n_kept"]
+        for r in REGISTRY["pipeline_pretrain_corpus_v2"]
+        .builder(spark, sf_smoke)
+        .collect()
+    }
+    from collections import Counter
+
+    got = Counter(r["source"] for r in rows)
+    assert got == {s: n for s, n in funnel.items() if n > 0}
+    for r in rows:
+        assert 0 <= r["block_offset"] < BLOCK_TOKENS_V2
+        assert r["first_block"] >= 0 and r["n_tokens"] >= 1
+        assert r["text"]  # the deliverable carries the content
+    # per-source earliest doc starts the packing layout
+    first = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        first.setdefault(r["source"], r)
+    for r in first.values():
+        assert (r["first_block"], r["block_offset"]) == (0, 0), r
+
+
+def test_corpus_build_cli(spark, tmp_path, capsys):
+    from msstreamingstack_spark.__main__ import main
+
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus-build", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--partitions", "2",
+    ])
+    assert rc == 0
+    assert "kept documents" in capsys.readouterr().out
+    df = spark.read.parquet(out)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "doc_id", "source", "n_tokens", "first_block", "block_offset",
+        "text",
+    }
+
+
+def test_plan_cli(capsys):
+    from msstreamingstack_spark.__main__ import main
+
+    rc = main(["plan", "tpch_q6_forecast_revenue",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json
+
+    payload = json.loads(out)
+    assert payload["query"] == "tpch_q6_forecast_revenue"
+    assert payload["pushed_filters"], "q6's scan filters must be pushed"
+    assert payload["python_evals"] == 0
+    assert main(["plan", "no_such_query"]) == 2
