@@ -765,7 +765,9 @@ def _cmd_corpus_build(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="msstreamingstack-corpus-build")
     spark.sparkContext.setLogLevel("WARN")
-    df = build_pretrain_corpus(spark, args.sf_dir)
+    df = build_pretrain_corpus(
+        spark, args.sf_dir, skew_robust=bool(args.skew_robust)
+    )
     (
         df.repartition(args.partitions, "source")
         .sortWithinPartitions("source", "doc_id")
@@ -1142,6 +1144,10 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--out", required=True)
     cb.add_argument("--partitions", type=int, default=32,
                     help="output parquet partition count (source-keyed)")
+    cb.add_argument("--skew-robust", dest="skew_robust",
+                    action="store_true",
+                    help="bounded-partition twin plans for the digest "
+                    "dedup and packing windows (bit-identical output)")
     cb.set_defaults(fn=_cmd_corpus_build)
 
     ct = sub.add_parser("catalog", help="emit the query catalog as markdown")

@@ -187,10 +187,15 @@ GROUP BY source
     "n_docs>=n_gate>=n_exact>=n_fuzzy>=n_sem>=n_clean>=n_kept plus "
     "kept_tokens/n_blocks. Every stage reuses the registered "
     "operator's exact expression (the oracle embeds their SQL twins "
-    "verbatim), so composition and parts cannot desynchronize.",
+    "verbatim), so composition and parts cannot desynchronize. "
+    "skew_robust swaps the digest window for a partial-agg + "
+    "AQE-splittable join and the packing cumsum for the (source, "
+    "bucket) decomposition — bit-identical, parity- and plan-pinned.",
 )
-def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = pretrain_corpus_doc_flags(spark, sf_dir)
+def q_pipeline_pretrain_v2(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
+    kept = pretrain_corpus_doc_flags(spark, sf_dir, skew_robust=skew_robust)
 
     def cnt_if(c: str, alias: str):
         return F.count(F.when(F.col(c), 1)).alias(alias)
@@ -220,14 +225,22 @@ def q_pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pretrain_corpus_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pretrain_corpus_doc_flags(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     """The v2 funnel at DOCUMENT granularity: one row per input doc
     with every stage flag (gate, exact_pass, fuzzy_pass, sem_pass,
     clean, keep) plus n_tokens and the split bucket. The registry
     query aggregates this to the per-source report;
     :func:`build_pretrain_corpus` (the ``corpus-build`` CLI) filters
     it to the kept set and re-attaches text + block positions — both
-    consumers share one persisted computation of the whole chain."""
+    consumers share one persisted computation of the whole chain.
+
+    ``skew_robust`` replaces the exact-dedup digest WINDOW with a
+    map-combined groupBy(digest) min + equi-join — bit-identical, and
+    the join is AQE-skew-splittable where a window partitioned by a
+    viral page's digest pins that whole duplicate group to one task
+    (the dedup_exact twin's rationale, operators/dedup.py)."""
     from msstreamingstack_spark.caching import rotating_persist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -302,15 +315,29 @@ def pretrain_corpus_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("quality_decile") <= ENSEMBLE_DECILE_MAX),
         )
     )
-    w_digest = Window.partitionBy("digest")
-    ex = flags0.withColumn(
-        "exact_pass",
-        F.col("gate")
-        & (
-            F.col("doc_id")
-            == F.min(F.when(F.col("gate"), F.col("doc_id"))).over(w_digest)
-        ),
-    )
+    if skew_robust:
+        # the flag frame feeds BOTH sides of the keep-id join; persist
+        # or the gates/ensemble chain runs twice
+        flags0 = rotating_persist(flags0, "pipeline_v2.flags0")
+        keep_ids = flags0.groupBy("digest").agg(
+            F.min(F.when(F.col("gate"), F.col("doc_id"))).alias("_keep_id")
+        )
+        ex = flags0.join(keep_ids, "digest").withColumn(
+            "exact_pass",
+            F.col("gate") & (F.col("doc_id") == F.col("_keep_id")),
+        ).drop("_keep_id")
+    else:
+        w_digest = Window.partitionBy("digest")
+        ex = flags0.withColumn(
+            "exact_pass",
+            F.col("gate")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("gate"), F.col("doc_id"))).over(
+                    w_digest
+                )
+            ),
+        )
     st = (
         ex.join(fuzzy_drop, "doc_id", "left")
         .join(sem_drop, "doc_id", "left")
@@ -369,7 +396,9 @@ def pretrain_corpus_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_pretrain_corpus(
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
+) -> DataFrame:
     """Materialize the corpus the v2 funnel KEEPS — the deliverable
     behind the report: (doc_id, source, n_tokens, first_block,
     block_offset, text), where first_block/block_offset place each
@@ -381,18 +410,37 @@ def build_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     window input is already mixing-budget-bounded (~half the clean
     corpus)."""
     kept = (
-        pretrain_corpus_doc_flags(spark, sf_dir)
+        pretrain_corpus_doc_flags(spark, sf_dir, skew_robust=skew_robust)
         .filter(F.col("keep"))
         .select("doc_id", "source", "n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = kept.withColumn(
-        "fin", F.sum("n_tokens").over(w).cast("long")
-    ).withColumn("st", F.col("fin") - F.col("n_tokens"))
+    if skew_robust:
+        # fixed source cardinality + corpus-sized rows = the window
+        # shape AQE cannot skew-split; the (source, doc-range bucket)
+        # prefix decomposition is bit-identical (long partials re-add
+        # exactly — operators/windows.py, same form as pack_blocks)
+        from msstreamingstack_spark.operators.windows import (
+            bucketed_running_sum,
+        )
+
+        spans = bucketed_running_sum(
+            kept,
+            "source",
+            ("doc_id",),
+            "n_tokens",
+            F.floor(F.col("doc_id") / 4096),
+            out="fin",
+            prec="long",
+        ).withColumn("st", F.col("fin") - F.col("n_tokens"))
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        spans = kept.withColumn(
+            "fin", F.sum("n_tokens").over(w).cast("long")
+        ).withColumn("st", F.col("fin") - F.col("n_tokens"))
     placed = spans.select(
         "doc_id",
         "source",

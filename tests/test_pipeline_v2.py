@@ -143,3 +143,42 @@ def test_plan_cli(capsys):
     assert payload["pushed_filters"], "q6's scan filters must be pushed"
     assert payload["python_evals"] == 0
     assert main(["plan", "no_such_query"]) == 2
+
+
+def test_v2_skew_robust_twin_bit_identical(spark, sf_smoke):
+    """skew_robust replaces the digest window with a partial-agg +
+    AQE-splittable join and the packing cumsum with the (source,
+    bucket) decomposition — both must be BIT-identical to the default
+    plans (exact longs / deterministic min under a unique id)."""
+    from msstreamingstack_spark.queries_pipeline import (
+        build_pretrain_corpus,
+        q_pipeline_pretrain_v2,
+    )
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(q_pipeline_pretrain_v2(spark, sf_smoke)) == rows(
+        q_pipeline_pretrain_v2(spark, sf_smoke, skew_robust=True)
+    )
+    assert rows(build_pretrain_corpus(spark, sf_smoke)) == rows(
+        build_pretrain_corpus(spark, sf_smoke, skew_robust=True)
+    )
+
+
+def test_v2_skew_robust_plan_drops_the_digest_window(spark, sf_smoke):
+    """The twin plan must carry NO window partitioned by the digest
+    (that window pins a viral page's whole duplicate group to one
+    task) and the packing twin must key its passes on (source, _bkt)."""
+    import re
+
+    from msstreamingstack_spark.plans.inspect import plan_facts
+    from msstreamingstack_spark.queries_pipeline import (
+        build_pretrain_corpus,
+        q_pipeline_pretrain_v2,
+    )
+
+    f = plan_facts(q_pipeline_pretrain_v2(spark, sf_smoke, skew_robust=True))
+    assert not re.search(r"windowspecdefinition\(digest#\d+", f.text)
+    fb = plan_facts(build_pretrain_corpus(spark, sf_smoke, skew_robust=True))
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, _bkt#\d+L?,", fb.text
+    ), fb.text[:1500]
