@@ -453,7 +453,10 @@ def _check_skew_mode(name: str, mode, err_code: int):
             return err_code
     elif mode == "on":
         builder = REGISTRY[name].builder
-        if "skew_robust" not in inspect.signature(builder).parameters:
+        d = DISPATCH.get(name)
+        if "skew_robust" not in inspect.signature(builder).parameters and (
+            d is None or d.twin_entry is None
+        ):
             print(
                 f"{name} has no skew_robust twin (its plan is "
                 "already bounded)",
@@ -478,7 +481,16 @@ def _build_with_skew_mode(spark, sf_dir: str, name: str, mode):
         print(decision.describe(), file=sys.stderr)
         return df
     if mode == "on":
-        return REGISTRY[name].builder(spark, sf_dir, skew_robust=True)
+        import inspect
+
+        from msstreamingstack_spark.operators.skew_dispatch import DISPATCH
+
+        builder = REGISTRY[name].builder
+        if "skew_robust" in inspect.signature(builder).parameters:
+            return builder(spark, sf_dir, skew_robust=True)
+        # entry-pair twin (e.g. sessionize_events_bucketed): the
+        # validated mode guarantees a twin_entry exists here
+        return REGISTRY[DISPATCH[name].twin_entry].builder(spark, sf_dir)
     return REGISTRY[name].builder(spark, sf_dir)
 
 

@@ -181,3 +181,25 @@ class TestCliPlumbing:
             is None
         )
         assert _check_skew_mode("token_budget_sample", "on", 2) is None
+
+
+class TestEntryPairTwinViaOn:
+    def test_on_mode_resolves_entry_pair_twins(self, spark, capsys):
+        """--skew-robust on must work for queries whose twin is a
+        SEPARATE registry entry (sessionize_events_bucketed), not only
+        for flag-selected twins."""
+        from msstreamingstack_spark.__main__ import (
+            _build_with_skew_mode,
+            _check_skew_mode,
+        )
+
+        assert _check_skew_mode("sessionize_events", "on", 2) is None
+        df_twin = _build_with_skew_mode(
+            spark, "/root/testdata/sf0.001", "sessionize_events", "on"
+        )
+        df_plain = REGISTRY["sessionize_events"].builder(
+            spark, "/root/testdata/sf0.001"
+        )
+        assert sorted(map(tuple, df_twin.collect())) == sorted(
+            map(tuple, df_plain.collect())
+        )
