@@ -201,3 +201,23 @@ def test_equidepth_bucket_tree_equals_bruteforce(
             assert r["b"] == sum(1 for c in cuts if c > r["x"])
         else:
             assert r["b"] == sum(1 for c in cuts if c < r["x"])
+
+
+def test_equidepth_bucket_large_q_plan_compiles_and_stays_monotone(
+    spark_session_holder,
+):
+    """The corpus-scale sizing path: a ~1000-cutpoint when-tree must
+    plan, codegen (or fall back) and evaluate correctly — the round-8
+    rewrite's O(log Q) claim is only worth having if large Q is
+    actually usable. 60k distinct-ish doubles, q=1024."""
+    from msstreamingstack_spark.operators.windows import equidepth_bucket
+
+    spark = spark_session_holder
+    df = spark.range(60_000).select(
+        (F.col("id") % 9_777 * 1.37).alias("x"), F.col("id").alias("rid")
+    )
+    b = equidepth_bucket(df, "x", target_rows=1, min_q=1024, max_q=1024)
+    got = df.withColumn("b", b).orderBy("x", "rid").select("b").collect()
+    seq = [r["b"] for r in got]
+    assert all(a <= c for a, c in zip(seq, seq[1:]))
+    assert len(set(seq)) > 500  # the tree really discriminates
