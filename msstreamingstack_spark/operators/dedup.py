@@ -768,3 +768,329 @@ LEFT JOIN n_sh ON n_sh.doc_id = d.doc_id
 LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE NOT ({eval_pred_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# Verbatim n-gram decontamination (GPT-3 appendix-C style 13-grams)
+# ---------------------------------------------------------------------------
+# Third decontamination mode next to eval_overlap_stats (aggregate
+# shingle-overlap fraction) and minhash_cross_pairs (paraphrase-level
+# fuzzy match): flag a train document when ANY full n-gram of the
+# held-out set appears verbatim, and report WHERE — which is what lets
+# a pipeline excise the leaked span instead of dropping the document.
+NGRAM13_N = 13
+
+
+def positional_ngram_hashes(
+    docs: DataFrame,
+    n: int = NGRAM13_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, h) — 48-bit hash of EVERY word n-gram with its 1-based
+    start position (NOT distinct, NOT persisted: unlike the shingle
+    table this is single-pass in both consumers, and positions make
+    rows per-doc unique anyway). Docs shorter than ``n`` words yield
+    no rows; callers restore them with a left join. Only (long, long,
+    long) leaves the scan stage — the gram strings never shuffle."""
+    toks = F.split(F.col(text_col), " ")
+
+    def build(t: Column) -> Column:
+        k = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(k >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    from msstreamingstack_spark.functions.text import _bind
+
+    return docs.select(
+        id_col, F.posexplode(_bind(toks, build)).alias("pos0", "gram")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        hash48(F.col("gram")).alias("h"),
+    )
+
+
+def _positional_ngram_cte(doc_rel: str, n: int) -> str:
+    """DuckDB CTE body for positional_ngram_hashes: ``w`` (token
+    lists) and ``g`` (doc_id, pos, h). range(1, len-(n-2)) is empty
+    for short docs, so no length guard is needed."""
+    gram = " || chr(32) || ".join(
+        f"ws[CAST(i AS INTEGER)+{j}]" for j in range(n)
+    )
+    return f"""
+w AS (SELECT doc_id, string_split(text, chr(32)) AS ws FROM {doc_rel}),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         TRY_CAST('0x' || substr(md5({gram}), 1, 12) AS BIGINT) AS h
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {n - 2})) AS i) u
+)"""
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = NGRAM13_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-train-doc verbatim n-gram collision report against the eval
+    side's n-gram universe: (doc_id, n_ngrams, n_hits, first_hit,
+    last_hit, contaminated), all integers, zero defaults for docs too
+    short to carry an n-gram.
+
+    Scale shape: the eval set is tiny next to the corpus (benchmarks
+    vs 100 TB), so its distinct gram hashes BROADCAST; the train side
+    is ONE pass — gram explode (map-local), broadcast left join,
+    per-doc agg — a single shuffle, and only long triples move. The
+    hit positions ride along for free, which is what the span-scrub
+    twin consumes.
+    """
+    ev = (
+        positional_ngram_hashes(
+            docs.filter(eval_pred), n, text_col, id_col
+        )
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(~eval_pred)
+    g = positional_ngram_hashes(train, n, text_col, id_col)
+    hit_pos = F.when(F.col("hit") == 1, F.col("pos"))
+    agg = (
+        g.join(F.broadcast(ev), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("hit").alias("n_hits"),
+            F.coalesce(F.min(hit_pos), F.lit(0).cast("long")).alias(
+                "first_hit"
+            ),
+            F.coalesce(
+                F.max(hit_pos + (n - 1)), F.lit(0).cast("long")
+            ).alias("last_hit"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("first_hit", F.lit(0).cast("long")).alias("first_hit"),
+            F.coalesce("last_hit", F.lit(0).cast("long")).alias("last_hit"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) > 0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def ngram_contamination_sql(
+    eval_pred_sql: str, n: int = NGRAM13_N, doc_rel: str = "documents"
+) -> str:
+    """DuckDB twin of ngram_contamination; ``eval_pred_sql`` is a
+    boolean over the document row (alias ``d`` / bare columns)."""
+    return f"""
+WITH {_positional_ngram_cte(doc_rel, n)},
+ev AS (SELECT DISTINCT h FROM g JOIN {doc_rel} d USING (doc_id)
+       WHERE {eval_pred_sql}),
+tg AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN ev.h IS NOT NULL THEN 1 ELSE NULL END AS hit
+  FROM g LEFT JOIN ev USING (h)
+  JOIN {doc_rel} d USING (doc_id) WHERE NOT ({eval_pred_sql})
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(hit) AS n_hits,
+         COALESCE(MIN(CASE WHEN hit = 1 THEN pos END), 0) AS first_hit,
+         COALESCE(MAX(CASE WHEN hit = 1 THEN pos + {n - 1} END), 0)
+           AS last_hit
+  FROM tg GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(first_hit, 0) AS first_hit,
+       COALESCE(last_hit, 0) AS last_hit,
+       CAST(CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM {doc_rel} d LEFT JOIN agg USING (doc_id)
+WHERE NOT ({eval_pred_sql})
+"""
+
+
+def ngram_span_scrub(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = NGRAM13_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slot: str = "decontam13.hits",
+) -> DataFrame:
+    """Surgical decontamination: excise every eval-colliding n-gram
+    span from the train corpus instead of dropping whole documents
+    (the PaLM/Llama refinement of GPT-3's doc-level removal). Output
+    is the REWRITTEN corpus: (doc_id, n_words, n_spans, n_removed,
+    clean_text) for every train doc — untouched docs pass their text
+    through, fully-covered docs come back empty.
+
+    Overlapping/adjacent hit spans [pos, pos+n-1] are unioned with the
+    classic islands pass (running max-end window, new island when a
+    span starts past prev_max_end+1). Every stage past the hit join
+    runs on the HITS relation, whose size is bounded by the eval
+    side's gram universe — NOT the corpus: the islands window
+    partitions by doc_id with ≤ doc-length rows per partition (no
+    skew hazard at any corpus size), and only the dirty docs — rare
+    by construction — pay the posexplode/rebuild; the clean 99.9%
+    pass through as an anti-join projection. ``hits`` is slot-persisted
+    (tiny) so the span/dirty/rebuild consumers never re-shingle the
+    corpus."""
+    from msstreamingstack_spark.caching import rotating_persist
+
+    train = docs.filter(~eval_pred)
+    ev = (
+        positional_ngram_hashes(
+            docs.filter(eval_pred), n, text_col, id_col
+        )
+        .select("h")
+        .distinct()
+    )
+    g = positional_ngram_hashes(train, n, text_col, id_col)
+    hits = rotating_persist(
+        g.join(F.broadcast(ev), "h").select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + (n - 1)).alias("e"),
+        ),
+        slot,
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        hits.withColumn("pmax", pmax)
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_isl").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    dirty = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+    dirty_docs = train.join(
+        spans.select(id_col).distinct(), id_col, "left_semi"
+    )
+    words = dirty_docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "word")
+    ).select(id_col, (F.col("p0") + 1).cast("long").alias("p"), "word")
+    sp = spans.select(
+        F.col(id_col).alias("__sid"), "s", "e"
+    )
+    kept = words.join(
+        F.broadcast(sp),
+        (words[id_col] == sp["__sid"])
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("__clean")
+    )
+    return (
+        train.select(
+            id_col,
+            F.col(text_col).alias("__text"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+                "n_words"
+            ),
+        )
+        .join(dirty, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias(
+                "n_removed"
+            ),
+            F.when(F.col("n_spans").isNull(), F.col("__text"))
+            .otherwise(F.coalesce("__clean", F.lit("")))
+            .alias("clean_text"),
+        )
+    )
+
+
+def ngram_span_scrub_sql(
+    eval_pred_sql: str, n: int = NGRAM13_N, doc_rel: str = "documents"
+) -> str:
+    """DuckDB twin of ngram_span_scrub (same islands algebra)."""
+    return f"""
+WITH {_positional_ngram_cte(doc_rel, n)},
+ev AS (SELECT DISTINCT h FROM g JOIN {doc_rel} d USING (doc_id)
+       WHERE {eval_pred_sql}),
+iv AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + {n - 1} AS e
+  FROM g JOIN ev USING (h)
+  JOIN {doc_rel} d USING (doc_id) WHERE NOT ({eval_pred_sql})
+),
+m AS (SELECT doc_id, s, e,
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pmax
+      FROM iv),
+isl AS (SELECT doc_id, s, e,
+          SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+            AS island
+        FROM m),
+spans AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+          FROM isl GROUP BY doc_id, island),
+dirty AS (SELECT doc_id, COUNT(*) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+          FROM spans GROUP BY doc_id),
+keepw AS (
+  SELECT w.doc_id, u.p, w.ws[CAST(u.p AS INTEGER)] AS word
+  FROM w JOIN dirty USING (doc_id),
+       LATERAL (SELECT unnest(range(1, len(w.ws) + 1)) AS p) u
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = w.doc_id AND u.p BETWEEN s.s AND s.e)
+),
+rebuilt AS (SELECT doc_id, string_agg(word, chr(32) ORDER BY p)
+              AS clean_text
+            FROM keepw GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(32))) AS BIGINT) AS n_words,
+       COALESCE(dirty.n_spans, 0) AS n_spans,
+       COALESCE(dirty.n_removed, 0) AS n_removed,
+       CASE WHEN dirty.doc_id IS NULL THEN d.text
+            ELSE COALESCE(rebuilt.clean_text, '') END AS clean_text
+FROM {doc_rel} d LEFT JOIN dirty USING (doc_id)
+LEFT JOIN rebuilt USING (doc_id)
+WHERE NOT ({eval_pred_sql})
+"""

@@ -37,8 +37,10 @@ from msstreamingstack_spark.operators.dedup import (
     minhash_cross_sql,
     minhash_lsh_pairs,
     minhash_lsh_sql,
+    ngram_contamination_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
+    ngram_span_scrub_sql,
     simhash_pairs,
     simhash_pairs_sql,
 )
@@ -1059,6 +1061,60 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_cross_pairs(
         d, F.col("doc_id") % DECON_MOD == DECON_REM, DECON_JACCARD_T
     )
+
+
+# Verbatim-span decontamination pair (GPT-3 appendix C / PaLM-style):
+# same held-out slice as decontaminate_minhash so the three methods
+# (exact shingle-overlap fraction, fuzzy minhash, verbatim 13-gram)
+# grade the SAME benchmark split and their flag sets are comparable.
+_DECON13_PRED_SQL = f"doc_id % {DECON_MOD} = {DECON_REM}"
+
+
+@register(
+    "decontaminate_ngram13",
+    ngram_contamination_sql(_DECON13_PRED_SQL),
+    tags=("extension", "pipeline", "decontamination", "ngram"),
+    doc="VERBATIM benchmark decontamination (GPT-3 appendix-C style "
+    "13-gram collision): a train doc is flagged when ANY 13-word "
+    "n-gram of a held-out doc appears verbatim, with first/last hit "
+    "positions reported so the scrub twin can excise the span rather "
+    "than drop the doc. Complements decontaminate_eval_overlap "
+    "(aggregate shingle fraction — misses one long quote inside a "
+    "big doc) and decontaminate_minhash (paraphrase-level — blind to "
+    "positions). ONE train-side pass: positional 13-gram explode "
+    "(map-local, only long triples leave the scan), broadcast left "
+    "join against the eval gram universe (benchmarks are tiny next "
+    "to a 100 TB corpus), one per-doc agg shuffle.",
+)
+def q_decontaminate_ngram13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import ngram_contamination
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return ngram_contamination(d, F.col("doc_id") % DECON_MOD == DECON_REM)
+
+
+@register(
+    "decontaminate_span_scrub",
+    ngram_span_scrub_sql(_DECON13_PRED_SQL),
+    tags=("extension", "pipeline", "decontamination", "ngram", "rewrite"),
+    doc="SURGICAL decontamination — the corpus REWRITE form of "
+    "decontaminate_ngram13: every eval-colliding 13-gram span is "
+    "excised (overlapping/adjacent spans unioned via the islands "
+    "window) and the cleaned text re-emitted for every train doc; "
+    "untouched docs pass through, fully-leaked docs come back empty. "
+    "Past the broadcast hit join everything runs on the HITS "
+    "relation (bounded by the eval gram universe, not the corpus): "
+    "the islands window partitions per doc (≤ doc-length rows — no "
+    "corpus-growth skew), and only the rare dirty docs pay the "
+    "posexplode/rebuild; clean docs are an anti-join projection. "
+    "Output clean_text is exact cross-engine (pure word-array "
+    "algebra, no floats).",
+)
+def q_decontaminate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.dedup import ngram_span_scrub
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return ngram_span_scrub(d, F.col("doc_id") % DECON_MOD == DECON_REM)
 
 
 @register(
