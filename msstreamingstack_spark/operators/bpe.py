@@ -1,0 +1,291 @@
+"""Iterative BPE tokenizer TRAINING on Spark — corpus-weighted
+byte-pair-merge learning (Sennrich et al. 2016) plus the apply path
+that segments the corpus with the learned merges.
+
+This is the missing tokenizer-side operator of a training-data
+pipeline: every mixing/packing/budget operator downstream counts
+tokens, and the tokenizer those counts come from is itself trained on
+the corpus. The reference has no analogue (extension surface like
+SURVEY.md §2.5's aggregates).
+
+Scale shape — the classic trainer decomposition (what HF tokenizers
+does single-node, re-expressed distributed):
+- ONE corpus pass builds the (word, count) vocab table; every
+  subsequent stage runs on the VOCAB, whose cardinality is bounded by
+  the language (~10^6-10^7 distinct words at 100 TB), not the corpus.
+- Each merge round = a vocab-local symbol rewrite (JVM ``aggregate``
+  fold, no UDF) + a tiny (pair -> weighted count) aggregate + a
+  1-row argmax collect (bounded driver traffic: one (l, r, cnt) row
+  per round). ``localCheckpoint`` truncates lineage each round, the
+  dedup_clusters discipline for iterative fixpoints.
+- The apply path joins corpus words to the final vocab segmentation
+  BROADCAST (vocab is bounded), then one per-doc aggregate.
+
+Cross-engine exactness: the leftmost-greedy merge of one round is a
+string fold — with symbols space-joined, "merge" appends ``x``
+without a separator and "no merge" appends ``' ' || x``, guarded by
+``x = R AND (acc = L OR acc ends with ' ' || L)``. Spark
+``F.aggregate`` and DuckDB ``list_reduce`` both evaluate this fold
+left-to-right over the same UTF-8 strings; pair counts and argmax
+tie-breaks (count DESC, then lexicographic l, r — binary collation in
+both engines) are integer/string-exact, so the learned merge tables
+and every downstream rewrite are bit-identical. The fold equals the
+textbook left-to-right scan because a symbol merged THIS round
+(``L||R``) can never equal ``L`` again within the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BPE_ROUNDS = 12
+
+# Dry-round sentinel for the SQL twin: when a round's argmax CTE is
+# empty (no pairs left anywhere), the rewrite must be a no-op. chr(1)
+# can never appear in a corpus symbol, so the merge predicate is
+# unsatisfiable — mirroring the Spark loop's early break exactly.
+_NO_MERGE = "chr(1)"
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+def _char_syms(word: Column) -> Column:
+    """'abc' -> 'a b c' (space-joined single chars; '' stays '')."""
+    return F.when(
+        F.length(word) >= 1,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word count. Overlapping
+    occurrences all count ('a a a' contributes (a,a) twice) — the
+    standard BPE statistic."""
+    sy = F.split(F.col("syms"), " ")
+    pair_arr = F.when(
+        F.size(sy) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(sy) - 1),
+            lambda i: F.struct(
+                F.element_at(sy, i).alias("l"),
+                F.element_at(sy, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        vocab.select("wc", F.explode(pair_arr).alias("p"))
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+
+
+def _merge_fold(left: str, right: str) -> Column:
+    """One round's leftmost-greedy rewrite of the 'syms' column.
+
+    The merge pair is embedded as LITERALS. The measured alternative —
+    shipping (ml, mr) as columns via a broadcast 1-row cross join so
+    codegen compiles one shared class for all rounds — was SLOWER
+    (warm loop 5.8 → 9.8 s at sf0.01): a per-round broadcast exchange
+    + join node costs more than the per-round codegen the literals
+    cause. Keep the literal form."""
+    sy = F.split(F.col("syms"), " ")
+    first = F.element_at(sy, 1)
+    rest = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (x == F.lit(right))
+            & ((acc == F.lit(left)) | acc.endswith(" " + left)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def _word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge-learning loop. Returns (merges, final_vocab):
+    merges = [(round, left, right, merged, pair_count), ...] (may be
+    shorter than ``rounds`` if the vocab runs dry), final_vocab =
+    (word, wc, syms) after all merges applied.
+
+    The per-round ``.limit(1).collect()`` is the bounded-scalar
+    pattern (one 3-field row per round). Each round's vocab is lazily
+    persisted into one of TWO alternating slots: the argmax action
+    materializes the new round's cache as a side effect (no separate
+    checkpoint job — ONE job per round), and rotating slot k releases
+    round k-2, which round k no longer reads (round k's lineage stops
+    at round k-1's cache), so no release ever triggers the
+    recompute-from-r0 cascade a single rotating slot would."""
+    from msstreamingstack_spark.caching import rotating_persist
+
+    vocab = rotating_persist(
+        _word_counts(docs, text_col, id_col).withColumn(
+            "syms", _char_syms(F.col("word"))
+        ),
+        "bpe.round.even",
+    )
+    merges: list[tuple] = []
+    for k in range(1, rounds + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((k, left, right, left + right, cnt))
+        vocab = rotating_persist(
+            vocab.withColumn("syms", _merge_fold(left, right)),
+            "bpe.round.odd" if k % 2 else "bpe.round.even",
+        )
+    return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# Query-shaped outputs
+# ---------------------------------------------------------------------------
+def bpe_learn_merges(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The learned merge table: (round, merge_left, merge_right,
+    merged, pair_count) — ≤ ``rounds`` rows, the distributed result
+    re-shaped through the driver (bounded: one row per round)."""
+    merges, _ = bpe_train(docs, rounds, text_col, id_col)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        schema="round long, merge_left string, merge_right string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_segment_corpus(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned merges to the corpus: (doc_id, n_words,
+    n_bpe_tokens) per document. The segmentation map is vocab-sized →
+    BROADCAST; the corpus pays one explode + one aggregate."""
+    _, vocab = bpe_train(docs, rounds, text_col, id_col)
+    seg = vocab.select(
+        "word", F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_syms")
+    )
+    dw = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (generated: one materialized CTE chain per round)
+# ---------------------------------------------------------------------------
+def _bpe_rounds_cte(doc_rel: str, rounds: int) -> str:
+    """CTE chain: wv (word counts) -> r0 (char syms) -> [pK, mK, rK]
+    per round. Each rK is AS MATERIALIZED — rK is referenced by both
+    p{K+1} and r{K+1}, and without materialization the chain inlines
+    exponentially."""
+    parts = [
+        f"""wv AS MATERIALIZED (
+  SELECT word, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, chr(32))) AS word FROM {doc_rel})
+  GROUP BY word
+),
+r0 AS MATERIALIZED (
+  SELECT word, wc,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                         i -> substr(word, CAST(i AS INTEGER), 1)),
+                         chr(32)) AS syms
+  FROM wv
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"""p{k} AS (
+  SELECT sy[CAST(i AS INTEGER)] AS l, sy[CAST(i AS INTEGER) + 1] AS r,
+         CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc, string_split(syms, chr(32)) AS sy FROM {prev}),
+       LATERAL (SELECT unnest(range(1, len(sy))) AS i) u
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+r{k} AS MATERIALIZED (
+  SELECT word, wc,
+         list_reduce(string_split(syms, chr(32)), (acc, x) ->
+           CASE WHEN x = sc.mr AND (acc = sc.ml
+                                    OR ends_with(acc, chr(32) || sc.ml))
+                THEN acc || x ELSE acc || chr(32) || x END) AS syms
+  FROM {prev}
+  CROSS JOIN (SELECT coalesce((SELECT l FROM m{k}), {_NO_MERGE}) AS ml,
+                     coalesce((SELECT r FROM m{k}), {_NO_MERGE}) AS mr) sc
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_learn_merges_sql(
+    rounds: int = BPE_ROUNDS, doc_rel: str = "documents"
+) -> str:
+    """DuckDB twin of bpe_learn_merges."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, l AS merge_left, "
+        f"r AS merge_right, l || r AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_bpe_rounds_cte(doc_rel, rounds)}
+{rows}
+"""
+
+
+def bpe_segment_corpus_sql(
+    rounds: int = BPE_ROUNDS, doc_rel: str = "documents"
+) -> str:
+    """DuckDB twin of bpe_segment_corpus."""
+    return f"""
+WITH {_bpe_rounds_cte(doc_rel, rounds)},
+seg AS (SELECT word, len(string_split(syms, chr(32))) AS n_syms
+        FROM r{rounds}),
+dw AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS word
+       FROM {doc_rel})
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN seg USING (word)
+GROUP BY doc_id
+"""

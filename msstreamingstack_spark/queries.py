@@ -318,14 +318,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 #   sql_frontend_q1_parity, sql_frontend_subquery_parity,
 #   sql_frontend_grouping_sets_parity.
-# Those are 27 slots, PLUS the three r8 post-unfreeze registrations
+# Those are 27 slots, PLUS the five r8 post-unfreeze registrations
 # that have never been driver-checked: pipeline_pretrain_corpus_v2
 # (the round-7 verdict's task #4 wants its driver row),
-# decontaminate_ngram13 and decontaminate_span_scrub (the verbatim
-# 13-gram decontamination pair added late r8); fill the remaining
-# ~20 from the r6-latest cohort in registry order, keeping the
-# family slots (zorder_cluster_stats, grouping_sets_revenue, one
-# multimodal, one skew twin — tpch is covered by the r5 list above).
+# decontaminate_ngram13 + decontaminate_span_scrub (the verbatim
+# 13-gram decontamination pair) and bpe_learn_merges +
+# bpe_segment_corpus (the tokenizer trainer), all added late r8;
+# fill the remaining ~18 from the r6-latest cohort in registry
+# order, keeping the family slots (zorder_cluster_stats,
+# grouping_sets_revenue, one multimodal, one skew twin — tpch is
+# covered by the r5 list above).
 
 
 def _apply_driver_window() -> None:

@@ -3181,6 +3181,56 @@ def q_quality_source_calibrated(
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (learn merges on the vocab, segment the corpus)
+# ---------------------------------------------------------------------------
+from msstreamingstack_spark.operators.bpe import (  # noqa: E402
+    BPE_ROUNDS,
+    bpe_learn_merges_sql,
+    bpe_segment_corpus_sql,
+)
+
+
+@register(
+    "bpe_learn_merges",
+    bpe_learn_merges_sql(BPE_ROUNDS),
+    tags=("extension", "pipeline", "tokenizer", "iterative"),
+    doc=f"BPE tokenizer TRAINING (Sennrich et al. 2016), {BPE_ROUNDS} "
+    "merge rounds: the learned (round, pair, merged, weighted-count) "
+    "merge table. One corpus pass builds the (word, count) vocab; "
+    "every round after that is VOCAB-sized (bounded by the language, "
+    "~10^6-10^7 words at 100 TB, not the corpus): a JVM aggregate-"
+    "fold rewrite, a tiny pair-count aggregate, and a 1-row argmax "
+    "collect. Leftmost-greedy merge + (count DESC, l, r) tie-break "
+    "make every round bit-exact cross-engine — the oracle replays "
+    "the identical fold through chained materialized CTEs. Steady "
+    f"cost is ~{BPE_ROUNDS + 1} small jobs (per-round scheduling "
+    "floor, the recursive-spine/pagerank family).",
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "bpe_segment_corpus",
+    bpe_segment_corpus_sql(BPE_ROUNDS),
+    tags=("extension", "pipeline", "tokenizer", "iterative"),
+    doc="The APPLY path of bpe_learn_merges: segment every document "
+    "with the learned merges and report true subword token counts "
+    "(doc_id, n_words, n_bpe_tokens) — the honest token accounting "
+    "the mixing/packing/budget family approximates with regex "
+    "tokenization. The segmentation map is vocab-sized -> BROADCAST; "
+    "the corpus pays one explode + one per-doc aggregate on top of "
+    "the training loop.",
+)
+def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.bpe import bpe_segment_corpus
+
+    return bpe_segment_corpus(spread(load_table(spark, sf_dir, "documents")))
+
+
 # queries.py's own bottom imports, the helper isn't defined yet — the
 # getattr no-ops and queries.py's own call applies the window.
 import msstreamingstack_spark.queries as _queries  # noqa: E402
