@@ -544,6 +544,8 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         compact_every=args.compact_every,
         ft_gate=args.ft_gate,
         ft_min_logit=args.ft_min_logit,
+        ngram13_gate=args.ngram13_gate,
+        ngram13_n=args.ngram13_n,
     )
     q.awaitTermination()
     return 0
@@ -968,6 +970,14 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--ft-min-logit", type=float, default=0.0,
                    help="minimum pinned-classifier logit to keep a doc "
                    "(0 = classifier's own decision boundary)")
+    i.add_argument("--ngram13-gate", action="store_true",
+                   help="reject docs sharing ANY verbatim --ngram13-n "
+                   "word n-gram with the eval set as "
+                   "contaminated_verbatim (the long-quote leak the "
+                   "overlap fraction dilutes away)")
+    i.add_argument("--ngram13-n", type=int, default=None,
+                   help="n-gram width for --ngram13-gate (default: the "
+                   "batch kernel's 13)")
     i.add_argument("--compact-every", type=int, default=None,
                    help="fold each store's increment partitions into one "
                    "__base partition every N batches, in-stream (current "

@@ -972,6 +972,12 @@ def ngram_span_scrub(
         ),
         slot,
     )
+    # populate the cache NOW: three downstream branches read hits and
+    # two of them are broadcast subtrees, which Spark builds eagerly
+    # before the main stages — left lazy, each broadcast re-ran the
+    # full train-side gram explode instead of reading the cache
+    # (measured at 16x: scaled run 31.9 s -> 8.6 s for this one line)
+    hits.count()
     w = Window.partitionBy(id_col).orderBy("s")
     pmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = (

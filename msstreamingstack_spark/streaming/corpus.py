@@ -132,6 +132,8 @@ def run_corpus_ingest(
     compact_every: int | None = None,
     ft_gate: bool = False,
     ft_min_logit: float = 0.0,
+    ngram13_gate: bool = False,
+    ngram13_n: int | None = None,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -189,6 +191,16 @@ def run_corpus_ingest(
     cheapest gate after decontamination, so non-target docs never pay
     a store lookup or register state.
 
+    ``ngram13_gate`` (optional) adds the VERBATIM decontamination
+    mode in-stream (the batch ``ngram_contamination`` kernel): docs
+    sharing ANY full ``ngram13_n``-word n-gram with the eval set are
+    rejected as ``contaminated_verbatim`` — the long-quote leak the
+    aggregate overlap fraction dilutes away inside a big doc. Same
+    static-side discipline as the shingle set: the eval gram hashes
+    are computed once, persisted, and broadcast into every batch's
+    semi-join; per batch the cost is one map-local gram explode over
+    the surviving docs.
+
     ``compact_every`` (optional) folds each store's accumulated
     increment partitions into one ``__base_<n>`` partition every N
     batches, IN-STREAM: the current batch's label is excluded from the
@@ -204,6 +216,21 @@ def run_corpus_ingest(
         .persist()
     )
     eval_h.count()  # materialize before the stream starts
+    ev13 = None
+    if ngram13_gate:
+        from msstreamingstack_spark.operators.dedup import (
+            NGRAM13_N,
+            positional_ngram_hashes,
+        )
+
+        ngram13_n = ngram13_n or NGRAM13_N
+        ev13 = (
+            positional_ngram_hashes(eval_docs, n=ngram13_n)
+            .select("h")
+            .distinct()
+            .persist()
+        )
+        ev13.count()
 
     gated = quality_gate(
         read_document_stream(spark, source_path, max_files_per_trigger, fmt=fmt)
@@ -286,6 +313,25 @@ def run_corpus_ingest(
             contaminated = scored.filter(
                 F.col("overlap_frac") >= frac_threshold
             ).select(*cols, F.lit("contaminated").alias("reject_reason"))
+            verbatim_rejects = None
+            if ev13 is not None:
+                from msstreamingstack_spark.operators.dedup import (
+                    positional_ngram_hashes,
+                )
+
+                dirty13 = (
+                    positional_ngram_hashes(accepted, n=ngram13_n)
+                    .join(F.broadcast(ev13), "h")
+                    .select("doc_id")
+                    .distinct()
+                )
+                verbatim_rejects = accepted.join(
+                    dirty13, "doc_id", "left_semi"
+                ).select(
+                    *cols,
+                    F.lit("contaminated_verbatim").alias("reject_reason"),
+                )
+                accepted = accepted.join(dirty13, "doc_id", "left_anti")
             ft_rejects = None
             if ft_gate:
                 from msstreamingstack_spark.operators.textclf import (
@@ -359,6 +405,8 @@ def run_corpus_ingest(
                 os.path.join(accept_dir, f"batch_id={batch_id}")
             )
             rejects = bad.select(*cols, "reject_reason").unionByName(contaminated)
+            if verbatim_rejects is not None:
+                rejects = rejects.unionByName(verbatim_rejects)
             if ft_rejects is not None:
                 rejects = rejects.unionByName(ft_rejects)
             if store_dups is not None:

@@ -650,3 +650,82 @@ def test_ft_gate_rejects_nontarget_and_matches_batch_scores(spark, tmp_path):
     stateless = {i for i, why in rej.items() if why != "nontarget_lang_ft"}
     assert acc == expected_keep - stateless
     assert gate_rejects == {r["doc_id"] for r in docs} - expected_keep - stateless
+
+
+def test_ngram13_gate_catches_verbatim_quote(spark, tmp_path):
+    """A 5-word verbatim quote inside an otherwise-novel doc slips the
+    aggregate shingle-overlap gate (frac ~0.11 < 0.30) but must be
+    rejected by the in-stream verbatim n-gram gate."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    quote = "zebra yak xylophone walrus vulture"
+    host = (
+        "one two three four five six seven eight nine ten "
+        + quote
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_drop(
+        d / "b0.parquet", [(1, NORMAL_A), (2, host)], 1_700_000_000
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    reject_dir = str(tmp_path / "reject")
+    q = run_corpus_ingest(
+        spark,
+        str(d),
+        eval_docs,
+        accept_dir,
+        reject_dir,
+        checkpoint_dir=str(tmp_path / "cp"),
+        ngram13_gate=True,
+        ngram13_n=5,
+    )
+    q.awaitTermination(120)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
+    rejected = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(reject_dir).collect()
+    }
+    assert accepted == {1}
+    assert rejected == {2: "contaminated_verbatim"}
+
+
+def test_ngram13_gate_off_passes_the_same_quote(spark, tmp_path):
+    """Control for the verbatim-gate test: without the gate the same
+    quoted doc is ACCEPTED (the aggregate frac gate alone misses it),
+    which is exactly the leak the gate exists to close."""
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    quote = "zebra yak xylophone walrus vulture"
+    host = (
+        "one two three four five six seven eight nine ten "
+        + quote
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_drop(
+        d / "b0.parquet", [(2, host)], 1_700_000_000
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    q = run_corpus_ingest(
+        spark,
+        str(d),
+        eval_docs,
+        accept_dir,
+        str(tmp_path / "reject"),
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.awaitTermination(120)
+    accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
+    assert accepted == {2}
