@@ -753,6 +753,15 @@ def _cmd_plan(args: argparse.Namespace) -> int:
             "no pushed filters at the scan (fine for full-scan "
             "aggregations; a red flag under a selective WHERE)"
         )
+    if f.in_memory_scans >= 2 and f.broadcast_exchanges >= 2:
+        warnings.append(
+            "a cached relation is read multiple times in a plan with "
+            "multiple broadcasts — broadcast subtrees build eagerly "
+            "and RACE an unpopulated cache, each recomputing its "
+            "lineage; eagerly count() the persisted frame before "
+            "forking it under broadcasts (the span-scrub 16x lesson, "
+            "plans/notes.md round 8)"
+        )
     payload = {
         "query": args.name,
         "pushed_filters": [p for p in f.pushed_filters if p],
@@ -762,6 +771,8 @@ def _cmd_plan(args: argparse.Namespace) -> int:
         "exchange_hits": f.shuffles,
         "codegen_spans": f.codegen_spans,
         "python_evals": f.python_evals,
+        "in_memory_scans": f.in_memory_scans,
+        "broadcast_exchanges": f.broadcast_exchanges,
         "warnings": warnings,
     }
     print(_json.dumps(payload, indent=1))

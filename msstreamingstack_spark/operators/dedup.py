@@ -108,6 +108,7 @@ def doc_shingle_hashes(
     id_col: str = "doc_id",
     persist: bool = True,
     slot: str | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """(doc_id, h) — 48-bit shingle hashes, unique per doc WITHOUT a
     distinct shuffle: ``shingles()`` already applies ``array_distinct``
@@ -142,7 +143,19 @@ def doc_shingle_hashes(
     if slot is not None:
         from msstreamingstack_spark.caching import rotating_persist
 
-        return rotating_persist(sh, slot)
+        sh = rotating_persist(sh, slot)
+        if eager:
+            # populate the cache before the caller forks it under
+            # broadcast subtrees: broadcasts build eagerly and RACE an
+            # unpopulated cache, each recomputing the shingle explode
+            # from lineage (plans/notes.md round 8). Opt-in per call
+            # site — the extra action costs ~0.2 s, so only sites with
+            # a MEASURED duplication win pass eager=True
+            # (minhash_lsh 6.6->3.4 s, dfcapped 9.0->6.3 s at sf0.1;
+            # ngram_jaccard and decontaminate_minhash measured -4/-6%
+            # and stay lazy).
+            sh.count()
+        return sh
     return sh.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -384,7 +397,12 @@ def minhash_lsh_pairs(
         shingles_df
         if shingles_df is not None
         else doc_shingle_hashes(
-            docs, text_col=text_col, id_col=id_col, slot="minhash.sh"
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            slot="minhash.sh",
+            eager=True,  # 6.6 -> 3.4 s at sf0.1: the signature and
+            # sizes subtrees otherwise re-shingled under broadcasts
         )
     )
     buckets = _band_buckets(minhash_signatures(sh))
@@ -599,7 +617,10 @@ def dfcapped_shingle_hashes(
     and the filter-join are both partitioned on ``h``, the same key
     the pair join shuffles on, so AQE reuses the exchange.
     """
-    sh = doc_shingle_hashes(docs, slot="dfcapped_jaccard.sh")
+    sh = doc_shingle_hashes(docs, slot="dfcapped_jaccard.sh", eager=True)
+    # eager=True measured 9.0 -> 6.3 s at sf0.1: the df-count and
+    # join-back subtrees otherwise re-ran the shingle explode when
+    # AQE broadcast the sizes joins before the cache populated
     keep = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))

@@ -36,6 +36,19 @@ class PlanFacts:
     shuffles: int
     codegen_spans: int
     python_evals: int
+    in_memory_scans: int
+    broadcast_exchanges: int
+    shuffle_stages: int
+
+    @property
+    def live_shuffles(self) -> int:
+        """Exchange occurrences minus already-materialized query
+        stages: a POPULATED cached subtree prints its finalized
+        ShuffleQueryStage nodes, each accompanied by an Exchange
+        line that will never re-execute — raw Exchange counts jump
+        when an upstream persist turns eager while the executed
+        shuffle work is unchanged. Budget pins should bound THIS."""
+        return self.shuffles - self.shuffle_stages
 
     def pushes_filter(self, fragment: str) -> bool:
         return any(fragment in pf for pf in self.pushed_filters)
@@ -55,6 +68,9 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         shuffles=len(re.findall(r"\bExchange\b|\bShuffleExchange", text)),
         codegen_spans=len(set(re.findall(r"\[codegen id : (\d+)\]", text))),
         python_evals=len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", text)),
+        in_memory_scans=len(re.findall(r"InMemoryTableScan|Scan In-memory", text)),
+        broadcast_exchanges=len(re.findall(r"BroadcastExchange", text)),
+        shuffle_stages=len(re.findall(r"ShuffleQueryStage", text)),
     )
 
 

@@ -2834,6 +2834,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dedup_semantic.assigned",
     )
+    # populate before the self-join sides fork off the cache — one of
+    # them broadcasts at small SF and would recompute the cell/SRP
+    # assignment from lineage (A/B +11% at sf0.1; round-8
+    # broadcast-race lesson, plans/notes.md)
+    assigned.count()
     earlier = assigned.select(
         F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell", "sub"
     )

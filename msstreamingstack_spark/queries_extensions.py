@@ -1167,6 +1167,11 @@ def q_quality_chartrigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # invocations hold ONE cache entry, not one per call
         "quality_chartrigram_df.tri_c",
     )
+    # populate before freq forks under a broadcast: the broadcast
+    # subtree builds eagerly and would re-run the trigram explode
+    # against the unpopulated cache (A/B +13% at sf0.1; the round-8
+    # span-scrub lesson, plans/notes.md)
+    tri_c.count()
     freq = tri_c.groupBy("t").agg(F.sum("c").alias("cnt"))
     return (
         tri_c.join(F.broadcast(freq), "t")
@@ -1296,6 +1301,9 @@ def bigram_lm_scores(d: DataFrame, skew_robust: bool = False) -> DataFrame:
     # (and token_budget_quality_sample, which calls through here)
     # replace the cache instead of stacking entries
     dbc = rotating_persist(doc_bigram_counts(d), "bigram_lm_scores.dbc")
+    # populate before the broadcast freq-table subtrees fork off the
+    # cache (A/B +10% at sf0.1; round-8 broadcast-race lesson)
+    dbc.count()
     # LM count tables as WINDOW passes instead of re-joining dbc on
     # three different keys (the round-6 plan: 3 aggregate shuffles + 3
     # join shuffles of the bigram fan-out — measured 4.4-8.3 s at
@@ -2511,6 +2519,9 @@ def q_sketch_countmin_user_events(
         ),
         "sketch_countmin.ev",
     )
+    # populate before the per-row sketch subtrees fork off the cache
+    # (A/B +9% at sf0.1; round-8 broadcast-race lesson)
+    ev.count()
 
     def row_bucket(col, d):
         return bucket_hash(F.concat(F.lit(f"r{d}:"), col), CMS_WIDTH)
@@ -2946,7 +2957,10 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
     )
     corpus = d.unionByName(exc)
-    sh = doc_shingle_hashes(corpus, slot="containment.sh")
+    sh = doc_shingle_hashes(corpus, slot="containment.sh", eager=True)
+    # eager: A/B +15% at sf0.1 — the banded-candidate and asymmetric-
+    # containment subtrees otherwise re-shingled under broadcasts
+    # (round-8 broadcast-race lesson)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.select(F.col("doc_id").alias("d1"), "h")

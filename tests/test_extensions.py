@@ -1380,6 +1380,12 @@ def test_registry_metadata_consistency(spark):
             ))
             # every base-table reference must be a fixture table or a
             # CTE defined inside the oracle itself
-            ctes = set(_re.findall(r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", spec.oracle))
+            # AS ( | AS MATERIALIZED ( — the BPE oracles pin their
+            # round CTEs materialized (exponential-inlining guard)
+            ctes = set(_re.findall(
+                r"([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*"
+                r"(?:MATERIALIZED\s*)?\(",
+                spec.oracle,
+            ))
             unknown = refs - tables - ctes
             assert not unknown, (name, unknown)

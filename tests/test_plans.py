@@ -54,11 +54,16 @@ def test_bigram_lm_is_window_passes_not_rejoins(spark):
     (the round-6 plan: 3 agg + 3 join shuffles, 4.4-8.3 s at sf0.1 and
     the ensemble's variance source; the window plan measured 2.2 s
     flat). Pin: no sort-merge join, no Python, and the Exchange count
-    stays at the window-plan level."""
+    stays at the window-plan level. live_shuffles, not raw Exchange
+    hits: the round-8 eager dbc populate makes the cached subtree
+    print its finalized ShuffleQueryStage nodes (6 extra Exchange
+    lines that never re-execute)."""
     f = plan_facts(REGISTRY["quality_bigram_lm"].builder(spark, SF))
     assert f.sortmerge_joins == 0, f.text
     assert f.python_evals == 0
-    assert f.shuffles <= 14, f"exchange count regressed: {f.shuffles}"
+    assert f.live_shuffles <= 14, (
+        f"exchange count regressed: {f.shuffles} - {f.shuffle_stages} stages"
+    )
 
 
 def test_bigram_lm_skew_robust_twin_plan_shape(spark):
