@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from msstreamingstack_spark.extensions.multimodal import extract_features
+from msstreamingstack_spark.functions.text import hash48_sql
 from msstreamingstack_spark.operators.asof import asof_join
 from msstreamingstack_spark.operators.similarity import (
     embedding_neardup_pairs,
@@ -255,6 +256,104 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+# Deterministic cross-engine HLL: m=64 registers, p=6, md5-derived
+# 48-bit hash (the hash48 primitive), rho = leading zeros of the
+# 42-bit suffix + 1 (<= 43). Sum of 2^-M_j is a sum of dyadic
+# rationals with granularity >= 2^-43 and magnitude <= 64 — every
+# partial sum fits 49 mantissa bits, so DOUBLE addition is exact and
+# ORDER-FREE in both engines, making the whole estimate (one final
+# multiply/divide on identical operands) bit-identical without any
+# decimal detour. alpha_64 = 0.709 (Flajolet et al. 2007).
+_HLL_M, _HLL_RHO_MAX, _HLL_ALPHA = 64, 43, 0.709
+
+
+@register(
+    "approx_distinct_users_hll_oracled",
+    f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {hash48_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, hv & 63 AS reg,
+         {_HLL_RHO_MAX} - CASE WHEN (hv >> 6) = 0 THEN 0
+                               ELSE length(bin(hv >> 6)) END AS rho
+  FROM h
+),
+m AS (SELECT event_type, reg, MAX(rho) AS mr FROM b GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_regs_hit,
+         SUM(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS sp
+  FROM m GROUP BY 1
+),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       FROM events GROUP BY 1)
+SELECT agg.event_type,
+       CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+       CAST({_HLL_M} - n_regs_hit AS BIGINT) AS n_zero_regs,
+       sp + ({_HLL_M} - n_regs_hit) AS sum_pow,
+       ({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0) / (sp + ({_HLL_M} - n_regs_hit))
+         AS hll_estimate,
+       exact_users
+FROM agg JOIN ex USING (event_type)
+""",
+    tags=("advanced", "approx", "sketch", "agg"),
+    doc="The ORACLED twin of approx_distinct_users: a deterministic "
+    "64-register HLL built from the shared md5 hash48 primitive, so "
+    "register states AND the raw estimate hash-match DuckDB exactly "
+    "— proof that sketch pipelines can be cross-engine verifiable "
+    "when the hash and the float algebra are pinned (the native "
+    "approx_count_distinct row stays rows-only by design: its HLL++ "
+    "internals are engine-specific). Exact distinct rides along for "
+    "visible error. Mergeable: (event_type, reg) -> max(rho) partials "
+    "combine map-side and across shards/micro-batches, the same "
+    "shape Spark's own sketch uses at 100 TB. No small-range "
+    "correction (ln() is not bit-portable across engines) — "
+    "consumers apply it to the integer register counts this emits.",
+)
+def q_approx_distinct_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+
+    ev = events_with_time(spark, sf_dir)
+    h = hash48(F.col("user_id").cast("string"))
+    w = F.shiftright(h, 6)
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    b = ev.select(
+        "event_type",
+        h.bitwiseAND(F.lit(63)).alias("reg"),
+        (F.lit(_HLL_RHO_MAX) - bitlen).alias("rho"),
+    )
+    m = b.groupBy("event_type", "reg").agg(F.max("rho").alias("mr"))
+    agg = m.groupBy("event_type").agg(
+        F.count("*").alias("n_regs_hit"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(mr AS INT))")
+        ).alias("sp"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    sum_pow = F.col("sp") + (F.lit(_HLL_M) - F.col("n_regs_hit"))
+    return (
+        agg.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.col("n_regs_hit").cast("long").alias("n_regs_hit"),
+            (F.lit(_HLL_M) - F.col("n_regs_hit")).cast("long").alias(
+                "n_zero_regs"
+            ),
+            sum_pow.alias("sum_pow"),
+            (F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_pow).alias(
+                "hll_estimate"
+            ),
+            "exact_users",
+        )
     )
 
 

@@ -141,3 +141,23 @@ def test_wau_hll_twin_tracks_exact_within_bound(spark):
         assert set(est) == set(exact), sf
         for day, n in exact.items():
             assert abs(est[day] - n) <= tol * n, (sf, day, est[day], n)
+
+
+def test_hll_oracled_estimate_within_error_bound(spark, sf_correctness):
+    """The deterministic 64-register HLL's raw estimate stays within
+    3 standard errors (3 * 1.04/sqrt(64) ~ 39%) of the exact distinct
+    count for every event_type — the Flajolet bound the m=64 sketch
+    promises; the cross-engine bit-identity itself is the driver
+    oracle's job."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["approx_distinct_users_hll_oracled"]
+        .builder(spark, sf_correctness)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        err = abs(r["hll_estimate"] - r["exact_users"]) / r["exact_users"]
+        assert err <= 3 * 1.04 / (64 ** 0.5), (r["event_type"], err)
+        assert r["n_regs_hit"] + r["n_zero_regs"] == 64
