@@ -702,6 +702,14 @@ def _cmd_fit_pinned(args: argparse.Namespace) -> int:
             buckets=args.buckets,
             meta={"fit_sf": args.sf_dir, "task": "en-vs-rest"},
         )
+    elif args.model == "bpe":
+        from msstreamingstack_spark.operators.bpe import fit_bpe_pinned
+
+        pin = fit_bpe_pinned(
+            load_table(spark, args.sf_dir, "documents"),
+            rounds=args.rounds,
+            meta={"fit_sf": args.sf_dir},
+        )
     else:
         from msstreamingstack_spark.operators.pca import fit_pca_pinned
 
@@ -1068,13 +1076,15 @@ def main(argv: list[str] | None = None) -> int:
 
     fp = sub.add_parser(
         "fit-pinned",
-        help="refit a pinned serving model (textclf/pca) and write its JSON",
+        help="refit a pinned serving model (textclf/pca/bpe) and write "
+        "its JSON",
     )
-    fp.add_argument("model", choices=("textclf", "pca"))
+    fp.add_argument("model", choices=("textclf", "pca", "bpe"))
     fp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     fp.add_argument("--out", required=True)
     fp.add_argument("--buckets", type=int, default=1024, help="textclf buckets")
     fp.add_argument("--q", type=int, default=4, help="pca components")
+    fp.add_argument("--rounds", type=int, default=12, help="bpe merge rounds")
     fp.set_defaults(fn=_cmd_fit_pinned)
 
     sq = sub.add_parser("sql", help="run ad-hoc SQL over the fixture tables")

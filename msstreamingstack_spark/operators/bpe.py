@@ -289,3 +289,122 @@ SELECT doc_id, COUNT(*) AS n_words,
 FROM dw JOIN seg USING (word)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Pinned serving: fit once, commit the merge table, segment without
+# the training loop (the fasttext/pca/ivf discipline —
+# operators/textclf.py:14-24). Unlike those models the BPE pin is
+# fully deterministic to refit: merges come from exact integer counts
+# with a lexicographic tie-break, no float reduction order anywhere.
+# ---------------------------------------------------------------------------
+import os as _os
+
+_PINNED_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "resources",
+    "bpe_pinned.json",
+)
+_PINNED_CACHE: dict | None = None
+
+
+def fit_bpe_pinned(
+    docs: DataFrame, rounds: int = BPE_ROUNDS, meta: dict | None = None
+) -> dict:
+    """Train and return the pin payload for resources/bpe_pinned.json."""
+    merges, _ = bpe_train(docs, rounds)
+    return {
+        "rounds": rounds,
+        "merges": [
+            {"round": k, "left": l, "right": r, "merged": m, "count": c}
+            for (k, l, r, m, c) in merges
+        ],
+        "meta": meta or {},
+    }
+
+
+def load_bpe_pinned() -> dict:
+    global _PINNED_CACHE
+    if _PINNED_CACHE is None:
+        import json
+
+        with open(_PINNED_PATH) as fh:
+            _PINNED_CACHE = json.load(fh)
+    return _PINNED_CACHE
+
+
+def bpe_segment_pinned(
+    docs: DataFrame,
+    pin: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve the PINNED merge table: (doc_id, n_words, n_bpe_tokens)
+    with no training loop — the production shape (tokenizers are
+    fitted offline and applied everywhere). One distinct-vocab
+    aggregate, then the whole pinned merge chain as ONE projection of
+    chained JVM folds over the vocab (never per word occurrence), a
+    broadcast join back, one per-doc aggregate. Zero driver actions,
+    zero iterative jobs; identical output to bpe_segment_corpus when
+    the pin was fitted on the same corpus (pytest-pinned)."""
+    pin = pin or load_bpe_pinned()
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).distinct()
+    syms = _char_syms(F.col("word"))
+    vocab = vocab.withColumn("syms", syms)
+    for m in pin["merges"]:
+        vocab = vocab.withColumn("syms", _merge_fold(m["left"], m["right"]))
+    seg = vocab.select(
+        "word",
+        F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_syms"),
+    )
+    dw = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_segment_pinned_sql(
+    pin: dict | None = None, doc_rel: str = "documents"
+) -> str:
+    """DuckDB twin of bpe_segment_pinned: the pinned merges replayed
+    as literal fold chains — no argmax CTEs at all."""
+    pin = pin or load_bpe_pinned()
+    fold = (
+        "array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INTEGER), 1)), chr(32))"
+    )
+    for m in pin["merges"]:
+        left = m["left"].replace("'", "''")
+        right = m["right"].replace("'", "''")
+        fold = (
+            f"list_reduce(string_split(({fold}), chr(32)), (acc, x) -> "
+            f"CASE WHEN x = '{right}' AND (acc = '{left}' "
+            f"OR ends_with(acc, chr(32) || '{left}')) "
+            f"THEN acc || x ELSE acc || chr(32) || x END)"
+        )
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, chr(32))) AS word
+  FROM {doc_rel}
+),
+seg AS (
+  SELECT word,
+         len(string_split({fold}, chr(32))) AS n_syms
+  FROM vocab
+),
+dw AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS word
+       FROM {doc_rel})
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN seg USING (word)
+GROUP BY doc_id
+"""

@@ -3245,6 +3245,32 @@ def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment_corpus(spread(load_table(spark, sf_dir, "documents")))
 
 
+def _bpe_pinned_sql() -> str:
+    from msstreamingstack_spark.operators.bpe import bpe_segment_pinned_sql
+
+    return bpe_segment_pinned_sql()
+
+
+@register(
+    "bpe_segment_pinned",
+    _bpe_pinned_sql(),
+    tags=("extension", "pipeline", "tokenizer", "pinned"),
+    doc="The SERVING form of the tokenizer: segment with the PINNED "
+    "merge table (resources/bpe_pinned.json, the fasttext/pca/ivf "
+    "discipline) — no training loop, no driver actions, no iterative "
+    "jobs. The whole pinned merge chain is ONE projection of chained "
+    "JVM folds over the DISTINCT vocab (never per word occurrence), "
+    "then a broadcast join back and one per-doc aggregate. Unlike "
+    "the float-fitted pins this one is bit-deterministic to refit "
+    "(exact integer counts + lexicographic tie-break). Output is "
+    "pytest-pinned equal to bpe_segment_corpus on the fit corpus.",
+)
+def q_bpe_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.bpe import bpe_segment_pinned
+
+    return bpe_segment_pinned(spread(load_table(spark, sf_dir, "documents")))
+
+
 # queries.py's own bottom imports, the helper isn't defined yet — the
 # getattr no-ops and queries.py's own call applies the window.
 import msstreamingstack_spark.queries as _queries  # noqa: E402

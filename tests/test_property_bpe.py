@@ -113,3 +113,24 @@ def test_bpe_merge_table_is_deterministic_under_ties(spark):
         for r in bpe_learn_merges(docs, rounds=4).orderBy("round").collect()
     ]
     assert rows == [("q", "z"), ("x", "y"), ("y", "x"), ("z", "q")]
+
+
+def test_pinned_segmentation_matches_trained_on_fit_corpus(spark):
+    """bpe_segment_pinned (serving, no training loop) must reproduce
+    bpe_segment_corpus exactly on the corpus the pin was fitted on —
+    the pin-faithfulness contract every resources/*.json model keeps."""
+    from msstreamingstack_spark.operators.bpe import (
+        bpe_segment_corpus,
+        bpe_segment_pinned,
+        load_bpe_pinned,
+    )
+    from msstreamingstack_spark.sources.tables import load_table
+
+    pin = load_bpe_pinned()
+    sf = pin["meta"]["fit_sf"]
+    docs = load_table(spark, sf, "documents")
+    trained = sorted(
+        tuple(r) for r in bpe_segment_corpus(docs, pin["rounds"]).collect()
+    )
+    served = sorted(tuple(r) for r in bpe_segment_pinned(docs).collect())
+    assert served == trained
