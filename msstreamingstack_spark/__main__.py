@@ -546,6 +546,7 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
         ft_min_logit=args.ft_min_logit,
         ngram13_gate=args.ngram13_gate,
         ngram13_n=args.ngram13_n,
+        bpe_tokens=args.bpe_tokens,
     )
     q.awaitTermination()
     return 0
@@ -997,6 +998,9 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--ngram13-n", type=int, default=None,
                    help="n-gram width for --ngram13-gate (default: the "
                    "batch kernel's 13)")
+    i.add_argument("--bpe-tokens", action="store_true",
+                   help="annotate accepted docs with the pinned "
+                   "tokenizer's subword count (n_bpe_tokens column)")
     i.add_argument("--compact-every", type=int, default=None,
                    help="fold each store's increment partitions into one "
                    "__base partition every N batches, in-stream (current "

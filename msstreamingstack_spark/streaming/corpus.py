@@ -134,6 +134,7 @@ def run_corpus_ingest(
     ft_min_logit: float = 0.0,
     ngram13_gate: bool = False,
     ngram13_n: int | None = None,
+    bpe_tokens: bool = False,
 ):
     """Launch the ingest query; returns the StreamingQuery.
 
@@ -200,6 +201,13 @@ def run_corpus_ingest(
     are computed once, persisted, and broadcast into every batch's
     semi-join; per batch the cost is one map-local gram explode over
     the surviving docs.
+
+    ``bpe_tokens`` (optional) annotates every ACCEPTED doc with its
+    pinned-tokenizer subword count (``n_bpe_tokens`` column in the
+    accept sink): the bpe_segment_pinned serving shape applied per
+    micro-batch — distinct batch vocab through the pinned fold chain,
+    broadcast join back — so downstream mixing/packing/budget stages
+    consume real token counts, not whitespace approximations.
 
     ``compact_every`` (optional) folds each store's accumulated
     increment partitions into one ``__base_<n>`` partition every N
@@ -397,6 +405,23 @@ def run_corpus_ingest(
                     lm_ok.select("doc_id"), "doc_id", "left_anti"
                 ).select(*cols, F.lit("low_quality_lm").alias("reject_reason"))
                 accepted = lm_ok.select(*cols)
+            if bpe_tokens:
+                # true subword token accounting on the accepted set:
+                # the pinned tokenizer applied per batch (distinct
+                # batch vocab -> fold chain -> broadcast join — the
+                # bpe_segment_pinned shape, never per occurrence), so
+                # downstream mixing/budget stages read real token
+                # counts instead of whitespace approximations
+                from msstreamingstack_spark.operators.bpe import (
+                    bpe_segment_pinned,
+                )
+
+                accepted = accepted.join(
+                    bpe_segment_pinned(accepted).select(
+                        "doc_id", "n_bpe_tokens"
+                    ),
+                    "doc_id",
+                )
             # batch-id-scoped overwrite, not raw append: foreachBatch is
             # at-least-once, so a replayed batch must land in the SAME
             # directory and overwrite itself (idempotent sink — the

@@ -729,3 +729,42 @@ def test_ngram13_gate_off_passes_the_same_quote(spark, tmp_path):
     q.awaitTermination(120)
     accepted = {r["doc_id"] for r in spark.read.parquet(accept_dir).collect()}
     assert accepted == {2}
+
+
+def test_bpe_token_annotation_matches_pinned_segmenter(spark, tmp_path):
+    """--bpe-tokens annotates accepted docs with the pinned subword
+    count; the stream's per-batch values must equal the batch
+    bpe_segment_pinned on the same texts."""
+    from msstreamingstack_spark.operators.bpe import bpe_segment_pinned
+    from msstreamingstack_spark.streaming.corpus import run_corpus_ingest
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_drop(
+        d / "b0.parquet", [(1, NORMAL_A), (2, NORMAL_B)], 1_700_000_000
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT, "en", "bench", len(EVAL_TEXT))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    accept_dir = str(tmp_path / "accept")
+    q = run_corpus_ingest(
+        spark,
+        str(d),
+        eval_docs,
+        accept_dir,
+        str(tmp_path / "reject"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        bpe_tokens=True,
+    )
+    q.awaitTermination(120)
+    acc = spark.read.parquet(accept_dir)
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in acc.collect()}
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_segment_pinned(
+            acc.select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want and set(got) == {1, 2}
+    assert all(v > 0 for v in got.values())
