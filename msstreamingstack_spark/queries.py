@@ -318,15 +318,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   tpch_q20_excess_shippers, tpch_q21_waiting_suppliers,
 #   sql_frontend_q1_parity, sql_frontend_subquery_parity,
 #   sql_frontend_grouping_sets_parity.
-# Those are 27 slots, PLUS the seven r8 post-unfreeze registrations
+# Those are 27 slots, PLUS the eight r8 post-unfreeze registrations
 # that have never been driver-checked: pipeline_pretrain_corpus_v2
 # (the round-7 verdict's task #4 wants its driver row),
 # decontaminate_ngram13 + decontaminate_span_scrub (the verbatim
 # 13-gram decontamination pair), bpe_learn_merges +
 # bpe_segment_corpus + bpe_segment_pinned (the tokenizer
-# train/apply/serve trio), and approx_distinct_users_hll_oracled
-# (the deterministic-HLL twin), all added late r8; fill the
-# remaining ~16 from the r6-latest cohort in registry order, keeping
+# train/apply/serve trio), approx_distinct_users_hll_oracled
+# (the deterministic-HLL twin), and sample_cluster_balanced (the
+# D4-style diversity sampler), all added late r8; fill the
+# remaining ~15 from the r6-latest cohort in registry order, keeping
 # the family slots (zorder_cluster_stats, grouping_sets_revenue, one
 # multimodal, one skew twin — tpch is covered by the r5 list above).
 

@@ -2837,6 +2837,90 @@ def q_sql_frontend_lateral_topk_parity(
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced sampling over the pinned quantizer (D4-style)
+# ---------------------------------------------------------------------------
+CLUSTER_SAMPLE_K = 12
+
+
+def _cluster_sample_oracle(k: int) -> str:
+    from msstreamingstack_spark.functions.text import hash48_sql
+    from msstreamingstack_spark.operators.similarity import (
+        pinned_cent_cte_sql,
+    )
+
+    return f"""
+WITH cent(cell, c, cc) AS (
+  VALUES {pinned_cent_cte_sql('lloyd')}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, t.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c),
+             t.cell) AS rn
+    FROM embeddings e CROSS JOIN cent t) WHERE rn = 1
+),
+h AS (
+  SELECT vec_id, cell,
+         {hash48_sql("CAST(vec_id AS VARCHAR)")} AS hv
+  FROM assign
+),
+r AS (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY hv, vec_id)
+              AS BIGINT) AS samp_rank
+  FROM h
+)
+SELECT vec_id, cell, samp_rank FROM r WHERE samp_rank <= {k}
+"""
+
+
+@register(
+    "sample_cluster_balanced",
+    _cluster_sample_oracle(CLUSTER_SAMPLE_K),
+    tags=("extension", "pipeline", "sampling", "embedding", "pinned"),
+    doc=f"Cluster-balanced corpus sampling (the D4/SemDeDup-family "
+    "diversity selector): every vector is assigned to its pinned-"
+    f"quantizer cell, and each cell keeps its {CLUSTER_SAMPLE_K} "
+    "lowest-id-hash members — dense clusters downsample hard, rare "
+    "clusters keep everything, which is the balancing property "
+    "quality-score sampling lacks. Deterministic reservoir: the "
+    "per-cell order is (md5-hash, vec_id), a pure function of the "
+    "id, so retries/re-runs keep identical rows (the hash-split "
+    "rationale). Scale: the centroid table is a broadcast K-row "
+    "literal (per-row JVM/Arrow argmin, no shuffle); the per-cell "
+    "rank uses topk_per_key_salted, so a corpus-sized hot cluster "
+    "sorts p parallel slices and the final rank input is capped at "
+    "p*k rows per cell — a plain cell-partitioned window would "
+    "serialize exactly the dense cells the sampler exists to tame.",
+)
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+    from msstreamingstack_spark.operators.similarity import (
+        pinned_cell_assign,
+    )
+    from msstreamingstack_spark.operators.windows import topk_per_key_salted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id",
+        pinned_cell_assign(F.col("embedding")).alias("cell"),
+        hash48(F.col("vec_id").cast("string")).alias("hv"),
+    )
+    out = topk_per_key_salted(
+        a,
+        ("cell",),
+        (F.col("hv"), F.col("vec_id")),
+        k=CLUSTER_SAMPLE_K,
+        salt_col=F.col("vec_id"),
+        out="samp_rank",
+    )
+    return out.select(
+        "vec_id", "cell", F.col("samp_rank").cast("long").alias("samp_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup over the pinned quantizer (SemDeDup shape)
 # ---------------------------------------------------------------------------
 SEMDEDUP_COS_T = 0.35  # near-orthogonal fixture vectors; 0.35 yields a
@@ -3573,3 +3657,14 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 import msstreamingstack_spark.queries as _queries  # noqa: E402
 
 getattr(_queries, "_apply_driver_window", lambda: None)()
+
+# Same re-entrancy story for the v2-pipeline composed oracle: if this
+# module was the direct import target, queries_pipeline's bottom ran
+# before dedup_semantic existed and its attach no-op'd — retry now
+# that our registrations are complete (no-op when already attached,
+# and never triggers a fresh queries_pipeline import).
+import sys as _sys  # noqa: E402
+
+_qp = _sys.modules.get("msstreamingstack_spark.queries_pipeline")
+if _qp is not None:
+    getattr(_qp, "_attach_v2_oracle", lambda: None)()

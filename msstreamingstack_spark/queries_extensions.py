@@ -3276,3 +3276,14 @@ def q_bpe_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 import msstreamingstack_spark.queries as _queries  # noqa: E402
 
 getattr(_queries, "_apply_driver_window", lambda: None)()
+
+# v2-pipeline composed-oracle retry (see queries_pipeline's bottom):
+# a direct import of THIS module makes queries_pipeline's attach run
+# before quality_gopher_rules / quality_ensemble_score exist; retry
+# now that they do. No-op when already attached; never triggers a
+# fresh queries_pipeline import.
+import sys as _sys  # noqa: E402
+
+_qp = _sys.modules.get("msstreamingstack_spark.queries_pipeline")
+if _qp is not None:
+    getattr(_qp, "_attach_v2_oracle", lambda: None)()

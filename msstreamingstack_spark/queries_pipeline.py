@@ -65,13 +65,14 @@ from msstreamingstack_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_sql,
 )
-from msstreamingstack_spark.queries_extensions import (
-    DECON_JACCARD_T,
-    DECON_MOD,
-    DECON_REM,
-    EVAL_EVERY,
-    SPLIT_BUCKET_SQL,
-)
+# NOT a from-import: when a DIRECT `import queries_extensions` is the
+# process's first query-module import, its registrations re-enter
+# queries.py, whose bottom imports THIS module while queries_extensions
+# is still partially initialized — a from-import of its constants
+# raises ImportError at that point. Importing the MODULE binds the
+# (partial) module object; every constant access below happens inside
+# a function body, by which time initialization has completed.
+from msstreamingstack_spark import queries_extensions as _qx
 from msstreamingstack_spark.sources.tables import load_table, spread
 
 # Funnel constants — one place, shared by builder and oracle.
@@ -97,14 +98,14 @@ ens AS ({ensemble}),
 fz AS (SELECT DISTINCT d2 FROM ({minhash_lsh_sql(FUZZY_JACCARD_T)})),
 sem AS (SELECT vec_id FROM ({semantic}) WHERE is_semdup = 1),
 ce AS (SELECT doc_id
-       FROM ({eval_overlap_sql(f"d.doc_id % {EVAL_EVERY} = 0")})
+       FROM ({eval_overlap_sql(f"d.doc_id % {_qx.EVAL_EVERY} = 0")})
        WHERE contaminated = 1),
 cf AS (SELECT DISTINCT train_id
-       FROM ({minhash_cross_sql(DECON_MOD, DECON_REM, DECON_JACCARD_T)})),
+       FROM ({minhash_cross_sql(_qx.DECON_MOD, _qx.DECON_REM, _qx.DECON_JACCARD_T)})),
 flags0 AS (
   SELECT d.doc_id, d.source,
          {token_count_sql('d.text')} + 1 AS n_tokens,
-         {SPLIT_BUCKET_SQL.replace('doc_id', 'd.doc_id')} AS bucket,
+         {_qx.SPLIT_BUCKET_SQL.replace('doc_id', 'd.doc_id')} AS bucket,
          md5(d.text) AS digest,
          g.gopher_pass AND e.quality_decile <= {ENSEMBLE_DECILE_MAX} AS gate
   FROM documents d
@@ -124,8 +125,8 @@ st AS (
            AND doc_id NOT IN (SELECT vec_id FROM sem) AS sem_pass,
          exact_pass AND doc_id NOT IN (SELECT d2 FROM fz)
            AND doc_id NOT IN (SELECT vec_id FROM sem)
-           AND doc_id % {EVAL_EVERY} != 0
-           AND doc_id % {DECON_MOD} != {DECON_REM}
+           AND doc_id % {_qx.EVAL_EVERY} != 0
+           AND doc_id % {_qx.DECON_MOD} != {_qx.DECON_REM}
            AND doc_id NOT IN (SELECT doc_id FROM ce)
            AND doc_id NOT IN (SELECT train_id FROM cf) AS clean
   FROM ex
@@ -280,7 +281,7 @@ def pretrain_corpus_doc_flags(
     )
     exact_contam = (
         eval_overlap_stats(
-            docs, F.col("doc_id") % EVAL_EVERY == 0, shingles_df=sh
+            docs, F.col("doc_id") % _qx.EVAL_EVERY == 0, shingles_df=sh
         )
         .filter(F.col("contaminated") == 1)
         .select("doc_id")
@@ -289,8 +290,8 @@ def pretrain_corpus_doc_flags(
     fuzzy_contam = (
         minhash_cross_pairs(
             docs,
-            F.col("doc_id") % DECON_MOD == DECON_REM,
-            DECON_JACCARD_T,
+            F.col("doc_id") % _qx.DECON_MOD == _qx.DECON_REM,
+            _qx.DECON_JACCARD_T,
             shingles_df=sh,
         )
         .select(F.col("train_id").alias("doc_id"))
@@ -355,8 +356,8 @@ def pretrain_corpus_doc_flags(
         .withColumn(
             "clean",
             F.col("sem_pass")
-            & (F.col("doc_id") % EVAL_EVERY != 0)
-            & (F.col("doc_id") % DECON_MOD != DECON_REM)
+            & (F.col("doc_id") % _qx.EVAL_EVERY != 0)
+            & (F.col("doc_id") % _qx.DECON_MOD != _qx.DECON_REM)
             & F.col("_ce").isNull()
             & F.col("_cf").isNull(),
         )
@@ -462,7 +463,24 @@ def build_pretrain_corpus(
 
 
 # dedup_semantic's oracle is attached after its registration (pinned
-# IVF sizing), and this module imports after queries_advanced — so by
-# here every constituent oracle exists and the composition can embed
-# them verbatim.
-REGISTRY["pipeline_pretrain_corpus_v2"].oracle = _v2_oracle()
+# IVF sizing), and this module imports after queries_advanced in
+# queries.py's bottom order — so on the canonical path every
+# constituent oracle exists here. But a DIRECT import of a query
+# module (e.g. ``import msstreamingstack_spark.queries_advanced``)
+# re-enters queries.py while that module's registrations are still
+# pending, and queries.py's bottom then imports THIS module before
+# dedup_semantic exists — the _apply_driver_window re-entrancy story
+# exactly. So the attach is a retryable no-op-on-missing helper that
+# the constituent modules' bottoms re-invoke once their
+# registrations land.
+def _attach_v2_oracle() -> None:
+    spec = REGISTRY.get("pipeline_pretrain_corpus_v2")
+    if spec is None or spec.oracle is not None:
+        return
+    try:
+        spec.oracle = _v2_oracle()
+    except KeyError:
+        pass  # constituent module mid-import; its bottom re-invokes
+
+
+_attach_v2_oracle()

@@ -1389,3 +1389,44 @@ def test_registry_metadata_consistency(spark):
             ))
             unknown = refs - tables - ctes
             assert not unknown, (name, unknown)
+
+
+def test_cluster_balanced_sampler_keeps_rare_cells_whole(spark):
+    """The balancing property on constructed skew: a cell with fewer
+    members than the per-cell budget keeps ALL of them while a dense
+    cell is cut to exactly the budget — and ranks stay deterministic
+    functions of the ids."""
+    from msstreamingstack_spark.functions.text import hash48
+    from msstreamingstack_spark.operators.similarity import (
+        load_pinned_ivf,
+        pinned_cell_assign,
+    )
+    from msstreamingstack_spark.operators.windows import topk_per_key_salted
+    from msstreamingstack_spark.queries_advanced import CLUSTER_SAMPLE_K
+
+    from pyspark.sql import functions as F
+
+    C, _ = load_pinned_ivf("lloyd")
+    rows = [(i, [float(x) for x in C[0]]) for i in range(3)]  # rare cell
+    rows += [
+        (100 + i, [float(x) for x in C[1]]) for i in range(30)
+    ]  # dense cell
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = emb.select(
+        "vec_id",
+        pinned_cell_assign(F.col("embedding")).alias("cell"),
+        hash48(F.col("vec_id").cast("string")).alias("hv"),
+    )
+    out = topk_per_key_salted(
+        a,
+        ("cell",),
+        (F.col("hv"), F.col("vec_id")),
+        k=CLUSTER_SAMPLE_K,
+        salt_col=F.col("vec_id"),
+        out="samp_rank",
+    ).collect()
+    per_cell: dict[int, int] = {}
+    for r in out:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert per_cell[0] == 3              # rare: all kept
+    assert per_cell[1] == CLUSTER_SAMPLE_K  # dense: cut to budget

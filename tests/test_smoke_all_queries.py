@@ -35,3 +35,34 @@ def test_driver_window_invariants():
                    "multimodal", "skew", "pipeline", "text", "window",
                    "grouping-sets", "layout"):
         assert family in window_tags, f"family {family!r} left the window"
+
+
+def test_registry_complete_under_any_first_import():
+    """Direct imports of individual query modules must still yield the
+    full registry with the v2 pipeline's composed oracle attached —
+    the re-entrant import path (_apply_driver_window docstring) broke
+    for the composed oracle when queries_pipeline's attach ran before
+    its constituent modules finished registering (and extensions-first
+    crashed outright on a from-import of partial-module constants)."""
+    import subprocess
+    import sys
+
+    for first in (
+        "msstreamingstack_spark.queries_extensions",
+        "msstreamingstack_spark.queries_advanced",
+        "msstreamingstack_spark.queries_pipeline",
+        "msstreamingstack_spark.queries",
+    ):
+        code = (
+            f"import {first}\n"
+            "from msstreamingstack_spark.queries import REGISTRY\n"
+            "assert REGISTRY['pipeline_pretrain_corpus_v2'].oracle\n"
+            "assert len(REGISTRY) >= 184\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, (first, r.stderr[-800:])
