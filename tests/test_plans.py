@@ -178,6 +178,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "similarity_ann_ivf_ml",  # same Arrow probe/assign UDFs
             "corpus_topic_balance",  # pinned_cell_assign (Arrow batch)
             "dedup_semantic",  # pinned_cell_assign (Arrow batch)
+            "sample_cluster_balanced",  # pinned_cell_assign (Arrow batch)
             "pipeline_pretrain_corpus_v2",  # embeds dedup_semantic's assign
             "similarity_ann_quantized",  # Arrow matmul code scan
             "dedup_embedding_lsh",  # SRP bucket UDF (Arrow matmul)
