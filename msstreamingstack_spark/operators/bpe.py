@@ -86,8 +86,10 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_fold(left: str, right: str) -> Column:
-    """One round's leftmost-greedy rewrite of the 'syms' column.
+def _merge_fold(left: str, right: str, col: Column | None = None) -> Column:
+    """One round's leftmost-greedy rewrite of the 'syms' column (or of
+    ``col`` — the batched trainer chains folds over the previous
+    fold's output).
 
     The merge pair is embedded as LITERALS. The measured alternative —
     shipping (ml, mr) as columns via a broadcast 1-row cross join so
@@ -95,7 +97,7 @@ def _merge_fold(left: str, right: str) -> Column:
     (warm loop 5.8 → 9.8 s at sf0.01): a per-round broadcast exchange
     + join node costs more than the per-round codegen the literals
     cause. Keep the literal form."""
-    sy = F.split(F.col("syms"), " ")
+    sy = F.split(F.col("syms") if col is None else col, " ")
     first = F.element_at(sy, 1)
     rest = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0)))
     return F.aggregate(
@@ -119,7 +121,7 @@ def _word_counts(
     )
 
 
-def bpe_train(
+def bpe_train_sequential(
     docs: DataFrame,
     rounds: int = BPE_ROUNDS,
     text_col: str = "text",
@@ -163,6 +165,228 @@ def bpe_train(
             "bpe.round.odd" if k % 2 else "bpe.round.even",
         )
     return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# Round-9 trainers: the rounds-dimension fix. The sequential loop
+# launches one Spark job per MERGE — fine at demo rounds, a
+# scale-killer at real vocab sizes (the r8 verdict's What's-wrong #2).
+# Two replacements, both bit-exact vs sequential (property-tested):
+#
+# bpe_train_batched — top-M symbol-disjoint merges per Spark round.
+#   EXACTNESS IS SUBTLER THAN "DISJOINT PAIRS COMMUTE": merging q1
+#   creates new pairs whose counts are bounded by the snapshot counts
+#   of pairs OVERLAPPING q1, and on a count TIE a new pair can
+#   lex-outrank a later batch member (new left symbol 'ab' sorts
+#   before 'b': a snapshot where ('b','x') ties q_m puts ('ab','x')
+#   ahead of q_m at its sequential turn). The provably exact rule:
+#   walk the (cnt DESC, l, r) ranking taking mutually-disjoint pairs,
+#   STOP at the first candidate overlapping a taken pair (never skip
+#   and continue — a skipped pair may still outrank everything
+#   after it at its sequential turn), then truncate the batch to
+#   counts STRICTLY ABOVE the stop candidate's count (kills the tie
+#   hazard: every disturbed or created pair has count <= c_stop).
+#   Measured on the sf0.01 documents fixture (31-word vocab, ties
+#   everywhere): average batch 1.16 — tie-heavy tiny corpora
+#   degenerate to sequential, which is why this is NOT the default.
+#
+# bpe_train_local — the HF-tokenizers decomposition, distributed
+#   where it matters: ONE corpus-sized Spark job builds the bounded
+#   (word, count) vocab (~10^6-10^7 rows at 100 TB — the same bounded
+#   artifact the pca/fasttext/ivf pins already collect), then the
+#   merge loop runs driver-side with incremental pair-count
+#   maintenance (only words containing the merged pair are touched;
+#   lazy max-heap argmax) — O(1) Spark jobs for ANY vocab size, and
+#   the 256-merge train lands in 2 jobs (test_property_bpe.py pins
+#   <= 20). Python-vs-JVM string order parity: both compare UTF-8
+#   bytes / code points, and UTF-8 byte order equals code-point
+#   order, so the (cnt DESC, l, r) argmax is engine-identical.
+# ---------------------------------------------------------------------------
+def _greedy_merge_list(s: list[str], left: str, right: str) -> list[str]:
+    """Leftmost-greedy single-pair rewrite — the Python mirror of
+    _merge_fold (same semantics as the fold: a symbol merged this
+    round can never equal `left` again within the round)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if i + 1 < n and s[i] == left and s[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _train_merges_local(
+    wc: dict[str, int], rounds: int
+) -> tuple[list[tuple], dict[str, list[str]]]:
+    """Exact sequential BPE on the collected vocab. Incremental: per
+    merge, only the words actually containing the pair are re-indexed
+    (p2w inverted index), and the argmax is a lazy heap — stale
+    entries are discarded when their stored count no longer matches."""
+    import heapq
+
+    syms = {w: (list(w) if w else [""]) for w in wc}
+    cnt: dict[tuple, int] = {}
+    p2w: dict[tuple, set] = {}
+
+    def add_word(w: str) -> set:
+        s, c = syms[w], wc[w]
+        touched = set()
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            cnt[p] = cnt.get(p, 0) + c
+            p2w.setdefault(p, set()).add(w)
+            touched.add(p)
+        return touched
+
+    def drop_word(w: str) -> set:
+        s, c = syms[w], wc[w]
+        touched = set()
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            cnt[p] -= c
+            touched.add(p)
+        for p in touched:
+            p2w[p].discard(w)
+            if cnt[p] == 0:
+                del cnt[p]
+                del p2w[p]
+        return touched
+
+    for w in wc:
+        add_word(w)
+    heap = [(-c, p[0], p[1]) for p, c in cnt.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for k in range(1, rounds + 1):
+        top = None
+        while heap:
+            negc, l, r = heap[0]
+            if cnt.get((l, r)) == -negc:
+                top = (l, r, -negc)
+                break
+            heapq.heappop(heap)
+        if top is None:
+            break
+        l, r, c = top
+        merges.append((k, l, r, l + r, c))
+        changed: set = set()
+        for w in list(p2w.get((l, r), ())):
+            changed |= drop_word(w)
+            syms[w] = _greedy_merge_list(syms[w], l, r)
+            changed |= add_word(w)
+        for p in changed:
+            if p in cnt:
+                heapq.heappush(heap, (-cnt[p], p[0], p[1]))
+    return merges, syms
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple], DataFrame]:
+    """ONE distributed vocab job + driver-side exact merge loop."""
+    wc_rows = _word_counts(docs, text_col, id_col).collect()
+    wc = {r["word"]: r["wc"] for r in wc_rows}
+    merges, syms = _train_merges_local(wc, rounds)
+    vocab = docs.sparkSession.createDataFrame(
+        [(w, wc[w], " ".join(syms[w])) for w in sorted(wc)],
+        schema="word string, wc long, syms string",
+    )
+    return merges, vocab
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    batch: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple], DataFrame]:
+    """Top-M disjoint merges per Spark round under the exact stop-and-
+    truncate rule (see the block comment above). One limit-collect per
+    round (bounded driver traffic: <= 4*batch 3-field rows); the
+    batch's folds chain inside ONE projection, so a round still costs
+    one cached materialization."""
+    from msstreamingstack_spark.caching import rotating_persist
+
+    vocab = rotating_persist(
+        _word_counts(docs, text_col, id_col).withColumn(
+            "syms", _char_syms(F.col("word"))
+        ),
+        "bpe.round.even",
+    )
+    merges: list[tuple] = []
+    k, spark_round = 1, 0
+    while k <= rounds:
+        want = min(batch, rounds - k + 1)
+        scan_n = max(4 * batch, 64)
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(scan_n)
+            .collect()
+        )
+        if not top:
+            break
+        complete = len(top) < scan_n  # saw the WHOLE pair table
+        taken: list[tuple] = []
+        used: set = set()
+        c_stop = None
+        for i, row in enumerate(top):
+            l, r, c = row["l"], row["r"], row["cnt"]
+            if l in used or r in used:
+                c_stop = c
+                break
+            taken.append((l, r, c))
+            used.add(l)
+            used.add(r)
+            if len(taken) >= want:
+                if len(taken) < len(top):
+                    c_stop = top[len(taken)]["cnt"]
+                elif not complete:
+                    c_stop = top[-1]["cnt"]
+                break
+        else:
+            if not complete:
+                c_stop = top[-1]["cnt"]
+        if c_stop is not None:
+            taken = [t for t in taken if t[2] > c_stop]
+        if not taken:
+            # tie-truncated to nothing: one exact sequential merge
+            taken = [(top[0]["l"], top[0]["r"], top[0]["cnt"])]
+        col = F.col("syms")
+        for l, r, c in taken:
+            merges.append((k, l, r, l + r, c))
+            col = _merge_fold(l, r, col)
+            k += 1
+        spark_round += 1
+        vocab = rotating_persist(
+            vocab.withColumn("syms", col),
+            "bpe.round.odd" if spark_round % 2 else "bpe.round.even",
+        )
+    return merges, vocab
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "local",
+) -> tuple[list[tuple], DataFrame]:
+    """Dispatch: 'local' (default — O(1) jobs, exact), 'batched'
+    (fully distributed, exact, tie-degenerate on tiny corpora),
+    'sequential' (one job per merge — kept as the bit-parity oracle
+    the other two are property-tested against)."""
+    if strategy == "sequential":
+        return bpe_train_sequential(docs, rounds, text_col, id_col)
+    if strategy == "batched":
+        return bpe_train_batched(docs, rounds, text_col=text_col, id_col=id_col)
+    return bpe_train_local(docs, rounds, text_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -228,9 +452,9 @@ def _bpe_rounds_cte(doc_rel: str, rounds: int) -> str:
 ),
 r0 AS MATERIALIZED (
   SELECT word, wc,
-         array_to_string(list_transform(range(1, length(word) + 1),
-                         i -> substr(word, CAST(i AS INTEGER), 1)),
-                         chr(32)) AS syms
+         coalesce(array_to_string(list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, CAST(i AS INTEGER), 1)),
+                                  chr(32)), '') AS syms
   FROM wv
 )"""
     ]
@@ -379,8 +603,8 @@ def bpe_segment_pinned_sql(
     as literal fold chains — no argmax CTEs at all."""
     pin = pin or load_bpe_pinned()
     fold = (
-        "array_to_string(list_transform(range(1, length(word) + 1), "
-        "i -> substr(word, CAST(i AS INTEGER), 1)), chr(32))"
+        "coalesce(array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INTEGER), 1)), chr(32)), '')"
     )
     for m in pin["merges"]:
         left = m["left"].replace("'", "''")

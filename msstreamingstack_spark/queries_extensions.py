@@ -3211,15 +3211,16 @@ from msstreamingstack_spark.operators.bpe import (  # noqa: E402
     tags=("extension", "pipeline", "tokenizer", "iterative"),
     doc=f"BPE tokenizer TRAINING (Sennrich et al. 2016), {BPE_ROUNDS} "
     "merge rounds: the learned (round, pair, merged, weighted-count) "
-    "merge table. One corpus pass builds the (word, count) vocab; "
-    "every round after that is VOCAB-sized (bounded by the language, "
-    "~10^6-10^7 words at 100 TB, not the corpus): a JVM aggregate-"
-    "fold rewrite, a tiny pair-count aggregate, and a 1-row argmax "
-    "collect. Leftmost-greedy merge + (count DESC, l, r) tie-break "
-    "make every round bit-exact cross-engine — the oracle replays "
-    "the identical fold through chained materialized CTEs. Steady "
-    f"cost is ~{BPE_ROUNDS + 1} small jobs (per-round scheduling "
-    "floor, the recursive-spine/pagerank family).",
+    "merge table. One corpus pass builds the (word, count) vocab — "
+    "bounded by the language (~10^6-10^7 words at 100 TB), not the "
+    "corpus — and the merge loop then runs DRIVER-SIDE on that "
+    "bounded artifact with incremental pair counts (bpe_train_local: "
+    "O(1) Spark jobs for any vocab size; the r8 one-job-per-merge "
+    "loop is kept as the bit-parity oracle, and an exact distributed "
+    "batched trainer exists for vocabs too big to collect). Leftmost-"
+    "greedy merge + (count DESC, l, r) tie-break make every round "
+    "bit-exact cross-engine — the oracle replays the identical fold "
+    "through chained materialized CTEs.",
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.bpe import bpe_learn_merges
@@ -3231,13 +3232,14 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_segment_corpus",
     bpe_segment_corpus_sql(BPE_ROUNDS),
     tags=("extension", "pipeline", "tokenizer", "iterative"),
-    doc="The APPLY path of bpe_learn_merges: segment every document "
-    "with the learned merges and report true subword token counts "
+    doc="TRAIN+APPLY DEMO (one query does both; production serving "
+    "is bpe_segment_pinned): segment every document with the merges "
+    "learned in the same plan and report true subword token counts "
     "(doc_id, n_words, n_bpe_tokens) — the honest token accounting "
     "the mixing/packing/budget family approximates with regex "
     "tokenization. The segmentation map is vocab-sized -> BROADCAST; "
     "the corpus pays one explode + one per-doc aggregate on top of "
-    "the training loop.",
+    "the (now driver-side, O(1)-job) training loop.",
 )
 def q_bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.bpe import bpe_segment_corpus

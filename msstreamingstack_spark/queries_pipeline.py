@@ -477,10 +477,17 @@ def _attach_v2_oracle() -> None:
     spec = REGISTRY.get("pipeline_pretrain_corpus_v2")
     if spec is None or spec.oracle is not None:
         return
-    try:
-        spec.oracle = _v2_oracle()
-    except KeyError:
-        pass  # constituent module mid-import; its bottom re-invokes
+    # A constituent can be REGISTERED while its own post-registration
+    # oracle attach is still pending (spec present, oracle None) —
+    # dedup_semantic on a direct queries_advanced import. Defer then
+    # too, not only on missing keys (ADVICE r8).
+    for name in (
+        "quality_gopher_rules", "quality_ensemble_score", "dedup_semantic"
+    ):
+        dep = REGISTRY.get(name)
+        if dep is None or dep.oracle is None:
+            return  # constituent mid-import; its bottom re-invokes
+    spec.oracle = _v2_oracle()
 
 
 _attach_v2_oracle()

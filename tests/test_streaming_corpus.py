@@ -504,20 +504,21 @@ def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
     )
     assert total < 50 * 1024 * 1024, total
 
-    # (c) flat latency: the BEST of the last 10 batches vs the early
-    # median. A genuine super-linear per-batch term (store re-read
-    # growth, cache leak) lifts EVERY late batch, so the late minimum
-    # rises with it; transient host pressure — CPU contention, end-of-
-    # suite JVM heap pressure — spikes individual batches but lets at
-    # least one run near the true floor. The previous median-vs-median
-    # form failed twice in one day on full-suite runs (late medians
-    # 3-4.5x from environment alone) while passing every solo run;
-    # the minimum pins the same regression without the wall-clock
-    # flakiness.
+    # (c) flat latency: the 3rd-smallest of the last 10 batches vs the
+    # early median. A genuine super-linear per-batch term (store
+    # re-read growth, cache leak) lifts EVERY late batch, so any low
+    # quantile rises with it; transient host pressure — CPU
+    # contention, end-of-suite JVM heap pressure — spikes individual
+    # batches but leaves several near the true floor. Median-vs-median
+    # failed twice in one day on full-suite runs (late medians 3-4.5x
+    # from environment alone); the bare minimum (r8) let a regression
+    # lifting 9 of 10 batches pass if one batch grazed the floor
+    # (ADVICE r8). The p25-ish 3rd-smallest pins a regression that
+    # lifts >70% of late batches while tolerating up to 7 spiked ones.
     durs = [p["durationMs"]["triggerExecution"] for p in progress]
     early = statistics.median(durs[10:20])
-    late_best = min(durs[-10:])
-    assert late_best <= 3 * early, (early, late_best, durs)
+    late_low = sorted(durs[-10:])[2]
+    assert late_low <= 3 * early, (early, late_low, durs)
 
 
 def test_in_stream_compaction_preserves_results(spark, tmp_path):
