@@ -1203,6 +1203,125 @@ WHERE rank <= {k}
 """
 
 
+def hard_negatives_ann_pinned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    which: str = "lloyd",
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-filtered ANN hard-negative mining on the pinned-IVF probe
+    kernel — the scale path mine_hard_negatives' doc promises (r6
+    contract): candidates come from the quantizer's nprobe cells, and
+    the LABEL-INEQUALITY filter is pushed into the candidate join
+    itself (evaluated on the cell-join output before the cosine, so
+    same-label candidates never reach the scoring stage). Corpus-side
+    cost is one cell assignment + a broadcast probe join over ~nprobe/K
+    of the corpus, vs the exact kernel's full scan; recall vs the
+    exact top-k is property-bounded in tests/test_extensions.py.
+    Deterministic (same rounding/tie discipline as ivf_topk_pinned)
+    and fully DuckDB-oracled by :func:`hard_negatives_ann_sql`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C, cc = load_pinned_ivf(which)
+
+    def probes(vecs):
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        d = cc[None, :] - 2.0 * _seq_dots(X, C)
+        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    indexed = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cv"),
+        pinned_cell_assign(F.col(vec_col), which).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            pandas_udf(probes, "array<int>")(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(
+            indexed,
+            (probed["cell"] == indexed["cell"])
+            & (probed["query_label"] != indexed["neg_label"]),
+        )
+        .withColumn(
+            "cos", F.round(cosine(F.col("qv"), F.col("cv")), COS_ROUND)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "negative_id", "cos", "rank")
+    )
+
+
+def hard_negatives_ann_sql(
+    which: str = "lloyd",
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int = 10,
+) -> str:
+    """DuckDB twin of :func:`hard_negatives_ann_pinned` — the
+    ivf_pinned_sql probe/assign CTEs carrying labels, with the label
+    inequality in the candidate join."""
+    rows = pinned_cent_cte_sql(which)
+    cos = cosine_sql("p.qv", "a.cv")
+    return f"""
+WITH cent(cell, c, cc) AS (
+  VALUES {rows}
+),
+dist AS (
+  SELECT e.vec_id, e.label, e.embedding, t.cell,
+         t.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), t.c) AS d
+  FROM embeddings e CROSS JOIN cent t
+),
+assign AS (
+  SELECT vec_id AS negative_id, label AS neg_label, embedding AS cv, cell
+  FROM (
+    SELECT vec_id, label, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv, cell
+  FROM (
+    SELECT vec_id, label, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, p.query_label, a.negative_id,
+         round({cos}, {COS_ROUND}) AS cos
+  FROM probe p JOIN assign a USING (cell)
+  WHERE a.neg_label <> p.query_label
+)
+SELECT query_id, query_label, negative_id, cos,
+       CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, query_label, negative_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, negative_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup sub-bucket refinement (pinned quantizer + SRP split bits)
 # ---------------------------------------------------------------------------

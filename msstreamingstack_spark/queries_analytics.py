@@ -1997,6 +1997,85 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lift over order baskets.
 # ---------------------------------------------------------------------------
 BASKET_MIN_SUPPORT = 5
+BASKET_CAP_B = 16  # capped variant: top-B brands per basket
+
+
+def _basket_pairs_from_arrays(baskets: DataFrame) -> DataFrame:
+    """(okey, sorted-distinct brand array) -> (brand_a, brand_b, n_ab).
+
+    Pair generation is a map-side JVM index walk over the sorted
+    array (i < j pairs via nested transform + flatten), so the only
+    event-sized shuffle is the groupBy that built the baskets; the
+    pair aggregate partial-combines into the (brand x brand) grid
+    before its tiny exchange. Replaces the r8 okey self-join, whose
+    two event-sized exchange legs carried width^2 joined rows."""
+    arr = F.col("brands")
+    pair_arr = F.when(
+        F.size(arr) >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), F.size(arr)),
+                    lambda j: F.struct(
+                        F.element_at(arr, i).alias("brand_a"),
+                        F.element_at(arr, j).alias("brand_b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<brand_a:string,brand_b:string>>")
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+
+
+def _basket_lift_tail(
+    pairs: DataFrame, bc: DataFrame, n: DataFrame
+) -> DataFrame:
+    """support/confidence/lift projection shared by the exact and
+    capped kernels — exact-integer divisions rounded at 9 digits."""
+    return (
+        pairs.join(
+            F.broadcast(
+                bc.select(
+                    F.col("brand").alias("brand_a"), F.col("n_b").alias("na")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                bc.select(
+                    F.col("brand").alias("brand_b"), F.col("n_b").alias("nb")
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_orders"), 9
+            ).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 9).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                9,
+            ).alias("lift"),
+        )
+    )
 
 
 @register(
@@ -2028,13 +2107,20 @@ WHERE n_ab >= {BASKET_MIN_SUPPORT}
     "pairs co-occurring in the same order, with support, directional "
     "confidence and lift (lift > 1 ⇒ bought together more than "
     "independence predicts). The basket relation dedupes to "
-    "(order, brand) FIRST, so the okey self-join's fan-out is "
-    "bounded by basket width (distinct brands per order), never by "
-    "line items; brand cardinality (25) bounds the output and makes "
-    "the per-brand counts a broadcast. All ratios are divisions of "
-    "exact integers rounded at 9 digits. The association-rule "
-    "complement to the copurchase PageRank (which ranks nodes; this "
-    "scores EDGES with calibrated statistics).",
+    "(order, brand) FIRST, so pair fan-out is bounded by basket "
+    "width (distinct brands per order), never by line items. r9 "
+    "shape: ONE groupBy(okey) shuffle builds the sorted brand array "
+    "per order, pairs explode MAP-SIDE from the array (i<j index "
+    "walk, JVM transform/flatten) straight into a partial-combined "
+    "25x25 brand-grid aggregate — the r8 okey self-join (two "
+    "event-sized shuffle legs + width^2 joined rows through the "
+    "exchange, the 5.03x-at-64x watch item) is gone. Brand "
+    "cardinality (25) bounds the output and makes the per-brand "
+    "counts a broadcast; see basket_lift_pairs_capped for catalogs "
+    "where per-basket width itself needs a bound. All ratios are "
+    "divisions of exact integers rounded at 9 digits. The "
+    "association-rule complement to the copurchase PageRank (which "
+    "ranks nodes; this scores EDGES with calibrated statistics).",
 )
 def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -2046,44 +2132,85 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ob.select("okey").distinct().agg(F.count("*").alias("n_orders"))
     bc = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
-    pairs = (
-        ob.alias("a")
-        .join(ob.alias("b").hint("shuffle_hash"), "okey")
-        .filter(F.col("a.brand") < F.col("b.brand"))
+    pairs = _basket_pairs_from_arrays(
+        ob.groupBy("okey").agg(
+            F.array_sort(F.collect_set("brand")).alias("brands")
+        )
+    )
+    return _basket_lift_tail(pairs, bc, n)
+
+
+@register(
+    "basket_lift_pairs_capped",
+    f"""
+WITH obc AS (
+  SELECT l.l_orderkey AS okey, p.p_brand AS brand, COUNT(*) AS nl
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ob AS (
+  SELECT okey, brand FROM (
+    SELECT okey, brand,
+           ROW_NUMBER() OVER (PARTITION BY okey
+                              ORDER BY nl DESC, brand) AS rk
+    FROM obc
+  ) WHERE rk <= {BASKET_CAP_B}
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+bc AS (SELECT brand, COUNT(*) AS n_b FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) / n.n_orders, 9) AS support,
+       round(CAST(n_ab AS DOUBLE) / ca.n_b, 9) AS confidence_a_to_b,
+       round(CAST(n_ab AS DOUBLE) * n.n_orders / (ca.n_b * cb.n_b), 9)
+         AS lift
+FROM pairs
+JOIN bc ca ON ca.brand = pairs.brand_a
+JOIN bc cb ON cb.brand = pairs.brand_b, n
+WHERE n_ab >= {BASKET_MIN_SUPPORT}
+""",
+    tags=("analytics", "association", "join", "skew"),
+    doc=f"basket_lift_pairs with the per-basket fan-out BOUND the "
+    "general (high-cardinality-catalog) case needs: each basket "
+    f"keeps its top-{BASKET_CAP_B} brands by in-basket line-item "
+    "count (ties broken by brand — a deterministic total order, so "
+    f"the cap is part of the DEFINITION and the oracle applies the "
+    "identical ROW_NUMBER rule, hash-exact at every SF). Pair count "
+    f"per basket is <= C({BASKET_CAP_B},2) = "
+    f"{BASKET_CAP_B * (BASKET_CAP_B - 1) // 2} no matter how wide "
+    "baskets grow — the degree-oriented discipline of the triangle "
+    "kernel's KNN cap. On this catalog (25 brands, widths <= 14 at "
+    "sf0.1) the cap rarely binds, so stats track the exact kernel; "
+    "the bound is what survives a catalog with 10^6 items.",
+)
+def q_basket_lift_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obc = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+        .agg(F.count("*").alias("nl"))
     )
-    return (
-        pairs.join(
-            F.broadcast(bc.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))),
-            "brand_a",
-        )
-        .join(
-            F.broadcast(bc.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))),
-            "brand_b",
-        )
-        .crossJoin(F.broadcast(n))
-        .select(
-            "brand_a",
-            "brand_b",
-            "n_ab",
-            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 9).alias(
-                "support"
-            ),
-            F.round(F.col("n_ab").cast("double") / F.col("na"), 9).alias(
-                "confidence_a_to_b"
-            ),
-            F.round(
-                F.col("n_ab").cast("double")
-                * F.col("n_orders")
-                / (F.col("na") * F.col("nb")),
-                9,
-            ).alias("lift"),
+    w = Window.partitionBy("okey").orderBy(F.desc("nl"), "brand")
+    ob = (
+        obc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BASKET_CAP_B)
+        .select("okey", "brand")
+    )
+    n = ob.select("okey").distinct().agg(F.count("*").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
+    pairs = _basket_pairs_from_arrays(
+        ob.groupBy("okey").agg(
+            F.array_sort(F.collect_set("brand")).alias("brands")
         )
     )
+    return _basket_lift_tail(pairs, bc, n)
 
 
 # ---------------------------------------------------------------------------
