@@ -105,8 +105,60 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
+    # Python-worker/Arrow calibration (round-9, verdict task #3): the
+    # two probes above never leave the JVM, so they cannot explain
+    # drift on the Pandas-UDF cohort (SRP/IVF/quantized-ANN kernels) —
+    # worker fork cost, Arrow serialization throughput, and the
+    # python process pool's warmth are a third independent axis. A
+    # fixed Arrow round-trip: first run carries spin-up (recorded as
+    # the cold number — the driver window runs queries exactly once,
+    # so ITS pandas queries pay this), best-of-3 is the steady state.
+    def _calibrate_pyworker() -> tuple[float, float]:
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("double")
+        def _probe_fold(v):
+            return v * 0.5 + 1.0
+
+        best, first = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(1 << 21)
+                .select(_probe_fold(col("id").cast("double")).alias("x"))
+                .selectExpr("sum(x)")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            dt = time.perf_counter() - t0
+            if first is None:
+                first = dt
+            best = min(best, dt)
+        return round(best, 4), round(first, 4)
+
+    # Parquet-scan IO calibration: a full-column scan of the round's
+    # largest fact table (fixed per SF, so cross-round comparable at
+    # the same SF). Separates page-cache/IO drift from CPU drift —
+    # scan-bound queries (0-shuffle narrow plans) track THIS probe.
+    def _calibrate_scan() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+                .selectExpr("count(*)", "sum(l_quantity)", "max(l_shipdate)")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     calib = _calibrate()
     shuffle_calib = _calibrate_shuffle()
+    pyworker_calib, pyworker_cold = _calibrate_pyworker()
+    scan_calib = _calibrate_scan()
 
     # Steady-state protocol: every query runs `repeat` times (best-of);
     # queries whose best still exceeds 2 s get a third run so the
@@ -134,7 +186,10 @@ def main() -> None:
         try:
             from msstreamingstack_spark.plans.inspect import plan_facts
 
-            return "shuffle" if plan_facts(df).shuffles >= 4 else "cpu"
+            facts = plan_facts(df)
+            if facts.python_evals >= 1:
+                return "pyworker"  # Arrow/Python-pool path dominates drift
+            return "shuffle" if facts.shuffles >= 4 else "cpu"
         except Exception:
             return "cpu"  # plan text unavailable: default to CPU probe
 
@@ -176,6 +231,14 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "calib_sec": calib,
         "shuffle_calib_sec": shuffle_calib,
+        "pyworker_calib_sec": pyworker_calib,
+        "pyworker_cold_sec": pyworker_cold,
+        "scan_calib_sec": scan_calib,
+        # 1/5/15-min load BEFORE the run started is unknowable here,
+        # but the post-probe snapshot still flags a contended host
+        # (the r8 driver-window gap suspect): loadavg >> CPUs means
+        # the numbers above shared the box with something.
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "probe_affinity": affinity,
     }
     # The driver records only the last 2000 chars of stdout and
@@ -205,6 +268,9 @@ def main() -> None:
         "n_queries": len(timings),
         "calib_sec": calib,
         "shuffle_calib_sec": shuffle_calib,
+        "pyworker_calib_sec": pyworker_calib,
+        "scan_calib_sec": scan_calib,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4)
         if timings
         else 0.0,

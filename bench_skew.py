@@ -11,12 +11,15 @@ events serializes 30% of the table through a single core while 31
 cores idle. The bucketed twin keys the event shuffle on
 (key, time-bucket), bounding any task at one key-bucket of rows.
 
-This bench builds two fixtures from sf0.1 at --scale x rows:
-  uniform — scaled with disjoint per-replica keys (bench_scale.py's
-            derivation; no key exceeds its natural share)
-  hotkey  — same rows, but ~30% of events/orders reassigned to ONE
-            key (ids preserved, timestamps spread over the natural
-            span so the hot key covers every time bucket)
+This bench builds three fixtures from sf0.1 at --scale x rows:
+  uniform    — scaled with disjoint per-replica keys (bench_scale.py's
+               derivation; no key exceeds its natural share)
+  hotkey_mid — ~15% of events/orders (30% of docs) on ONE key: the
+               interior point that tests the dispatcher's linear
+               crossover model where it actually routes (r9)
+  hotkey     — ~30% of events/orders (60% of docs) reassigned to ONE
+               key (ids preserved, timestamps spread over the natural
+               span so the hot key covers every time bucket)
 and times plain vs bucketed on both. Expected shape: plain ~flat vs
 bucketed on uniform (bucketed pays its overhead), plain DEGRADES on
 hotkey while bucketed stays near its uniform number — the crossover.
@@ -51,6 +54,13 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 HOT_FRAC = 0.3
+# Round-9 (verdict task #6): a third, INTERIOR hot-share point per
+# family. The dispatcher's crossover models are two-point lines
+# (uniform + one hot fixture); the mid fixture tests whether runtime
+# is actually ~linear in hot share where the router routes —
+# predicted-mid (from the two-point line) vs measured-mid is recorded
+# as `mid_linearity` per plan.
+HOT_FRAC_MID = 0.15
 FAMILIES = {
     "sessionize": ("sessionize_events", "sessionize_events_bucketed"),
     "running_revenue": (
@@ -65,6 +75,7 @@ FAMILIES = {
 # than the events HOT_FRAC: "source" is ALREADY low-cardinality, so
 # the interesting regime is one-source dominance, not a mere hot tail.
 DOC_HOT_FRAC = 0.6
+DOC_HOT_FRAC_MID = 0.3  # interior point for the source-dominance pair
 
 
 def _doc_families():
@@ -89,7 +100,7 @@ def _link_base(out_dir: str, skip: set[str]) -> None:
             os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
 
 
-def _scaled_events(spark, k: int, hot: bool):
+def _scaled_events(spark, k: int, hot_frac: float):
     ev = load_table(spark, BASE_SF, "events")
     parts = []
     for i in range(k):
@@ -100,18 +111,20 @@ def _scaled_events(spark, k: int, hot: bool):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if hot:
-        # ~30% of rows become user 0 — ids/timestamps untouched, so
-        # the hot user spans the full 30-day window (≈30 day-buckets)
+    if hot_frac:
+        # hot_frac of rows become user 0 — ids/timestamps untouched,
+        # so the hot user spans the full 30-day window (≈30 buckets)
+        pct = int(hot_frac * 100)
         out = out.withColumn(
             "user_id",
-            F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(0))
-            .otherwise(F.col("user_id")),
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(100)) < pct, F.lit(0)
+            ).otherwise(F.col("user_id")),
         )
     return out
 
 
-def _scaled_orders(spark, k: int, hot: bool):
+def _scaled_orders(spark, k: int, hot_frac: float):
     o = load_table(spark, BASE_SF, "orders")
     parts = []
     for i in range(k):
@@ -122,16 +135,18 @@ def _scaled_orders(spark, k: int, hot: bool):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if hot:
+    if hot_frac:
+        pct = int(hot_frac * 100)
         out = out.withColumn(
             "o_custkey",
-            F.when(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) < 3, F.lit(0))
-            .otherwise(F.col("o_custkey")),
+            F.when(
+                F.pmod(F.xxhash64("o_orderkey"), F.lit(100)) < pct, F.lit(0)
+            ).otherwise(F.col("o_custkey")),
         )
     return out
 
 
-def _scaled_documents(spark, k: int, hot: bool):
+def _scaled_documents(spark, k: int, doc_hot_frac: float):
     d = load_table(spark, BASE_SF, "documents")
     parts = []
     for i in range(k):
@@ -141,29 +156,32 @@ def _scaled_documents(spark, k: int, hot: bool):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if hot:
-        # ~60% of docs collapse into one dominant source — texts and
-        # ids untouched, so scores/token counts keep their natural
-        # spread and only the partition-key histogram changes
+    if doc_hot_frac:
+        # doc_hot_frac of docs collapse into one dominant source —
+        # texts and ids untouched, so scores/token counts keep their
+        # natural spread and only the partition-key histogram changes
+        pct = int(doc_hot_frac * 100)
         out = out.withColumn(
             "source",
             F.when(
-                F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 6,
+                F.pmod(F.xxhash64("doc_id"), F.lit(100)) < pct,
                 F.lit("hot_crawl"),
             ).otherwise(F.col("source")),
         )
     return out
 
 
-def build_fixture(spark, out_dir: str, k: int, hot: bool) -> None:
+def build_fixture(
+    spark, out_dir: str, k: int, hot_frac: float, doc_hot_frac: float
+) -> None:
     _link_base(out_dir, skip={"events", "orders", "documents"})
-    _scaled_events(spark, k, hot).write.mode("overwrite").parquet(
+    _scaled_events(spark, k, hot_frac).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
-    _scaled_orders(spark, k, hot).write.mode("overwrite").parquet(
+    _scaled_orders(spark, k, hot_frac).write.mode("overwrite").parquet(
         os.path.join(out_dir, "orders.parquet")
     )
-    _scaled_documents(spark, k, hot).write.mode("overwrite").parquet(
+    _scaled_documents(spark, k, doc_hot_frac).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
 
@@ -192,16 +210,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {}
-    for kind, hot in (("uniform", False), ("hotkey", True)):
+    for kind, hf, dhf in (
+        ("uniform", 0.0, 0.0),
+        ("hotkey_mid", HOT_FRAC_MID, DOC_HOT_FRAC_MID),
+        ("hotkey", HOT_FRAC, DOC_HOT_FRAC),
+    ):
         d = os.path.join(args.workdir, kind)
-        build_fixture(spark, d, args.scale, hot)
+        build_fixture(spark, d, args.scale, hf, dhf)
         dirs[kind] = d
         print(f"# built {kind} fixture at {d}", file=sys.stderr)
+
+    KINDS = ("uniform", "hotkey_mid", "hotkey")
+
+    def _mid_linearity(res: dict) -> dict:
+        """Predicted mid-point seconds from the (uniform, hot)
+        two-point line vs the measured mid fixture — ratio 1.0 means
+        the dispatcher's linear model holds at the interior point."""
+        lin = {}
+        for plan in ("plain", "bucketed"):
+            pred = (
+                res["uniform"][plan]
+                + (res["hotkey"][plan] - res["uniform"][plan]) * 0.5
+            )
+            meas = res["hotkey_mid"][plan]
+            lin[plan] = {
+                "predicted_s": round(pred, 3),
+                "measured_s": meas,
+                "ratio": round(meas / pred, 3) if pred else None,
+            }
+        return lin
 
     out: dict = {}
     for fam, (plain, bucketed) in FAMILIES.items():
         res = {}
-        for kind in ("uniform", "hotkey"):
+        for kind in KINDS:
             res[kind] = {
                 "plain": timed(spark, plain, dirs[kind]),
                 "bucketed": timed(spark, bucketed, dirs[kind]),
@@ -213,6 +255,7 @@ def main() -> None:
         res["bucketed_degradation"] = round(
             res["hotkey"]["bucketed"] / res["uniform"]["bucketed"], 2
         )
+        res["mid_linearity"] = _mid_linearity(res)
         out[fam] = res
 
     def timed_fn(fn, sf_dir, robust, repeat=2):
@@ -229,7 +272,7 @@ def main() -> None:
 
     for fam, fn in _doc_families().items():
         res = {}
-        for kind in ("uniform", "hotkey"):
+        for kind in KINDS:
             res[kind] = {
                 "plain": timed_fn(fn, dirs[kind], False),
                 "bucketed": timed_fn(fn, dirs[kind], True),
@@ -241,6 +284,7 @@ def main() -> None:
         res["bucketed_degradation"] = round(
             res["hotkey"]["bucketed"] / res["uniform"]["bucketed"], 2
         )
+        res["mid_linearity"] = _mid_linearity(res)
         out[fam] = res
 
     # -----------------------------------------------------------------
@@ -272,7 +316,7 @@ def main() -> None:
     dispatch: dict = {}
     for fam, qname in DISPATCH_QUERIES.items():
         spec = DISPATCH[qname]
-        for kind in ("uniform", "hotkey"):
+        for kind in KINDS:
             share = hot_key_share(spec.probe(spark, dirs[kind]))
             dec = decide(qname, share)
             m = out[fam][kind]
@@ -299,6 +343,7 @@ def main() -> None:
                 "metric": "skew_crossover",
                 "scale": args.scale,
                 "hot_frac": HOT_FRAC,
+                "hot_frac_mid": HOT_FRAC_MID,
                 "families": out,
                 "dispatch": dispatch,
             },

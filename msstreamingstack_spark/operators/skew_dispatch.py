@@ -81,39 +81,74 @@ class CrossoverModel:
     twin_hot: float
     measured_hot: float = 0.3
     extrapolated: bool = False
+    # Optional INTERIOR measured point (round 9, SKEW_CROSSOVER_r9):
+    # with it the model is piecewise-linear through three points
+    # instead of one line through two. The r9 interior fixtures
+    # showed plain-side cost slightly CONCAVE in hot share (measured
+    # mid 0.84-0.91x the two-point line), which places the true
+    # crossover a little above the two-point h* — the piecewise fit
+    # stops the router flipping to the twin in that dead-zone.
+    plain_mid: Optional[float] = None
+    twin_mid: Optional[float] = None
+    measured_mid: float = 0.15
 
     def crossover_share(self) -> float:
         """Hot-key share past which the twin is the cheaper plan.
 
         ``inf`` when the plain plan stays cheaper over (0, 1] — i.e.
         the twin premium at uniform is never repaid by plain-side
-        degradation within any realizable hot share.
+        degradation within any realizable hot share. Piecewise over
+        the measured points when an interior point exists; exactly
+        the old two-point line otherwise.
         """
-        plain_slope = (self.plain_hot - self.plain_uniform) / self.measured_hot
-        twin_slope = (self.twin_hot - self.twin_uniform) / self.measured_hot
-        gap = self.twin_uniform - self.plain_uniform  # >0: twin premium
-        closing = plain_slope - twin_slope
+        pts = [(0.0, self.plain_uniform, self.twin_uniform)]
+        if self.plain_mid is not None and self.twin_mid is not None:
+            pts.append((self.measured_mid, self.plain_mid, self.twin_mid))
+        pts.append((self.measured_hot, self.plain_hot, self.twin_hot))
+        for (h0, p0, t0), (h1, p1, t1) in zip(pts, pts[1:]):
+            gap0 = t0 - p0  # >0: twin premium at segment start
+            gap1 = t1 - p1
+            if gap0 <= 0:
+                return h0  # twin already cheaper entering the segment
+            if gap1 <= 0:
+                # crossing inside this measured segment
+                return h0 + (h1 - h0) * gap0 / (gap0 - gap1)
+        # no crossing inside the measured range: extrapolate the last
+        # segment's closing rate
+        (h0, p0, t0), (h1, p1, t1) = pts[-2], pts[-1]
+        closing = ((p1 - p0) - (t1 - t0)) / (h1 - h0)
         if closing <= 0:
-            # plain never degrades faster than the twin: if the twin
-            # is already cheaper at uniform, always-twin; else never.
-            return 0.0 if gap <= 0 else math.inf
-        h = gap / closing
+            return math.inf
+        h = h1 + (t1 - p1) / closing
         return h if h <= 1.0 else math.inf
 
 
 # Directly measured families — numbers verbatim from
-# SKEW_CROSSOVER_r7.json (32x sf0.1 fixtures, seconds).
+# SKEW_CROSSOVER_r9.json (32x sf0.1 fixtures, quiet host, THREE
+# points per family: uniform / 15% / 30% hot — 30%/60% for the
+# source-dominance pair). r9 vs the r7 two-point models: both window
+# families' crossovers moved DOWN (sessionize 0.336 -> ~0.245,
+# running_revenue 0.221 -> ~0.196 piecewise) — consistent with r8's
+# observed dead heat at share 0.30 — and the interior points confirm
+# ~linearity (two-point-line ratios 0.84-1.02) with mild concavity,
+# which the piecewise fit absorbs.
 SESSIONIZE = CrossoverModel(
-    "sessionize", 1.247, 2.9, 3.066, 3.095, measured_hot=0.3
-)  # h* ~= 0.336
+    "sessionize", 2.640, 3.272, 3.894, 2.940, measured_hot=0.3,
+    plain_mid=2.698, twin_mid=3.279, measured_mid=0.15,
+)  # h* ~= 0.245 (piecewise; twin measured FASTER at 30% hot in r9)
 RUNNING_REVENUE = CrossoverModel(
-    "running_revenue", 1.319, 3.691, 3.503, 2.914, measured_hot=0.3
-)  # h* ~= 0.221
+    "running_revenue", 1.544, 5.371, 3.484, 3.693, measured_hot=0.3,
+    plain_mid=2.904, twin_mid=3.643, measured_mid=0.15,
+)  # h* ~= 0.196 (piecewise; two-point line said 0.161, inside the
+#    0.15-point's measured plain-still-wins regime — the dead-zone
+#    the interior point exists to remove)
 TOKEN_BUDGET = CrossoverModel(
-    "token_budget", 0.942, 0.757, 1.852, 1.565, measured_hot=0.6
+    "token_budget", 1.021, 0.886, 2.545, 2.212, measured_hot=0.6,
+    plain_mid=0.835, twin_mid=2.076, measured_mid=0.3,
 )  # inf — plain got FASTER under source dominance at this scale
 CALIBRATED_QUALITY = CrossoverModel(
-    "calibrated_quality", 0.98, 1.024, 1.987, 1.493, measured_hot=0.6
+    "calibrated_quality", 1.002, 0.99, 2.514, 2.249, measured_hot=0.6,
+    plain_mid=1.01, twin_mid=2.061, measured_mid=0.3,
 )  # inf — twin premium never repaid at this scale
 
 

@@ -3307,6 +3307,142 @@ def q_bpe_segment_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment_pinned(spread(load_table(spark, sf_dir, "documents")))
 
 
+# ---------------------------------------------------------------------------
+# Curriculum schedule (round 9) — cumulative easy-to-hard epochs by
+# token-length difficulty, the standard text proxy (Bengio et al. 2009
+# curriculum learning; Llama-style anneal phases are the same shape
+# with quality as the key). The interesting part is the PLAN: epoch
+# membership needs each doc's EXACT GLOBAL difficulty rank, and a
+# global row_number window is a single task at any scale. Instead the
+# rank decomposes distributedly: a token-count histogram (cardinality
+# bounded by max document length, so its prefix-sum window is tiny)
+# gives each n_tokens value its start rank, and a row_number
+# partitioned by n_tokens (bounded tie groups) finishes it —
+# grank = hist_prefix(n_tokens) + rn_within(n_tokens). The same
+# order-statistics decomposition serves any global-rank need at
+# 100 TB. NTILE-compatible cutoffs: epoch e covers ranks
+# <= e*(N/3) + min(e, N mod 3) — exact integers, both engines.
+# ---------------------------------------------------------------------------
+CURRICULUM_EPOCHS = 3
+
+
+@register(
+    "curriculum_epoch_schedule",
+    f"""
+WITH t AS (
+  SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents
+),
+h AS (SELECT n_tokens, COUNT(*) AS c FROM t GROUP BY n_tokens),
+hp AS (
+  SELECT n_tokens,
+         COALESCE(SUM(c) OVER (ORDER BY n_tokens
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS prefix
+  FROM h
+),
+r AS (
+  SELECT t.doc_id, t.n_tokens,
+         hp.prefix + ROW_NUMBER() OVER (PARTITION BY t.n_tokens
+                                        ORDER BY t.doc_id) AS grank
+  FROM t JOIN hp USING (n_tokens)
+),
+n AS (SELECT COUNT(*) AS nn FROM t),
+e(epoch) AS (VALUES (1), (2), (3)),
+c AS (
+  SELECT epoch, epoch * (nn // {CURRICULUM_EPOCHS})
+           + LEAST(epoch, nn % {CURRICULUM_EPOCHS}) AS cutoff
+  FROM e, n
+),
+a AS (
+  SELECT c.epoch, COUNT(*) AS n_docs,
+         CAST(SUM(r.n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(MAX(r.n_tokens) AS BIGINT) AS max_tokens
+  FROM c JOIN r ON r.grank <= c.cutoff
+  GROUP BY c.epoch
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, n_docs, sum_tokens, max_tokens,
+       CAST(n_docs - COALESCE(LAG(n_docs) OVER (ORDER BY epoch), 0)
+            AS BIGINT) AS n_new_docs
+FROM a
+""",
+    tags=("extension", "pipeline", "curriculum", "sampling"),
+    doc="Cumulative curriculum/anneal schedule: docs ranked easy->hard "
+    f"by (n_tokens, doc_id), {CURRICULUM_EPOCHS} NTILE-compatible "
+    "tranches, epoch e trains on tranches 1..e; per-epoch doc/token "
+    "totals and the per-epoch increment. The global difficulty rank "
+    "is computed WITHOUT a single-task global window: histogram "
+    "prefix (bounded by max doc length) + per-n_tokens row_number — "
+    "the distributed order-statistics pattern any exact global rank "
+    "uses at corpus scale. Epoch fan-out is a 3-row broadcast "
+    "nested-loop, bounded by the epoch count.",
+)
+def q_curriculum_epoch_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    h = t.groupBy("n_tokens").agg(F.count("*").alias("c"))
+    hp = h.select(
+        "n_tokens",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("n_tokens").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+    )
+    r = (
+        t.join(F.broadcast(hp), "n_tokens")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_tokens").orderBy("doc_id")
+            ),
+        )
+        .select("n_tokens", (F.col("prefix") + F.col("rn")).alias("grank"))
+    )
+    n = t.agg(F.count("*").alias("nn"))
+    e = spark.range(1, CURRICULUM_EPOCHS + 1).select(
+        F.col("id").alias("epoch")
+    )
+    c = (
+        e.crossJoin(F.broadcast(n))
+        .select(
+            "epoch",
+            (
+                F.col("epoch") * F.floor(F.col("nn") / CURRICULUM_EPOCHS)
+                + F.least(F.col("epoch"), F.col("nn") % CURRICULUM_EPOCHS)
+            ).alias("cutoff"),
+        )
+    )
+    a = (
+        F.broadcast(c)
+        .join(r, F.col("grank") <= F.col("cutoff"))
+        .groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+    return a.select(
+        "epoch",
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        (
+            F.col("n_docs")
+            - F.coalesce(
+                F.lag("n_docs").over(Window.orderBy("epoch")), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_new_docs"),
+    )
+
+
 # queries.py's own bottom imports, the helper isn't defined yet — the
 # getattr no-ops and queries.py's own call applies the window.
 import msstreamingstack_spark.queries as _queries  # noqa: E402

@@ -518,6 +518,47 @@ def test_bucketed_window_plan_budgets(spark):
     assert f.broadcast_joins >= 1, "summary side must broadcast"
 
 
+def test_basket_pairs_no_self_join(spark):
+    """r9 basket kernel: pairs explode map-side from the per-order
+    sorted brand array — the plan must carry NO okey self-join (no
+    SortMergeJoin / ShuffledHashJoin anywhere; the only joins are the
+    broadcast part-dim and the broadcast stats tail), and exactly one
+    event-sized exchange (the groupBy(okey) basket build) plus the
+    tiny post-explode grid aggregate."""
+    spark.catalog.clearCache()
+    for name in ("basket_lift_pairs", "basket_lift_pairs_capped"):
+        f = plan_facts(REGISTRY[name].builder(spark, SF))
+        assert "SortMergeJoin" not in f.text, (name, f.text[:2000])
+        assert "ShuffledHashJoin" not in f.text, (name, f.text[:2000])
+        assert f.broadcast_joins >= 3, (name, f.text[:2000])
+        # measured occurrence budgets (tree+details double-count; the
+        # ob subtree prints once per consumer — n, bc, baskets — and
+        # the capped form adds the row_number window's okey exchange
+        # per consumer). The self-join form measured 20/— here; a
+        # regression reintroducing it fails the join asserts above
+        # before these budgets.
+        max_occ = 16 if name == "basket_lift_pairs" else 24
+        assert f.shuffles <= max_occ, (
+            f"{name}: {f.shuffles} Exchange occurrences > {max_occ}\n"
+            f"{f.text[:2000]}"
+        )
+
+
+def test_hard_negatives_ann_probe_plan(spark):
+    """ANN hard negatives: probes broadcast (never the corpus), no
+    sort-merge join, and the label filter sits in the join condition
+    (BroadcastHashJoin condition or post-join Filter BEFORE the rank
+    window) rather than after ranking."""
+    spark.catalog.clearCache()
+    f = plan_facts(REGISTRY["mine_hard_negatives_ann"].builder(spark, SF))
+    assert f.broadcast_joins >= 1, f.text[:2000]
+    assert "SortMergeJoin" not in f.text, f.text[:2000]
+    assert "NOT (query_label" in f.text or "NOT (neg_label" in f.text, (
+        "label-inequality filter missing from the candidate join\n"
+        + f.text[:3000]
+    )
+
+
 def test_chartrigram_freq_join_is_broadcast(spark):
     """The trigram->corpus-frequency join must broadcast the freq side:
     char-trigram cardinality is alphabet-bounded at any corpus size,

@@ -2,11 +2,12 @@
 (operators/skew_dispatch.py).
 
 The contract under test, per family:
-  - crossover math reproduces SKEW_CROSSOVER_r7.json's shape
-    (sessionize ~0.336, running_revenue ~0.221, the two
-    source-dominance families inf — no crossover at this scale);
+  - crossover math reproduces SKEW_CROSSOVER_r9.json's shape
+    (piecewise 3-point: sessionize ~0.245, running_revenue ~0.196,
+    the two source-dominance families inf — no crossover at this
+    scale);
   - the dispatcher picks PLAIN on a uniform fixture and the TWIN on
-    the 30%-hot fixture (running_revenue's measured crossover 0.221
+    the 30%-hot fixture (running_revenue's measured crossover 0.196
     sits between them);
   - routing never changes the result — auto output is bit-identical
     to the default plan (the twins' own parity suites pin the twin
@@ -36,13 +37,27 @@ from msstreamingstack_spark.queries import REGISTRY
 
 class TestCrossoverMath:
     def test_sessionize_crossover_matches_measured_points(self):
-        # plain 1.247->2.9, twin 3.066->3.095 over h in [0, 0.3]
-        assert SESSIONIZE.crossover_share() == pytest.approx(0.336, abs=0.005)
+        # r9 piecewise: crossing in the [0.15, 0.3] segment — plain
+        # 2.698->3.272 vs twin 3.279->2.940
+        assert SESSIONIZE.crossover_share() == pytest.approx(0.245, abs=0.005)
 
     def test_running_revenue_crossover(self):
+        # r9 piecewise 0.196; the two-point line through (uniform,
+        # hot) alone would say 0.161 — BELOW the measured 0.15-point
+        # where plain still wins (2.904 vs 3.643). The interior point
+        # exists precisely to remove that dead-zone.
         assert RUNNING_REVENUE.crossover_share() == pytest.approx(
-            0.221, abs=0.005
+            0.196, abs=0.005
         )
+        two_point = RUNNING_REVENUE.__class__(
+            "rr2pt",
+            RUNNING_REVENUE.plain_uniform,
+            RUNNING_REVENUE.plain_hot,
+            RUNNING_REVENUE.twin_uniform,
+            RUNNING_REVENUE.twin_hot,
+            measured_hot=RUNNING_REVENUE.measured_hot,
+        )
+        assert two_point.crossover_share() == pytest.approx(0.161, abs=0.005)
 
     def test_source_dominance_families_have_no_crossover_at_this_scale(self):
         # token_budget: plain got FASTER under dominance; calibrated:
@@ -93,7 +108,7 @@ class TestHotKeyShareAndDecision:
 
     def _hot30(self, spark):
         # ~30% of rows on ONE key (bench_skew.py's HOT_FRAC fixture
-        # shape), the regime SKEW_CROSSOVER_r7 measured.
+        # shape), the regime SKEW_CROSSOVER_r9 measured.
         return spark.range(4000).select(
             F.when(F.col("id") % 10 < 3, F.lit(0))
             .otherwise(F.col("id"))
@@ -117,7 +132,7 @@ class TestHotKeyShareAndDecision:
         assert u.use_twin is False
         assert h.use_twin is True
         # the routing boundary IS the measured crossover
-        assert u.crossover == pytest.approx(0.221, abs=0.005)
+        assert u.crossover == pytest.approx(0.196, abs=0.005)
 
     def test_source_dominance_stays_plain_even_at_60pct(self):
         d = decide("token_budget_sample", 0.6)
