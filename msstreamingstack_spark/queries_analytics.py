@@ -2123,21 +2123,29 @@ WHERE n_ab >= {BASKET_MIN_SUPPORT}
     "ranks nodes; this scores EDGES with calibrated statistics).",
 )
 def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE event-sized shuffle in the whole query: the okey groupBy
+    # whose collect_set IS the (order, brand) distinct. n_orders, the
+    # per-brand counts, and the pairs all derive from the persisted
+    # orders-sized baskets frame — the r9.0 form computed the
+    # lineitem-join + distinct THREE times (once per consumer) and
+    # measured 10.5x at 64x data for it; this shape re-measured 2.3x.
+    from msstreamingstack_spark.caching import rotating_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = rotating_persist(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands")),
+        "basket_lift.baskets",
     )
-    n = ob.select("okey").distinct().agg(F.count("*").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
-    pairs = _basket_pairs_from_arrays(
-        ob.groupBy("okey").agg(
-            F.array_sort(F.collect_set("brand")).alias("brands")
-        )
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_b"))
     )
-    return _basket_lift_tail(pairs, bc, n)
+    return _basket_lift_tail(_basket_pairs_from_arrays(baskets), bc, n)
 
 
 @register(
@@ -2188,29 +2196,38 @@ WHERE n_ab >= {BASKET_MIN_SUPPORT}
     "the bound is what survives a catalog with 10^6 items.",
 )
 def q_basket_lift_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same single-shuffle shape as the exact kernel: the top-B
+    # selection happens INSIDE the collected array via JVM
+    # higher-order functions (per-brand in-basket counts -> sort by
+    # (count DESC, brand) via a struct array_sort -> slice B), so the
+    # cap costs no extra exchange — the oracle's ROW_NUMBER rule,
+    # evaluated order-free per basket.
+    from msstreamingstack_spark.caching import rotating_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    obc = (
+    capped = F.expr(
+        "array_sort(transform("
+        "  slice(array_sort(transform(array_distinct(all_brands),"
+        "        b -> struct(-size(filter(all_brands, x -> x = b)) AS negn,"
+        "                    b AS brand))),"
+        f"       1, {BASKET_CAP_B}),"
+        "  s -> s.brand))"
+    )
+    baskets = rotating_persist(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(
-            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
-        )
-        .agg(F.count("*").alias("nl"))
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_list("p_brand").alias("all_brands"))
+        .select("okey", capped.alias("brands")),
+        "basket_lift.baskets_capped",
     )
-    w = Window.partitionBy("okey").orderBy(F.desc("nl"), "brand")
-    ob = (
-        obc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= BASKET_CAP_B)
-        .select("okey", "brand")
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_b"))
     )
-    n = ob.select("okey").distinct().agg(F.count("*").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").alias("n_b"))
-    pairs = _basket_pairs_from_arrays(
-        ob.groupBy("okey").agg(
-            F.array_sort(F.collect_set("brand")).alias("brands")
-        )
-    )
-    return _basket_lift_tail(pairs, bc, n)
+    return _basket_lift_tail(_basket_pairs_from_arrays(baskets), bc, n)
 
 
 # ---------------------------------------------------------------------------
