@@ -270,8 +270,9 @@ from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 #       (zorder_cluster_stats — only oracled layout query;
 #       grouping_sets_revenue — only oracled grouping-sets query),
 #       then the r6-latest cohort head in registry order, with
-#       multimodal_frame_sample pulled forward over the 13th entry
-#       (mix_weighted_sources) to keep the mandatory multimodal slot;
+#       multimodal_frame_sample and similarity_ann_ivf pulled forward
+#       (over mix_weighted_sources and dedup_exact) to keep the
+#       mandatory multimodal and similarity family slots;
 #       the skew-twin slot is covered naturally by
 #       sessionize_events_bucketed / running_revenue_bucketed, and
 #       tpch by (b)'s eleven TPC-H rows plus tpch_q1 in the fills.
@@ -303,21 +304,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "enrich_clickstream", "tpch_q1", "join_left_orders_customer",
     "join_inner_customer_geo", "running_revenue_bucketed",
     "order_priority_check", "skew_profile_events_user",
-    "user_state_table", "dedup_exact", "text_cleaning",
+    "user_state_table", "similarity_ann_ivf", "text_cleaning",
     "multimodal_frame_sample",
 )
 # ROUND-10 WINDOW BUDGET (arithmetic, do this first next session):
 # after this rotation nothing is >2 rounds stale. Latest-round
 # histogram entering r10: r9=50, r8=48 (the r8 cohort minus
 # zorder_cluster_stats/grouping_sets_revenue, refreshed here),
-# r7=48, r6=35, r5=0. The r10 window = any registrations added in
-# round 9 that the driver has never checked FIRST (see the catalog's
-# never-checked list at r10 time), then the 35 remaining r6-latest
-# queries (mix_weighted_sources, pack_sequences_greedy,
+# r7=48, r6=35, r5=0. The r10 window = the THREE round-9
+# registrations the driver has never checked FIRST
+# (basket_lift_pairs_capped, mine_hard_negatives_ann,
+# curriculum_epoch_schedule — all CLI-verify hash-green in-session;
+# plus anything later rounds add, per the catalog's never-checked
+# list at r10 time), then the 35 remaining r6-latest
+# queries (dedup_exact, mix_weighted_sources, pack_sequences_greedy,
 # quality_char_entropy, quality_ensemble_score, substring_dup_spans,
 # corpus_version_diff, dedup_events_debounce, dedup_chunk_rewrite,
 # dsir_importance_weights, langid_fasttext_hashed,
-# percentile_event_values, tpch_q18_large_orders, similarity_ann_ivf,
+# percentile_event_values, tpch_q18_large_orders,
 # similarity_ann_ivf_ml, hof_component_means, hof_array_pipeline,
 # wordcount_frequent, dq_report, corpus_topic_balance,
 # sql_frontend_exists_parity, sql_frontend_setops_all_parity,
@@ -329,7 +333,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # histogram_event_values), then r7-latest fills in registry order up
 # to 50, keeping the family slots (zorder_cluster_stats,
 # grouping_sets_revenue, one multimodal, one skew twin, one tpch —
-# similarity_ann_ivf/_ml in the r6 list cover ANN).
+# similarity_ann_ivf_ml in the r6 list covers ANN).
 
 
 def _apply_driver_window() -> None:
