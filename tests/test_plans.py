@@ -181,6 +181,7 @@ def test_no_python_eval_in_relational_paths(spark):
             "sample_cluster_balanced",  # pinned_cell_assign (Arrow batch)
             "pipeline_pretrain_corpus_v2",  # embeds dedup_semantic's assign
             "similarity_ann_quantized",  # Arrow matmul code scan
+            "mine_hard_negatives_ann",  # pinned-IVF probe/assign UDFs
             "dedup_embedding_lsh",  # SRP bucket UDF (Arrow matmul)
             "chunk_documents_udtf",
             "pandas_udaf_value_moments",

@@ -476,7 +476,15 @@ def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
         lm_store_dir=str(tmp_path / "lm"),
     )
     try:
-        q.awaitTermination(600)
+        # 50 batches x ~10 s quiet-floor = ~500 s; under full-suite
+        # heap/CPU pressure the drain legitimately exceeds 600 s
+        # (three same-commit runs: 500 s pass, 622/629 s "failures"
+        # whose real cause was THIS cap cutting the drain short and
+        # tripping the batch-count assert below, not latency growth —
+        # instrumented per-batch durations are flat, floor ~7.4 s).
+        # Latency discipline is owned by assert (c); the cap only
+        # needs to stop a hang.
+        q.awaitTermination(1800)
         progress = [
             p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
         ]
@@ -504,21 +512,22 @@ def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
     )
     assert total < 50 * 1024 * 1024, total
 
-    # (c) flat latency: the 3rd-smallest of the last 10 batches vs the
-    # early median. A genuine super-linear per-batch term (store
-    # re-read growth, cache leak) lifts EVERY late batch, so any low
-    # quantile rises with it; transient host pressure — CPU
-    # contention, end-of-suite JVM heap pressure — spikes individual
-    # batches but leaves several near the true floor. Median-vs-median
-    # failed twice in one day on full-suite runs (late medians 3-4.5x
-    # from environment alone); the bare minimum (r8) let a regression
-    # lifting 9 of 10 batches pass if one batch grazed the floor
-    # (ADVICE r8). The p25-ish 3rd-smallest pins a regression that
-    # lifts >70% of late batches while tolerating up to 7 spiked ones.
+    # (c) flat latency, SAME-quantile early-vs-late so uniform host
+    # pressure cancels. History: median-vs-median failed twice in one
+    # day on full-suite runs (late medians 3-4.5x from environment
+    # alone); the bare r8 minimum let a regression lifting 9 of 10
+    # batches pass if one grazed the floor (ADVICE r8); the r9 first
+    # cut (late p25 vs early MEDIAN) failed a run in the wake of a
+    # 56-min full suite and passed the same commit solo — cross-
+    # quantile bounds inherit the environment. A genuine super-linear
+    # per-batch term (store re-read growth, cache leak) lifts the
+    # late floor AND p25 together; transient pressure can spike up to
+    # 7 of 10 batches without touching either assert.
     durs = [p["durationMs"]["triggerExecution"] for p in progress]
-    early = statistics.median(durs[10:20])
-    late_low = sorted(durs[-10:])[2]
-    assert late_low <= 3 * early, (early, late_low, durs)
+    early = sorted(durs[10:20])
+    late = sorted(durs[-10:])
+    assert late[0] <= 3 * early[0], (early, late)  # floor vs floor
+    assert late[2] <= 4 * early[2], (early, late)  # p25 vs p25
 
 
 def test_in_stream_compaction_preserves_results(spark, tmp_path):
