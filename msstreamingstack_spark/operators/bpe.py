@@ -183,12 +183,21 @@ def bpe_train_sequential(
 #   walk the (cnt DESC, l, r) ranking taking mutually-disjoint pairs,
 #   STOP at the first candidate overlapping a taken pair (never skip
 #   and continue — a skipped pair may still outrank everything
-#   after it at its sequential turn), then truncate the batch to
-#   counts STRICTLY ABOVE the stop candidate's count (kills the tie
-#   hazard: every disturbed or created pair has count <= c_stop).
-#   Measured on the sf0.01 documents fixture (31-word vocab, ties
-#   everywhere): average batch 1.16 — tie-heavy tiny corpora
-#   degenerate to sequential, which is why this is NOT the default.
+#   after it at its sequential turn), END the batch at any SELF-PAIR
+#   (l == r: merging it creates a chained pair, e.g. (c,c) over
+#   'c c c' creates ('cc','c'), whose snapshot bound is the taken
+#   pair's OWN count — NOT an overlapping pair's count — so nothing
+#   taken after it is provably still the sequential max; the self-pair
+#   is only safe as the batch's LAST member), then truncate the batch
+#   to counts STRICTLY ABOVE the stop candidate's count (kills the tie
+#   hazard: every disturbed or created pair created by the SURVIVING
+#   members has count <= c_stop; the self-pair's chain pair is <= its
+#   own count and, being last, is re-ranked against fresh counts next
+#   round). Repeat-heavy corpora thus degenerate toward sequential —
+#   the honest price of exactness. Measured on the sf0.01 documents
+#   fixture (31-word vocab, ties everywhere): average batch 1.16 —
+#   tie-heavy tiny corpora degenerate to sequential, which is why
+#   this is NOT the default.
 #
 # bpe_train_local — the HF-tokenizers decomposition, distributed
 #   where it matters: ONE corpus-sized Spark job builds the bounded
@@ -344,7 +353,15 @@ def bpe_train_batched(
             taken.append((l, r, c))
             used.add(l)
             used.add(r)
-            if len(taken) >= want:
+            # A self-pair (l == r) ends the batch: merging it CREATES
+            # a chained pair (l+r, r) bounded by this pair's OWN
+            # snapshot count, not by any overlapping pair's count, so
+            # a later batch member is not provably still the
+            # sequential max at its turn. As the LAST member it stays
+            # exact (the chain pair is re-ranked against fresh counts
+            # next round); the strict > c_stop truncation below drops
+            # it if it ties the next candidate.
+            if len(taken) >= want or l == r:
                 if len(taken) < len(top):
                     c_stop = top[len(taken)]["cnt"]
                 elif not complete:

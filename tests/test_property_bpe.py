@@ -115,6 +115,29 @@ def test_bpe_merge_table_is_deterministic_under_ties(spark):
     assert rows == [("q", "z"), ("x", "y"), ("y", "x"), ("z", "q")]
 
 
+@pytest.mark.parametrize("batch", [2, 4, 16])
+def test_batched_trainer_self_pair_regression(spark, batch):
+    """The r9 falsifying corpus: (c,c)=4 and (a,b)=1 are disjoint, but
+    merging the SELF-PAIR (c,c) inside 'ccc' creates ('cc','c') with
+    count 2, which sequentially outranks (a,b) — a batch that takes
+    both emits (a,b) one turn early. The batcher must end the batch at
+    the self-pair: sequential order is (c,c), (cc,c), (a,b)."""
+    from msstreamingstack_spark.operators.bpe import bpe_train_batched
+
+    texts = ["ab", "ccc", "ccc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, vocab = bpe_train_batched(docs, rounds=6, batch=batch)
+    want, wsyms = _bpe_model(texts, 6)
+    assert [(m[1], m[2]) for m in want[:3]] == [
+        ("c", "c"), ("cc", "c"), ("a", "b")
+    ]
+    assert merges == want
+    got_syms = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got_syms == {w: " ".join(s) for w, s in wsyms.items()}
+
+
 @given(corpus_strategy, st.sampled_from([1, 2, 4, 16]))
 @settings(max_examples=8, deadline=None)
 def test_batched_trainer_bit_equals_sequential(spark, token_lists, batch):
