@@ -252,88 +252,88 @@ from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-9 rotation — executes the round-8 verdict's pre-computed r9
-# window budget verbatim (its "Next round" task #1). Audit basis:
-# CORRECTNESS_r1-r8 union = 181 distinct oracled queries driver-
-# checked, all latest-hash-green; latest-round histogram entering r9:
-# r8=50, r7=48, r6=48, r5=27, never=8 oracled (+3 rows-only, kept
-# out of the window by policy above).
+# Round-10 rotation — executes the round-9 verdict's pre-computed r10
+# window budget verbatim (its "Next round" task #2). Audit basis:
+# CORRECTNESS_r1-r9 union = 181 distinct oracled queries driver-
+# checked, all latest-hash-green; latest-round histogram entering r10:
+# r9=50, r8=48, r7=48, r6=35, r5=0; never=3 oracled (all three
+# judge-sim hash-green in the r9 verdict session) + rows-only
+# entries kept out of the window by policy above.
 # Composition, in the judge's priority order:
-#   (a) the EIGHT late-r8 registrations the external driver has never
-#       touched (all judge-sim hash-green in the r8 verdict session):
-#       the v2 corpus pipeline, the verbatim-13-gram decontamination
-#       pair, the BPE train/apply/serve trio, the oracled HLL twin,
-#       and the cluster-balanced sampler;
-#   (b) ALL 27 r5-latest queries (3 rounds stale if r9 missed them) —
-#       the r8 budget's leftover list, verbatim order;
-#   (c) 15 fills: the two every-window family slots
+#   (a) the THREE round-9 registrations the external driver has never
+#       checked: the capped basket-lift skew twin, the label-filtered
+#       ANN hard-negative miner, and the curriculum scheduler;
+#   (b) ALL 35 r6-latest queries (3 rounds stale if r10 missed them)
+#       — the r9 budget's leftover list, verbatim order; covers the
+#       tpch slot (tpch_q18_large_orders) and the ANN slot
+#       (similarity_ann_ivf_ml);
+#   (c) 12 fills: the two every-window family slots
 #       (zorder_cluster_stats — only oracled layout query;
 #       grouping_sets_revenue — only oracled grouping-sets query),
-#       then the r6-latest cohort head in registry order, with
-#       multimodal_frame_sample and similarity_ann_ivf pulled forward
-#       (over mix_weighted_sources and dedup_exact) to keep the
-#       mandatory multimodal and similarity family slots;
-#       the skew-twin slot is covered naturally by
-#       sessionize_events_bucketed / running_revenue_bucketed, and
-#       tpch by (b)'s eleven TPC-H rows plus tpch_q1 in the fills.
+#       then the r7-latest cohort head in registry order, with
+#       multimodal_features and salted_join_events_customer pulled
+#       forward (over pack_blocks_fixed and decontaminate_minhash) to
+#       keep the mandatory multimodal and skew-twin family slots
+#       (basket_lift_pairs_capped in (a) also carries the skew tag).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-checked r8 registrations — mandatory this round
-    "pipeline_pretrain_corpus_v2",
-    "decontaminate_ngram13", "decontaminate_span_scrub",
-    "bpe_learn_merges", "bpe_segment_corpus", "bpe_segment_pinned",
-    "approx_distinct_users_hll_oracled", "sample_cluster_balanced",
-    # (b) the 27 r5-latest queries — mandatory this round
-    "embedding_quantize_int8", "token_budget_sample",
-    "correlated_max_acctbal", "dedup_cluster_canonical",
-    "dedup_embedding_lsh", "variant_props_profile",
-    "chunk_documents_udtf", "pandas_udaf_value_moments",
-    "set_ops_all_lineitem", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive", "tpch_q7_nation_volume",
-    "tpch_q8_market_share", "tpch_q12_priority_by_linestatus",
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
-    "range_frame_rolling_sum", "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers",
-    "sql_frontend_q1_parity", "sql_frontend_subquery_parity",
-    "sql_frontend_grouping_sets_parity",
+    # (a) never-driver-checked r9 registrations — mandatory this round
+    "basket_lift_pairs_capped", "mine_hard_negatives_ann",
+    "curriculum_epoch_schedule",
+    # (b) the 35 r6-latest queries — mandatory this round
+    "dedup_exact", "mix_weighted_sources", "pack_sequences_greedy",
+    "quality_char_entropy", "quality_ensemble_score",
+    "substring_dup_spans", "corpus_version_diff",
+    "dedup_events_debounce", "dedup_chunk_rewrite",
+    "dsir_importance_weights", "langid_fasttext_hashed",
+    "percentile_event_values", "tpch_q18_large_orders",
+    "similarity_ann_ivf_ml", "hof_component_means",
+    "hof_array_pipeline", "wordcount_frequent", "dq_report",
+    "corpus_topic_balance", "sql_frontend_exists_parity",
+    "sql_frontend_setops_all_parity",
+    "sql_frontend_recursive_spine_parity", "dedup_semantic",
+    "embedding_pca_project", "cohort_retention", "funnel_conversion",
+    "scd2_device_runs", "rolling_zscore_events", "heavy_hitters_exact",
+    "mix_temperature_sources", "distinct_users_sketch_rollup",
+    "ltv_deciles", "inverted_index_sampled",
+    "pydatasource_events_profile", "histogram_event_values",
     # (c) every-window family slots (layout, grouping-sets)
     "zorder_cluster_stats", "grouping_sets_revenue",
-    # (c) r6-latest fills, registry order (multimodal slot pulled fwd)
-    "sessionize_events", "sessionize_events_bucketed",
-    "enrich_clickstream", "tpch_q1", "join_left_orders_customer",
-    "join_inner_customer_geo", "running_revenue_bucketed",
-    "order_priority_check", "skew_profile_events_user",
-    "user_state_table", "similarity_ann_ivf", "text_cleaning",
-    "multimodal_frame_sample",
+    # (c) r7-latest fills, registry order (multimodal + skew twin
+    # pulled forward)
+    "join_anti_customers_no_orders", "join_semi_customers_with_orders",
+    "running_revenue_per_customer", "rollup_lineitem_flags",
+    "cube_orders_status_priority", "device_transitions",
+    "dedup_ngram_jaccard", "similarity_ann_quantized",
+    "multimodal_features", "salted_join_events_customer",
 )
-# ROUND-10 WINDOW BUDGET (arithmetic, do this first next session):
+# ROUND-11 WINDOW BUDGET (arithmetic, do this first next session):
 # after this rotation nothing is >2 rounds stale. Latest-round
-# histogram entering r10: r9=50, r8=48 (the r8 cohort minus
+# histogram entering r11: r10=50, r9=48 (the r9 cohort minus
 # zorder_cluster_stats/grouping_sets_revenue, refreshed here),
-# r7=48, r6=35, r5=0. The r10 window = the THREE round-9
-# registrations the driver has never checked FIRST
-# (basket_lift_pairs_capped, mine_hard_negatives_ann,
-# curriculum_epoch_schedule — all CLI-verify hash-green in-session;
-# plus anything later rounds add, per the catalog's never-checked
-# list at r10 time), then the 35 remaining r6-latest
-# queries (dedup_exact, mix_weighted_sources, pack_sequences_greedy,
-# quality_char_entropy, quality_ensemble_score, substring_dup_spans,
-# corpus_version_diff, dedup_events_debounce, dedup_chunk_rewrite,
-# dsir_importance_weights, langid_fasttext_hashed,
-# percentile_event_values, tpch_q18_large_orders,
-# similarity_ann_ivf_ml, hof_component_means, hof_array_pipeline,
-# wordcount_frequent, dq_report, corpus_topic_balance,
-# sql_frontend_exists_parity, sql_frontend_setops_all_parity,
-# sql_frontend_recursive_spine_parity, dedup_semantic,
-# embedding_pca_project, cohort_retention, funnel_conversion,
-# scd2_device_runs, rolling_zscore_events, heavy_hitters_exact,
-# mix_temperature_sources, distinct_users_sketch_rollup, ltv_deciles,
-# inverted_index_sampled, pydatasource_events_profile,
-# histogram_event_values), then r7-latest fills in registry order up
-# to 50, keeping the family slots (zorder_cluster_stats,
-# grouping_sets_revenue, one multimodal, one skew twin, one tpch —
-# similarity_ann_ivf_ml in the r6 list covers ANN).
+# r8=48, r7=38, r6=0. The r11 window = any round-10 registrations
+# the driver has never checked FIRST (per the catalog's
+# never-checked list at r11 time — percentile_event_values_sketch
+# is the budgeted one), then the 38 remaining r7-latest queries
+# (pack_blocks_fixed, decontaminate_minhash, mine_hard_negatives,
+# sketch_countmin_user_events, quality_gopher_rules,
+# retrieval_bm25_topk, entity_match_blocked, dedup_containment_pairs,
+# vocab_oov_coverage, quality_source_calibrated,
+# asof_next_purchase_tolerance, range_join_price_bands,
+# tpch_q9_product_profit, sql_frontend_agg_filter_parity,
+# sql_frontend_range_frame_parity, sql_frontend_lateral_topk_parity,
+# merge_upsert_customers, sql_frontend_scripting_parity,
+# graph_pagerank_copurchase, graph_pagerank_personalized,
+# coreset_kcenter, graph_triangle_count, sessionize_dynamic_gap,
+# scd2_merge_device_dim, pit_device_dim_join, regr_value_on_propk,
+# ewma_event_values, anomaly_mad_events, mix_epochs_budget,
+# resample_ohlc_hourly, wau_sliding_distinct, session_paths_topk,
+# event_transition_matrix, bootstrap_ci_value_mean, events_gap_stats,
+# rfm_segments, basket_lift_pairs, events_dow_profile), then
+# r8-latest fills in registry order up to 50, keeping the family
+# slots (zorder_cluster_stats, grouping_sets_revenue, one multimodal,
+# one tpch — the r7 list's tpch_q9 covers tpch, coreset/ANN rows
+# cover similarity, basket_lift_pairs_capped-style skew is covered
+# by salted/bucketed fills if the r8 head lacks one).
 
 
 def _apply_driver_window() -> None:
