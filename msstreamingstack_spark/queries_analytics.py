@@ -2196,28 +2196,40 @@ WHERE n_ab >= {BASKET_MIN_SUPPORT}
     "the bound is what survives a catalog with 10^6 items.",
 )
 def q_basket_lift_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same single-shuffle shape as the exact kernel: the top-B
-    # selection happens INSIDE the collected array via JVM
-    # higher-order functions (per-brand in-basket counts -> sort by
-    # (count DESC, brand) via a struct array_sort -> slice B), so the
-    # cap costs no extra exchange — the oracle's ROW_NUMBER rule,
-    # evaluated order-free per basket.
+    # r10 shape: the in-basket counts come from a MAP-COMBINED
+    # groupBy(okey, brand) whose exchange carries only DISTINCT
+    # (okey, brand) rows — the r9 form collect_list'ed every raw
+    # line-item brand through the okey exchange and then paid an
+    # O(width x distinct) higher-order filter scan per basket, which
+    # is what inflated the 64x fixture (width grows with data
+    # density, so the HOF cost grew quadratically). Here the second
+    # groupBy(okey) assembles the already-counted (negn, brand)
+    # structs, and the top-B cap is an O(D log D) array_sort + slice
+    # — the oracle's ROW_NUMBER rule ((nl DESC, brand) == struct
+    # order (negn ASC, brand ASC)), evaluated order-free per basket.
     from msstreamingstack_spark.caching import rotating_persist
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obc = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count("*").alias("nl"))
+    )
     capped = F.expr(
-        "array_sort(transform("
-        "  slice(array_sort(transform(array_distinct(all_brands),"
-        "        b -> struct(-size(filter(all_brands, x -> x = b)) AS negn,"
-        "                    b AS brand))),"
-        f"       1, {BASKET_CAP_B}),"
-        "  s -> s.brand))"
+        f"array_sort(transform(slice(array_sort(sb), 1, {BASKET_CAP_B}),"
+        " s -> s.brand))"
     )
     baskets = rotating_persist(
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("l_orderkey").alias("okey"))
-        .agg(F.collect_list("p_brand").alias("all_brands"))
+        obc.groupBy("okey")
+        .agg(
+            F.collect_list(
+                F.struct((-F.col("nl")).alias("negn"), F.col("brand"))
+            ).alias("sb")
+        )
         .select("okey", capped.alias("brands")),
         "basket_lift.baskets_capped",
     )
