@@ -385,6 +385,107 @@ def q_approx_percentile_event_values(
     )
 
 
+# Deterministic cross-engine quantile sketch: a bottom-K sample under
+# the pinned md5 hash48 order (KMV-style). A static hash threshold
+# (bottom 1/16 of the 48-bit space) thins the stream MAP-SIDE before
+# any shuffle, then a per-group (hv, event_id) row_number caps the
+# sample at K — the cap makes the sample, and therefore every
+# estimate, a pure function of the data under the pinned hash.
+# Mergeable: union two samples, re-rank, re-cap (bottom-K is closed
+# under union), the same shard/micro-batch merge shape as the HLL
+# twin's (reg -> max rho) partials. The deployment knob at 100 TB is
+# the threshold (expected survivors per group ~= a small multiple of
+# K); the estimates stay deterministic regardless because the cap is
+# part of the definition.
+_QSK_K = 1024
+_QSK_THRESH = 1 << 44  # bottom 1/16 of the hash48 space
+_QSK_QS = (0.25, 0.50, 0.75, 0.95)
+
+
+@register(
+    "percentile_event_values_sketch",
+    f"""
+WITH h AS (
+  SELECT event_type, value,
+         {hash48_sql("CAST(event_id AS VARCHAR)")} AS hv, event_id
+  FROM events
+),
+s AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY hv, event_id) AS rk
+    FROM h WHERE hv < {_QSK_THRESH}
+  ) WHERE rk <= {_QSK_K}
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS k_used,
+{",".join(f'''         CAST(CAST(quantile_cont(value, {q}) AS DECIMAL(18,9))
+              AS DOUBLE) AS s{int(q * 100)}''' for q in _QSK_QS)}
+  FROM s GROUP BY event_type
+),
+ex AS (
+  SELECT event_type,
+         CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,9)) AS DOUBLE)
+           AS p50_exact
+  FROM events GROUP BY event_type
+)
+SELECT sk.event_type, k_used, s25, s50, s75, s95, p50_exact
+FROM sk JOIN ex USING (event_type)
+""",
+    tags=("advanced", "approx", "sketch", "percentile", "agg"),
+    doc="The ORACLED twin of approx_percentile_event_values (the r9 "
+    "verdict's task #6, on the HLL-twin precedent): quantiles over a "
+    f"deterministic bottom-{_QSK_K} sample in pinned md5-hash48 order "
+    "— sample membership AND the interpolated estimates hash-match "
+    "DuckDB exactly, because the hash, the tie-break (hv, event_id), "
+    "the cap, and the DECIMAL(18,9) rounding are all part of the "
+    "sketch's definition. A static threshold (bottom 1/16 of hash "
+    "space) thins map-side before the only per-group sort, and the "
+    "bottom-K sample is mergeable (union -> re-rank -> re-cap) "
+    "across shards and micro-batches like any KMV sketch. Exact p50 "
+    "rides along for visible rank error; the native approx_percentile "
+    "row stays rows-only by design (its sketch internals are "
+    "engine-specific).",
+)
+def q_percentile_event_values_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from msstreamingstack_spark.functions.text import hash48
+
+    ev = events_with_time(spark, sf_dir)
+    h = hash48(F.col("event_id").cast("string"))
+    cand = ev.select(
+        "event_type", "value", h.alias("hv"), "event_id"
+    ).filter(F.col("hv") < F.lit(_QSK_THRESH))
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    samp = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QSK_K)
+    )
+    sk = samp.groupBy("event_type").agg(
+        F.count("*").alias("k_used"),
+        *[
+            F.percentile(F.col("value"), F.lit(q))
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias(f"s{int(q * 100)}")
+            for q in _QSK_QS
+        ],
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("p50_exact")
+    )
+    return sk.join(F.broadcast(ex), "event_type").select(
+        "event_type", "k_used", "s25", "s50", "s75", "s95", "p50_exact"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional TPC-H shapes (q6, q10, q14, q18, q19)
 # ---------------------------------------------------------------------------

@@ -493,6 +493,79 @@ def test_approx_percentile_tracks_exact(spark, sf_correctness):
             assert abs(a - e) <= max(0.01 * abs(e), 1e-9), (et, e, a)
 
 
+def test_percentile_sketch_sample_properties(spark, sf_correctness):
+    """The oracled bottom-K quantile sketch: (1) the sample quantiles
+    track the exact ones within the KMV sampling band (~1/sqrt(k)
+    rank error -> a loose value band on O(1-100) values); (2) the
+    sample is EXACTLY the bottom-k_used rows per group under
+    (hash48(event_id), event_id) order below the threshold — i.e.
+    mergeable bottom-K semantics, re-derived independently here."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.functions.text import hash48
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_advanced import (
+        _QSK_K,
+        _QSK_THRESH,
+    )
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    rows = (
+        REGISTRY["percentile_event_values_sketch"]
+        .builder(spark, sf_correctness)
+        .collect()
+    )
+    exact = {
+        r["event_type"]: [r["p25"], r["p50"], r["p75"], r["p95"]]
+        for r in REGISTRY["percentile_event_values"]
+        .builder(spark, sf_correctness)
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    # independent bottom-K model from the raw table
+    ev = events_with_time(spark, sf_correctness)
+    cand = (
+        ev.select(
+            "event_type",
+            "value",
+            hash48(F.col("event_id").cast("string")).alias("hv"),
+            "event_id",
+        )
+        .filter(F.col("hv") < _QSK_THRESH)
+        .collect()
+    )
+    by_type: dict = {}
+    for r in cand:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["hv"], r["event_id"], r["value"])
+        )
+    for r in rows:
+        et = r["event_type"]
+        samp = sorted(by_type[et])[:_QSK_K]
+        assert r["k_used"] == len(samp), et
+        vals = sorted(v for _, _, v in samp)
+        # python-side interpolated quantile mirror (numpy 'linear')
+        import numpy as np
+
+        for q, got in zip(
+            (0.25, 0.50, 0.75, 0.95),
+            (r["s25"], r["s50"], r["s75"], r["s95"]),
+        ):
+            want = float(np.quantile(vals, q, method="linear"))
+            assert abs(got - want) <= 1e-8, (et, q, got, want)
+        # sampling-accuracy band vs the exact quantiles: ~4/sqrt(k)
+        # rank error covers >99.99% of KMV draws; translate to value
+        # space loosely (event values are O(1-100))
+        k = max(r["k_used"], 1)
+        band = 6.0 / (k ** 0.5)
+        for e, s in zip(exact[et], (r["s25"], r["s50"], r["s75"], r["s95"])):
+            assert abs(s - e) <= max(band * max(abs(e), 1.0), 0.05), (
+                et,
+                e,
+                s,
+            )
+
+
 def test_coreset_kcenter_matches_python_greedy(spark, sf_correctness):
     """Pure-Python greedy farthest-point model with the same
     round-then-exact-sum distance discipline must pick the same
