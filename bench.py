@@ -213,7 +213,16 @@ def main() -> None:
             if done == reps and best > STEADY_THRESHOLD_S and reps < 3:
                 reps += 1  # one extra rep for the expensive cohort
         timings[name] = round(best, 4)
-        if first is not None and first > STEADY_THRESHOLD_S:
+        # r10 (verdict task #4): the driver window runs each query
+        # exactly ONCE, so its reading is the COLD number — record the
+        # first-run time beside the steady best whenever they diverge
+        # (persist population, Python-worker spin-up, codegen), not
+        # just for the >2 s cohort, so AUDIT can normalize every
+        # rotating-persist row's driver reading instead of flagging it
+        # as a regression.
+        if first is not None and (
+            first > STEADY_THRESHOLD_S or first > 1.25 * best
+        ):
             cold[name] = round(first, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop the previous query's shuffle/broadcast refs between

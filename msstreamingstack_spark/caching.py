@@ -47,10 +47,20 @@ def rotating_persist(
     df: DataFrame,
     slot: str,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    eager: bool = False,
 ) -> DataFrame:
     """Persist ``df``, releasing the frame the same ``slot`` persisted
     on the previous invocation in this SparkSession. Returns the
-    persisted ``df``."""
+    persisted ``df``.
+
+    ``eager=True`` populates the cache with a ``count()`` before
+    returning. Use it where the persisted frame feeds MULTIPLE
+    broadcast subtrees: broadcast builds run concurrently on the
+    driver's broadcast threads and race to populate a lazy cache,
+    re-executing the fold per build — the r10 contention A/B
+    (EAGER_AB_r10.json) measured the single-shot (driver-window) cost
+    of lang_shingle_overlap at 12.4 s lazy vs 3.9 s eager under load,
+    against a ~0.3 s steady-state premium for the extra pass."""
     spark = df.sparkSession
     with _LOCK:
         slots = _SLOTS.setdefault(spark, {})
@@ -62,6 +72,8 @@ def rotating_persist(
                 pass  # session torn down / already released
         df = df.persist(storage_level)
         slots[slot] = df
+    if eager:
+        df.count()
     return df
 
 

@@ -865,11 +865,15 @@ def q_lang_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference. The cached relation is vocabulary-bounded (distinct
     # hashes per language), far smaller than the corpus. Slot-rotated:
     # one live cache entry across repeat invocations.
+    # eager: lh feeds the self-join sides AND two broadcast totals;
+    # lazy population races per broadcast build (r10 A/B: 12.4 s lazy
+    # vs 3.9 s eager single-shot under load, EAGER_AB_r10.json)
     lh = rotating_persist(
         sh.join(docs.select("doc_id", "lang"), "doc_id")
         .select("lang", "h")
         .distinct(),
         "lang_shingle_overlap.lh",
+        eager=True,
     )
     tot = lh.groupBy("lang").agg(F.count("*").alias("n"))
     a = lh.select(F.col("lang").alias("lang_a"), "h")

@@ -2441,11 +2441,15 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
         % DSIR_BUCKETS
     )
+    # eager: f feeds FOUR broadcast subtrees (raw/tgt totals + the two
+    # scalar counts); lazy population races per broadcast build (r10
+    # A/B: 4.0 s lazy vs 2.5 s eager single-shot, EAGER_AB_r10.json)
     f = rotating_persist(
         words.groupBy("doc_id", "lang", bucket.alias("b")).agg(
             F.count("*").alias("c")
         ),
         "dsir_importance_weights.f",
+        eager=True,
     )
     raw = f.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt = f.filter(F.col("lang") == "en").groupBy("b").agg(
