@@ -313,7 +313,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # r8=48, r7=38, r6=0. The r11 window = any round-10 registrations
 # the driver has never checked FIRST (per the catalog's
 # never-checked list at r11 time — percentile_event_values_sketch
-# is the budgeted one), then the 38 remaining r7-latest queries
+# and wau_sliding_hll_oracled are the budgeted ones), then the 38
+# remaining r7-latest queries
 # (pack_blocks_fixed, decontaminate_minhash, mine_hard_negatives,
 # sketch_countmin_user_events, quality_gopher_rules,
 # retrieval_bm25_topk, entity_match_blocked, dedup_containment_pairs,

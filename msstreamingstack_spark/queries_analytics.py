@@ -2297,6 +2297,155 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracled sliding-window HLL (r10): the wau_sliding_hll production
+# twin keeps Spark's native DataSketches path (rows-only by design);
+# this row proves the SLIDING merge structure itself is cross-engine
+# verifiable with the deterministic 64-register HLL primitive shared
+# with approx_distinct_users_hll_oracled.
+# ---------------------------------------------------------------------------
+from msstreamingstack_spark.queries_advanced import (  # noqa: E402
+    _HLL_ALPHA,
+    _HLL_M,
+    _HLL_RHO_MAX,
+)
+
+
+@register(
+    "wau_sliding_hll_oracled",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+h AS (
+  SELECT ts_sec // {DAY_SEC} AS day,
+         {hash48_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM ev
+),
+b AS (
+  SELECT day, hv & 63 AS reg,
+         {_HLL_RHO_MAX} - CASE WHEN (hv >> 6) = 0 THEN 0
+                               ELSE length(bin(hv >> 6)) END AS rho
+  FROM h
+),
+m AS (SELECT day, reg, MAX(rho) AS mr FROM b GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM m),
+c AS (
+  SELECT m.reg, m.mr, m.day + o.off AS report_day
+  FROM m, (SELECT unnest(generate_series(0, {WAU_WINDOW_DAYS - 1}))
+           AS off) o
+),
+w AS (
+  SELECT c.report_day, c.reg, MAX(c.mr) AS mr
+  FROM c JOIN days d ON d.day = c.report_day
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT report_day, COUNT(*) AS n_regs_hit,
+         SUM(1.0 / CAST(1::BIGINT << mr AS DOUBLE)) AS sp
+  FROM w GROUP BY 1
+),
+ud AS (SELECT DISTINCT user_id, ts_sec // {DAY_SEC} AS day FROM ev),
+contrib AS (
+  SELECT ud.user_id, ud.day + o.off AS report_day
+  FROM ud, (SELECT unnest(generate_series(0, {WAU_WINDOW_DAYS - 1}))
+            AS off) o
+),
+ex AS (
+  SELECT c2.report_day, COUNT(DISTINCT c2.user_id) AS exact_users
+  FROM contrib c2 JOIN days d ON d.day = c2.report_day
+  GROUP BY 1
+)
+SELECT agg.report_day,
+       CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+       sp + ({_HLL_M} - n_regs_hit) AS sum_pow,
+       ({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0)
+         / (sp + ({_HLL_M} - n_regs_hit)) AS hll_estimate,
+       exact_users
+FROM agg JOIN ex USING (report_day)
+""",
+    tags=("analytics", "timeseries", "sketch", "approx", "window"),
+    doc="The ORACLED twin of wau_sliding_hll: trailing "
+    f"{WAU_WINDOW_DAYS}-day active-user estimates from the "
+    "deterministic 64-register md5-hash48 HLL shared with "
+    "approx_distinct_users_hll_oracled — register states, the sliding "
+    "merge, and the raw estimate all hash-match DuckDB. The sliding "
+    "structure is the point: per-day register maxes build in ONE "
+    "map-combined shuffle of raw events, then the x"
+    f"{WAU_WINDOW_DAYS} fan-out moves only (day, reg, rho) rows — "
+    f"{_HLL_M} registers/day regardless of user cardinality — and "
+    "re-maxing per report day IS the sketch union, exactly the merge "
+    "the native DataSketches twin performs opaquely. Exact rides "
+    "along for visible error. Dyadic-rational float algebra per the "
+    "HLL-twin precedent: every partial sum fits 49 mantissa bits, so "
+    "DOUBLE addition is exact and order-free in both engines.",
+)
+def q_wau_sliding_hll_oracled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_with_time(spark, sf_dir)
+    h = hash48(F.col("user_id").cast("string"))
+    w = F.shiftright(F.col("hv"), 6)
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    b = ev.select(
+        F.expr(f"ts_sec div {DAY_SEC}").alias("day"), h.alias("hv")
+    ).select(
+        "day",
+        F.col("hv").bitwiseAND(F.lit(63)).alias("reg"),
+        (F.lit(_HLL_RHO_MAX) - bitlen).alias("rho"),
+    )
+    m = b.groupBy("day", "reg").agg(F.max("rho").alias("mr"))
+    days = m.select("day").distinct().withColumnRenamed("day", "report_day")
+    c = m.select(
+        "reg",
+        "mr",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("report_day"),
+    )
+    wreg = (
+        c.join(days, "report_day", "left_semi")
+        .groupBy("report_day", "reg")
+        .agg(F.max("mr").alias("mr"))
+    )
+    agg = wreg.groupBy("report_day").agg(
+        F.count("*").alias("n_regs_hit"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(mr AS INT))")
+        ).alias("sp"),
+    )
+    ud = ev.select(
+        "user_id", F.expr(f"ts_sec div {DAY_SEC}").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("report_day"),
+    )
+    ex = (
+        contrib.join(days, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    sum_pow = F.col("sp") + (F.lit(_HLL_M) - F.col("n_regs_hit"))
+    return (
+        agg.join(ex, "report_day")
+        .select(
+            "report_day",
+            F.col("n_regs_hit").cast("long").alias("n_regs_hit"),
+            sum_pow.alias("sum_pow"),
+            (F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_pow).alias(
+                "hll_estimate"
+            ),
+            "exact_users",
+        )
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -143,6 +143,34 @@ def test_wau_hll_twin_tracks_exact_within_bound(spark):
             assert abs(est[day] - n) <= tol * n, (sf, day, est[day], n)
 
 
+def test_wau_hll_oracled_sliding_merge_properties(spark, sf_correctness):
+    """The r10 oracled sliding-HLL twin: same report-day set as the
+    exact query; each report day's register union dominates every
+    contributing day's registers (union monotonicity — re-derived by
+    running the same query and checking estimate >= any single-day
+    coupon bound is overkill; instead pin the Flajolet 3-sigma error
+    vs the exact rider it carries); and the register count never
+    exceeds m=64."""
+    from msstreamingstack_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["wau_sliding_hll_oracled"]
+        .builder(spark, sf_correctness)
+        .collect()
+    )
+    exact_days = {
+        r["report_day"]
+        for r in REGISTRY["wau_sliding_distinct"]
+        .builder(spark, sf_correctness)
+        .collect()
+    }
+    assert {r["report_day"] for r in rows} == exact_days
+    for r in rows:
+        assert 1 <= r["n_regs_hit"] <= 64, r
+        err = abs(r["hll_estimate"] - r["exact_users"]) / r["exact_users"]
+        assert err <= 3 * 1.04 / (64 ** 0.5), (r["report_day"], err)
+
+
 def test_hll_oracled_estimate_within_error_bound(spark, sf_correctness):
     """The deterministic 64-register HLL's raw estimate stays within
     3 standard errors (3 * 1.04/sqrt(64) ~ 39%) of the exact distinct
