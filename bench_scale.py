@@ -134,6 +134,13 @@ QUERIES = (
     "rfm_segments",
     "basket_lift_pairs",
     "events_dow_profile",
+    # round-10: the reworked capped basket kernel (map-combined
+    # two-exchange shape) and the two new oracled sketch twins —
+    # both must hold ~flat (registers/samples are bounded artifacts;
+    # only the map-combined build shuffle scales with data)
+    "basket_lift_pairs_capped",
+    "percentile_event_values_sketch",
+    "wau_sliding_hll_oracled",
 )
 
 TABLES = (

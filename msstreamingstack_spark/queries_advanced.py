@@ -259,15 +259,16 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic cross-engine HLL: m=64 registers, p=6, md5-derived
-# 48-bit hash (the hash48 primitive), rho = leading zeros of the
-# 42-bit suffix + 1 (<= 43). Sum of 2^-M_j is a sum of dyadic
-# rationals with granularity >= 2^-43 and magnitude <= 64 — every
-# partial sum fits 49 mantissa bits, so DOUBLE addition is exact and
-# ORDER-FREE in both engines, making the whole estimate (one final
-# multiply/divide on identical operands) bit-identical without any
-# decimal detour. alpha_64 = 0.709 (Flajolet et al. 2007).
-_HLL_M, _HLL_RHO_MAX, _HLL_ALPHA = 64, 43, 0.709
+# Deterministic cross-engine HLL parameters + the dyadic-rational
+# float-algebra argument live in functions/sketch.py (shared with the
+# sliding-window twin in queries_analytics; a queries_* module must
+# never import a sibling queries_* module at module level — the
+# re-entrant first-import path would hit it partially initialized).
+from msstreamingstack_spark.functions.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_RHO_MAX as _HLL_RHO_MAX,
+)
 
 
 @register(

@@ -2304,10 +2304,10 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifiable with the deterministic 64-register HLL primitive shared
 # with approx_distinct_users_hll_oracled.
 # ---------------------------------------------------------------------------
-from msstreamingstack_spark.queries_advanced import (  # noqa: E402
-    _HLL_ALPHA,
-    _HLL_M,
-    _HLL_RHO_MAX,
+from msstreamingstack_spark.functions.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_RHO_MAX as _HLL_RHO_MAX,
 )
 
 
