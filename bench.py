@@ -171,6 +171,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     affinity: dict[str, str] = {}
+    # name -> [unix wall-clock at query start, max 1-min loadavg seen
+    # across its start/end] — per-row contamination context (r11).
+    load_ctx: dict[str, list[float]] = {}
 
     # Probe affinity: which calibration ratio explains this query's
     # cross-round drift. Only round 7 onward carries BOTH probes, so a
@@ -198,6 +201,13 @@ def main() -> None:
         first = None
         reps = max(repeat, 1)
         done = 0
+        # r11 (verdict task #3): instantaneous start/end probes cannot
+        # certify a multi-second query's window — a steal burst
+        # mid-run is invisible to them. Stamp every query's reading
+        # with the wall-clock + 1-min loadavg AT ITS OWN measurement
+        # so per-row contamination is attributable after the fact.
+        q_wall = time.time()
+        q_load = os.getloadavg()[0]
         # plan-derived, so computed OUTSIDE the timed region (explain
         # costs planning time that would pollute the cold number)
         affinity[name] = _probe_affinity(REGISTRY[name].builder(spark, sf_dir))
@@ -220,10 +230,19 @@ def main() -> None:
         # just for the >2 s cohort, so AUDIT can normalize every
         # rotating-persist row's driver reading instead of flagging it
         # as a regression.
+        # r11 (ADVICE): the relative condition alone has no absolute
+        # floor, so sub-100ms queries whose first rep jitters >25%
+        # would add noise rows the audit then treats as real
+        # cold-start costs — require an absolute gap too.
         if first is not None and (
-            first > STEADY_THRESHOLD_S or first > 1.25 * best
+            first > STEADY_THRESHOLD_S
+            or (first > 1.25 * best and first - best > 0.05)
         ):
             cold[name] = round(first, 4)
+        load_ctx[name] = [
+            round(q_wall, 1),
+            round(max(q_load, os.getloadavg()[0]), 2),
+        ]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop the previous query's shuffle/broadcast refs between
         # measurements — accumulated heap inflates later queries 2-4x
@@ -237,6 +256,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
+        "load_ctx": load_ctx,
         "sf": _sf_from_dir(sf_dir),
         "calib_sec": calib,
         "shuffle_calib_sec": shuffle_calib,

@@ -252,89 +252,90 @@ from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-10 rotation — executes the round-9 verdict's pre-computed r10
-# window budget verbatim (its "Next round" task #2). Audit basis:
-# CORRECTNESS_r1-r9 union = 181 distinct oracled queries driver-
-# checked, all latest-hash-green; latest-round histogram entering r10:
-# r9=50, r8=48, r7=48, r6=35, r5=0; never=3 oracled (all three
-# judge-sim hash-green in the r9 verdict session) + rows-only
-# entries kept out of the window by policy above.
+# Round-11 rotation — executes the round-10 verdict's pre-computed r11
+# window budget verbatim (its "Next round" task #1). Audit basis:
+# CORRECTNESS_r1-r10 union = 184 distinct oracled queries driver-
+# checked, all latest-hash-green; latest-round histogram entering r11
+# (regenerated AUDIT.md at round open): r10=50, r9=48, r8=48, r7=38,
+# r6=0; never=2 oracled (both judge-sim hash-green in the r10 verdict
+# session) + rows-only entries kept out of the window by policy above.
 # Composition, in the judge's priority order:
-#   (a) the THREE round-9 registrations the external driver has never
-#       checked: the capped basket-lift skew twin, the label-filtered
-#       ANN hard-negative miner, and the curriculum scheduler;
-#   (b) ALL 35 r6-latest queries (3 rounds stale if r10 missed them)
-#       — the r9 budget's leftover list, verbatim order; covers the
-#       tpch slot (tpch_q18_large_orders) and the ANN slot
-#       (similarity_ann_ivf_ml);
-#   (c) 12 fills: the two every-window family slots
+#   (a) the TWO round-10 registrations the driver has never checked:
+#       the bottom-1024 KMV quantile sketch and the oracled sliding
+#       WAU HLL twin;
+#   (b) ALL 38 r7-latest queries (3 rounds stale if r11 missed them)
+#       — the r10 budget's leftover list, verbatim order; covers the
+#       tpch slot (tpch_q9_product_profit), the similarity slot
+#       (coreset_kcenter), and the iterative-graph cohort;
+#   (c) 10 fills: the two every-window family slots
 #       (zorder_cluster_stats — only oracled layout query;
 #       grouping_sets_revenue — only oracled grouping-sets query),
-#       then the r7-latest cohort head in registry order, with
-#       multimodal_features and salted_join_events_customer pulled
-#       forward (over pack_blocks_fixed and decontaminate_minhash) to
-#       keep the mandatory multimodal and skew-twin family slots
-#       (basket_lift_pairs_capped in (a) also carries the skew tag).
+#       then the r8-latest cohort head in registry order, with
+#       multimodal_stats and salted_agg_user_values pulled forward
+#       (over tpch_q3_building and tpch_q5_regional_revenue — tpch is
+#       already covered by (b)'s tpch_q9) to keep the mandatory
+#       multimodal and skew-twin family slots.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-checked r9 registrations — mandatory this round
-    "basket_lift_pairs_capped", "mine_hard_negatives_ann",
-    "curriculum_epoch_schedule",
-    # (b) the 35 r6-latest queries — mandatory this round
-    "dedup_exact", "mix_weighted_sources", "pack_sequences_greedy",
-    "quality_char_entropy", "quality_ensemble_score",
-    "substring_dup_spans", "corpus_version_diff",
-    "dedup_events_debounce", "dedup_chunk_rewrite",
-    "dsir_importance_weights", "langid_fasttext_hashed",
-    "percentile_event_values", "tpch_q18_large_orders",
-    "similarity_ann_ivf_ml", "hof_component_means",
-    "hof_array_pipeline", "wordcount_frequent", "dq_report",
-    "corpus_topic_balance", "sql_frontend_exists_parity",
-    "sql_frontend_setops_all_parity",
-    "sql_frontend_recursive_spine_parity", "dedup_semantic",
-    "embedding_pca_project", "cohort_retention", "funnel_conversion",
-    "scd2_device_runs", "rolling_zscore_events", "heavy_hitters_exact",
-    "mix_temperature_sources", "distinct_users_sketch_rollup",
-    "ltv_deciles", "inverted_index_sampled",
-    "pydatasource_events_profile", "histogram_event_values",
+    # (a) never-driver-checked r10 registrations — mandatory this round
+    "percentile_event_values_sketch", "wau_sliding_hll_oracled",
+    # (b) the 38 r7-latest queries — mandatory this round
+    "pack_blocks_fixed", "decontaminate_minhash", "mine_hard_negatives",
+    "sketch_countmin_user_events", "quality_gopher_rules",
+    "retrieval_bm25_topk", "entity_match_blocked",
+    "dedup_containment_pairs", "vocab_oov_coverage",
+    "quality_source_calibrated", "asof_next_purchase_tolerance",
+    "range_join_price_bands", "tpch_q9_product_profit",
+    "sql_frontend_agg_filter_parity", "sql_frontend_range_frame_parity",
+    "sql_frontend_lateral_topk_parity", "merge_upsert_customers",
+    "sql_frontend_scripting_parity", "graph_pagerank_copurchase",
+    "graph_pagerank_personalized", "coreset_kcenter",
+    "graph_triangle_count", "sessionize_dynamic_gap",
+    "scd2_merge_device_dim", "pit_device_dim_join",
+    "regr_value_on_propk", "ewma_event_values", "anomaly_mad_events",
+    "mix_epochs_budget", "resample_ohlc_hourly", "wau_sliding_distinct",
+    "session_paths_topk", "event_transition_matrix",
+    "bootstrap_ci_value_mean", "events_gap_stats", "rfm_segments",
+    "basket_lift_pairs", "events_dow_profile",
     # (c) every-window family slots (layout, grouping-sets)
     "zorder_cluster_stats", "grouping_sets_revenue",
-    # (c) r7-latest fills, registry order (multimodal + skew twin
+    # (c) r8-latest fills, registry order (multimodal + skew twin
     # pulled forward)
-    "join_anti_customers_no_orders", "join_semi_customers_with_orders",
-    "running_revenue_per_customer", "rollup_lineitem_flags",
-    "cube_orders_status_priority", "device_transitions",
-    "dedup_ngram_jaccard", "similarity_ann_quantized",
-    "multimodal_features", "salted_join_events_customer",
+    "multimodal_stats", "salted_agg_user_values",
+    "top_orders_by_price", "topk_customers_per_segment",
+    "agg_events_stats", "distinct_user_days",
+    "pivot_event_type_counts", "set_ops_customers",
 )
-# ROUND-11 WINDOW BUDGET (arithmetic, do this first next session):
+# ROUND-12 WINDOW BUDGET (arithmetic, do this first next session):
 # after this rotation nothing is >2 rounds stale. Latest-round
-# histogram entering r11: r10=50, r9=48 (the r9 cohort minus
+# histogram entering r12: r11=50, r10=48 (the r10 cohort minus
 # zorder_cluster_stats/grouping_sets_revenue, refreshed here),
-# r8=48, r7=38, r6=0. The r11 window = any round-10 registrations
+# r9=48, r8=40, r7=0. The r12 window = any round-11 registrations
 # the driver has never checked FIRST (per the catalog's
-# never-checked list at r11 time — percentile_event_values_sketch
-# and wau_sliding_hll_oracled are the budgeted ones), then the 38
-# remaining r7-latest queries
-# (pack_blocks_fixed, decontaminate_minhash, mine_hard_negatives,
-# sketch_countmin_user_events, quality_gopher_rules,
-# retrieval_bm25_topk, entity_match_blocked, dedup_containment_pairs,
-# vocab_oov_coverage, quality_source_calibrated,
-# asof_next_purchase_tolerance, range_join_price_bands,
-# tpch_q9_product_profit, sql_frontend_agg_filter_parity,
-# sql_frontend_range_frame_parity, sql_frontend_lateral_topk_parity,
-# merge_upsert_customers, sql_frontend_scripting_parity,
-# graph_pagerank_copurchase, graph_pagerank_personalized,
-# coreset_kcenter, graph_triangle_count, sessionize_dynamic_gap,
-# scd2_merge_device_dim, pit_device_dim_join, regr_value_on_propk,
-# ewma_event_values, anomaly_mad_events, mix_epochs_budget,
-# resample_ohlc_hourly, wau_sliding_distinct, session_paths_topk,
-# event_transition_matrix, bootstrap_ci_value_mean, events_gap_stats,
-# rfm_segments, basket_lift_pairs, events_dow_profile), then
-# r8-latest fills in registry order up to 50, keeping the family
-# slots (zorder_cluster_stats, grouping_sets_revenue, one multimodal,
-# one tpch — the r7 list's tpch_q9 covers tpch, coreset/ANN rows
-# cover similarity, basket_lift_pairs_capped-style skew is covered
-# by salted/bucketed fills if the r8 head lacks one).
+# never-checked list at r12 time), then the 40 remaining r8-latest
+# queries
+# (tpch_q3_building, tpch_q5_regional_revenue,
+# filter_purchases_high_value, unpivot_event_counts,
+# timeseries_gapfill, events_new_vs_returning, session_summary,
+# text_stats, langid_heuristic, doc_fingerprints, dedup_minhash_lsh,
+# dedup_simhash_pairs, similarity_topk_cosine, similarity_ann_srp,
+# embedding_norm_stats, repetition_quality, dedup_jaccard_dfcapped,
+# hash_split_assign, pipeline_pretrain_corpus, pii_scrub,
+# sample_reservoir_stratified, shuffle_shard_assign,
+# decontaminate_eval_overlap, quality_chartrigram_df,
+# quality_bigram_lm, chunk_dup_fraction, token_budget_quality_sample,
+# top_ngrams_per_lang, session_window_native, asof_last_purchase,
+# dedup_embedding_cosine, dedup_clusters, hypertable_rollup,
+# tpch_q13_custdist, tpch_q22_idle_rich_customers,
+# interval_join_attribution, window_rank_family,
+# sql_frontend_window_join_parity, corpus_duplication_rate,
+# lang_shingle_overlap), then r9-latest fills in registry order up to
+# 50, keeping the family slots (zorder_cluster_stats,
+# grouping_sets_revenue every window; the r8 list itself covers
+# multimodal via... NOTE the r8 list has no multimodal/tpch gap:
+# tpch_q3/q5/q13/q22 cover tpch, dedup_simhash/minhash/jaccard cover
+# skew-adjacent LSH, similarity_ann_srp covers similarity; pull a
+# multimodal row (multimodal_frame_sample, r9-latest) forward from
+# the r9 fills for the multimodal slot).
 
 
 def _apply_driver_window() -> None:

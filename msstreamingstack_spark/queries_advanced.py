@@ -447,10 +447,18 @@ FROM sk JOIN ex USING (event_type)
     "across shards and micro-batches like any KMV sketch. Exact p50 "
     "rides along for visible rank error; the native approx_percentile "
     "row stays rows-only by design (its sketch internals are "
-    "engine-specific).",
+    "engine-specific). Group-set caveat (r10 ADVICE, deliberate): an "
+    "event_type with ZERO hash-survivors below the threshold has no "
+    "sample at all and DROPS OUT of the output (threshold filter + "
+    "inner join from sk) — identically on both engines, so the hash "
+    "still matches, but the sketch's group set can be a strict subset "
+    "of the exact twin's at tiny scales. At deployment scale the "
+    "threshold is sized so expected survivors per group >> 0 and the "
+    "dropout probability is (15/16)^n -> 0; a group too rare to "
+    "survive has too few rows to estimate quantiles from anyway.",
 )
 def q_percentile_event_values_sketch(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, skew_robust: bool = False
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -461,11 +469,34 @@ def q_percentile_event_values_sketch(
     cand = ev.select(
         "event_type", "value", h.alias("hv"), "event_id"
     ).filter(F.col("hv") < F.lit(_QSK_THRESH))
-    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
-    samp = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _QSK_K)
-    )
+    if skew_robust:
+        # The 100 TB knob (r10 verdict task #5): if a hot event_type's
+        # survivor count ever outgrows the threshold sizing, the
+        # per-type bottom-K rank becomes one task sorting that type's
+        # whole slice. The salted two-pass rank bounds the unsalted
+        # pass at p×K rows per type — constant regardless of corpus
+        # size — and is bit-identical because (hv, event_id) is a
+        # total order and the salt (pmod of the 48-bit hash) is a
+        # deterministic function of the row
+        # (tests/test_advanced_queries.py pins the parity).
+        from msstreamingstack_spark.operators.windows import (
+            topk_per_key_salted,
+        )
+
+        samp = topk_per_key_salted(
+            cand,
+            ("event_type",),
+            ("hv", "event_id"),
+            _QSK_K,
+            salt_col=F.col("hv"),
+            out="rk",
+        )
+    else:
+        w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+        samp = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _QSK_K)
+        )
     sk = samp.groupBy("event_type").agg(
         F.count("*").alias("k_used"),
         *[
