@@ -141,6 +141,16 @@ QUERIES = (
     "basket_lift_pairs_capped",
     "percentile_event_values_sketch",
     "wau_sliding_hll_oracled",
+    # round-11: theta-intersection sketch (samples bounded — must hold
+    # ~flat like the other sketches), integer-ticket weighted sampler
+    # (bounded x4 explode + map-combined MIN), CUSUM on the bounded
+    # hourly frame, first-occurrence novelty (two map-combined shingle
+    # shuffles), and the broadcast-centroid outlier scorer
+    "segment_overlap_theta",
+    "sample_weighted_tickets",
+    "anomaly_cusum_events",
+    "ngram_novelty_score",
+    "embedding_label_outliers",
 )
 
 TABLES = (

@@ -271,10 +271,14 @@ from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 #       (zorder_cluster_stats — only oracled layout query;
 #       grouping_sets_revenue — only oracled grouping-sets query),
 #       then the r8-latest cohort head in registry order, with
-#       multimodal_stats and salted_agg_user_values pulled forward
-#       (over tpch_q3_building and tpch_q5_regional_revenue — tpch is
-#       already covered by (b)'s tpch_q9) to keep the mandatory
-#       multimodal and skew-twin family slots.
+#       multimodal_stats, salted_agg_user_values and
+#       filter_purchases_high_value pulled forward (over
+#       tpch_q3_building, tpch_q5_regional_revenue and
+#       set_ops_customers — tpch is already covered by (b)'s tpch_q9)
+#       to keep the mandatory multimodal, skew-twin and
+#       reference-family slots (test_driver_window_invariants pins a
+#       reference-tagged row in every window; the r10 budget's fill
+#       head had none).
 DRIVER_WINDOW: tuple[str, ...] = (
     # (a) never-driver-checked r10 registrations — mandatory this round
     "percentile_event_values_sketch", "wau_sliding_hll_oracled",
@@ -301,9 +305,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (c) r8-latest fills, registry order (multimodal + skew twin
     # pulled forward)
     "multimodal_stats", "salted_agg_user_values",
+    "filter_purchases_high_value",
     "top_orders_by_price", "topk_customers_per_segment",
     "agg_events_stats", "distinct_user_days",
-    "pivot_event_type_counts", "set_ops_customers",
+    "pivot_event_type_counts",
 )
 # ROUND-12 WINDOW BUDGET (arithmetic, do this first next session):
 # after this rotation nothing is >2 rounds stale. Latest-round
@@ -314,7 +319,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # never-checked list at r12 time), then the 40 remaining r8-latest
 # queries
 # (tpch_q3_building, tpch_q5_regional_revenue,
-# filter_purchases_high_value, unpivot_event_counts,
+# set_ops_customers, unpivot_event_counts,
 # timeseries_gapfill, events_new_vs_returning, session_summary,
 # text_stats, langid_heuristic, doc_fingerprints, dedup_minhash_lsh,
 # dedup_simhash_pairs, similarity_topk_cosine, similarity_ann_srp,

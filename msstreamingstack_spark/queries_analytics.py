@@ -2446,6 +2446,395 @@ def q_wau_sliding_hll_oracled(
     )
 
 
+# ---------------------------------------------------------------------------
+# Theta-sketch segment overlap — audience intersection between event
+# types estimated from per-segment bottom-K (KMV) sketches, the set
+# algebra the HLL/KMV family was still missing: union is register
+# re-max / sample re-rank, but INTERSECTION needs the theta estimator
+# (common survivors below the combined theta, scaled back up).
+# ---------------------------------------------------------------------------
+THETA_K = 64
+_THETA_SPACE = 1 << 48  # exhaustive-mode theta: the whole hash space
+
+
+@register(
+    "segment_overlap_theta",
+    f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         {hash48_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+samp AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM du
+  ) WHERE rn <= {THETA_K}
+),
+summ AS (
+  SELECT event_type, COUNT(*) AS k_used,
+         CASE WHEN COUNT(*) < {THETA_K} THEN {_THETA_SPACE}
+              ELSE MAX(hv) END AS theta
+  FROM samp GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.k_used AS k_a, b.k_used AS k_b,
+         LEAST(a.theta, b.theta) AS theta_ab
+  FROM summ a JOIN summ b ON a.event_type < b.event_type
+),
+common AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS common_k
+  FROM samp sa JOIN samp sb ON sa.hv = sb.hv
+       AND sa.event_type < sb.event_type
+  JOIN pairs p ON p.type_a = sa.event_type AND p.type_b = sb.event_type
+  WHERE sa.hv < p.theta_ab
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT ua.event_type AS type_a, ub.event_type AS type_b,
+         COUNT(*) AS exact_overlap
+  FROM (SELECT DISTINCT event_type, user_id FROM events) ua
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) ub
+       ON ua.user_id = ub.user_id AND ua.event_type < ub.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.k_a, p.k_b, p.theta_ab,
+       COALESCE(c.common_k, 0) AS common_k,
+       CAST(COALESCE(c.common_k, 0) AS DOUBLE) * 281474976710656.0
+         / CAST(p.theta_ab AS DOUBLE) AS est_overlap,
+       COALESCE(x.exact_overlap, 0) AS exact_overlap
+FROM pairs p
+LEFT JOIN common c ON p.type_a = c.type_a AND p.type_b = c.type_b
+LEFT JOIN exact x ON p.type_a = x.type_a AND p.type_b = x.type_b
+""",
+    tags=("analytics", "sketch", "approx", "set-intersection"),
+    doc="Theta-sketch audience intersection: per event_type a bottom-"
+    f"{THETA_K} KMV sketch of hash48(user_id) (theta = K-th smallest "
+    "when the segment is bigger than K, else the whole hash space = "
+    "exact mode), then for every type pair the standard theta "
+    "estimator — common sample values strictly below the combined "
+    "theta, scaled by space/theta. Completes the sketch family's set "
+    "algebra next to the HLL union (register re-max) and the KMV "
+    "quantile merge (bottom-K re-rank): INTERSECTION cannot be "
+    "answered by either without this estimator. Cross-engine exact "
+    "because everything is integer until one final IEEE multiply+"
+    "divide on exactly-representable operands (common_k*2^48 is a "
+    "multiple of a power of two; theta < 2^49). 100 TB: the distinct "
+    "(type, user) pass is the only full-data shuffle (map-combined "
+    "distinct on a high-cardinality key — the salting twin applies if "
+    "one type dominates); samples are T*K rows, so the pairwise "
+    "stage touches O(T^2 K) rows regardless of corpus size. The exact "
+    "rider self-joins the distinct frame with per-user fan-out "
+    "bounded by T^2 — drop it at deployment scale, it exists for "
+    "visible sketch error. Extension beyond the reference engine "
+    "(SURVEY.md SS2.5: no sketch surface).",
+)
+def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+
+    ev = events_with_time(spark, sf_dir)
+    du = (
+        ev.select(
+            "event_type",
+            hash48(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+    wN = Window.partitionBy("event_type").orderBy("hv")
+    samp = (
+        du.withColumn("rn", F.row_number().over(wN))
+        .filter(F.col("rn") <= THETA_K)
+        .drop("rn")
+    )
+    summ = samp.groupBy("event_type").agg(
+        F.count("*").alias("k_used"),
+        F.when(F.count("*") < THETA_K, F.lit(_THETA_SPACE))
+        .otherwise(F.max("hv"))
+        .alias("theta"),
+    )
+    a, b = summ.alias("a"), summ.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.k_used").alias("k_a"),
+            F.col("b.k_used").alias("k_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("theta_ab"),
+        )
+    )
+    sa, sb = samp.alias("sa"), samp.alias("sb")
+    common = (
+        sa.join(
+            sb,
+            (F.col("sa.hv") == F.col("sb.hv"))
+            & (F.col("sa.event_type") < F.col("sb.event_type")),
+        )
+        .select(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+            F.col("sa.hv").alias("hv"),
+        )
+        .join(
+            F.broadcast(pairs.select("type_a", "type_b", "theta_ab")),
+            ["type_a", "type_b"],
+        )
+        .filter(F.col("hv") < F.col("theta_ab"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("common_k"))
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    ua, ub = tu.alias("ua"), tu.alias("ub")
+    exact = (
+        ua.join(
+            ub,
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("type_a"),
+            F.col("ub.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return (
+        pairs.join(F.broadcast(common), ["type_a", "type_b"], "left")
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_a",
+            "k_b",
+            "theta_ab",
+            F.coalesce(F.col("common_k"), F.lit(0)).alias("common_k"),
+            (
+                F.coalesce(F.col("common_k"), F.lit(0)).cast("double")
+                * F.lit(281474976710656.0)
+                / F.col("theta_ab").cast("double")
+            ).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias(
+                "exact_overlap"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling — Efraimidis–Spirakis-style weighted
+# bottom-k, made hash-exact by integer TICKETS instead of u^(1/w)
+# floats (whose libm last bits differ across engines).
+# ---------------------------------------------------------------------------
+WS_K = 25  # sample size per language stratum
+WS_MAX_TIER = 4
+
+
+@register(
+    "sample_weighted_tickets",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         1 + LEAST({WS_MAX_TIER - 1}, n_chars // 150) AS weight
+  FROM documents
+),
+t AS (
+  SELECT doc_id, lang, weight,
+         unnest(generate_series(1, weight)) AS tick
+  FROM d
+),
+k AS (
+  SELECT doc_id, lang, weight,
+         MIN({hash48_sql(
+             "CAST(doc_id AS VARCHAR) || ':' || CAST(tick AS VARCHAR)"
+         )}) AS min_ticket
+  FROM t GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT doc_id, lang, weight, min_ticket,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY min_ticket, doc_id) AS rn
+  FROM k
+)
+SELECT lang, doc_id, weight, min_ticket, rn
+FROM r WHERE rn <= {WS_K}
+""",
+    tags=("extension", "pipeline", "sampling", "weighted"),
+    doc="Weighted sampling without replacement, per language stratum: "
+    "each doc gets an integer weight tier (1-4 by length), draws one "
+    "pinned-hash TICKET per weight unit (hash48(doc_id:ticket)), and "
+    "its key is the MIN ticket; the bottom-K keys per stratum are the "
+    "sample. P(selected) rises with weight exactly as in "
+    "Efraimidis-Spirakis u^(1/w) sampling (min of w iid uniforms), "
+    "but the u^(1/w) float key needs pow/log whose LAST BITS differ "
+    "across libm implementations — the integer-ticket form is the "
+    "hash-exact equivalent for integer weights, bit-stable on any "
+    "engine. 100 TB: the ticket explode is a bounded x4 fan-out, MIN "
+    "is map-combined into one (doc) shuffle, and the per-stratum "
+    "bottom-K is a rank over survivors (swap in topk_per_key_salted "
+    "for a hot stratum — same total-order contract (min_ticket, "
+    "doc_id)). Deterministic re-runs make the sample reproducible "
+    "across pipeline versions — the property data-mixing recipes "
+    "need from a sampler. Extension (SURVEY.md SS2.5: reference has "
+    "no sampling surface).",
+)
+def q_sample_weighted_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.functions.text import hash48
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(1)
+            + F.least(
+                F.lit(WS_MAX_TIER - 1), F.expr("n_chars div 150")
+            )
+        ).alias("weight"),
+    )
+    t = d.select(
+        "doc_id",
+        "lang",
+        "weight",
+        F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("tick"),
+    )
+    k = (
+        t.withColumn(
+            "min_ticket",
+            hash48(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("tick").cast("string"),
+                )
+            ),
+        )
+        .groupBy("doc_id", "lang", "weight")
+        .agg(F.min("min_ticket").alias("min_ticket"))
+    )
+    wS = Window.partitionBy("lang").orderBy("min_ticket", "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(wS))
+        .filter(F.col("rn") <= WS_K)
+        .select("lang", "doc_id", "weight", "min_ticket", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan — cumulative-deviation drift detection per
+# event_type over hourly buckets, the sequential-analysis shape the
+# anomaly family (rolling z-score, MAD) was missing: those flag point
+# outliers, CUSUM flags SUSTAINED level shifts.
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_DIV = 20  # allowance = mu/20 (5% of the per-type mean)
+CUSUM_ALARM_DIV = 20  # alarm when S > total/20
+
+
+@register(
+    "anomaly_cusum_events",
+    f"""
+WITH ev AS ({EVENTS_TS_SQL}),
+hourly AS (
+  SELECT event_type, (ts_sec // 3600) * 3600 AS hour_bucket,
+         COUNT(*) AS n_events,
+         {_dec_sum_sql('value', 'hourly_sum')},
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+           AS xi
+  FROM ev GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, SUM(xi) OVER (PARTITION BY event_type) AS t_sum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM hourly
+),
+dev AS (
+  SELECT *,
+         xi - (t_sum // n_hours) - ((t_sum // n_hours) // {CUSUM_SLACK_DIV})
+           AS d
+  FROM tot
+),
+cum1 AS (
+  SELECT *,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM dev
+),
+cum AS (
+  SELECT *,
+         MIN(c) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cmin
+  FROM cum1
+)
+SELECT event_type, hour_bucket, n_events, hourly_sum,
+       CAST(c - LEAST(0, cmin) AS DOUBLE) / 1000000.0 AS cusum_stat,
+       (c - LEAST(0, cmin)) * {CUSUM_ALARM_DIV} > t_sum AS alarm
+FROM cum
+""",
+    tags=("analytics", "anomaly", "timeseries", "window"),
+    doc="One-sided CUSUM drift scan per event_type on hourly value "
+    "mass: S_t = max(0, S_t-1 + (x_t - mu - slack)) flags SUSTAINED "
+    "upward level shifts (traffic surges, bot floods, metric drift) "
+    "that the registry's point-outlier detectors (rolling_zscore, "
+    "MAD) smooth over. The clamp recursion is NOT a prefix sum, but "
+    "the classic identity S_t = C_t - min(0, min_i<=t C_i) turns it "
+    "into two stock window folds — cumulative sum + running minimum "
+    "— so no UDF, no iteration, whole-stage codegen end to end. "
+    "Cross-engine exact via the pagerank discipline: hourly mass in "
+    "integer MICROS (DECIMAL(25,6) sum * 1e6 -> BIGINT, exact), mean "
+    "and slack by positive-integer floor division (events.value >= 0 "
+    "— Spark div truncation == DuckDB // floor only for non-negative "
+    "operands, same precondition pagerank documents), every window "
+    "op on BIGINTs; the only float steps are one exact cast and one "
+    "IEEE divide at output. 100 TB: the raw scan collapses map-side "
+    "into the (type, hour) hourly frame — bounded at types x hours "
+    "regardless of event volume — and both window folds run on that "
+    "bounded frame. Extension (SURVEY.md SS2.5: no anomaly surface "
+    "in the reference).",
+)
+def q_anomaly_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_with_time(spark, sf_dir).select(
+        "event_type", "ts_sec", "value"
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("ts_sec div 3600") * 3600).alias("hour_bucket"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "hourly_sum"),
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
+        ).alias("xi"),
+    )
+    w_all = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = hourly.withColumn("t_sum", F.sum("xi").over(w_all)).withColumn(
+        "n_hours", F.count("*").over(w_all)
+    )
+    dev = tot.withColumn(
+        "d",
+        F.col("xi")
+        - F.expr("t_sum div n_hours")
+        - F.expr(f"(t_sum div n_hours) div {CUSUM_SLACK_DIV}"),
+    )
+    cum = dev.withColumn("c", F.sum("d").over(wo)).withColumn(
+        "cmin", F.min("c").over(wo)
+    )
+    s = F.col("c") - F.least(F.lit(0), F.col("cmin"))
+    return cum.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        "hourly_sum",
+        (s.cast("double") / F.lit(1000000.0)).alias("cusum_stat"),
+        (s * CUSUM_ALARM_DIV > F.col("t_sum")).alias("alarm"),
+    )
+
+
 # Re-apply the driver window: when THIS module was the direct import
 # target, queries.py ran before our registrations existed (see the
 # _apply_driver_window docstring). When we are instead mid-way through

@@ -45,8 +45,10 @@ from msstreamingstack_spark.operators.dedup import (
     simhash_pairs_sql,
 )
 from msstreamingstack_spark.operators.similarity import (
+    COS_ROUND,
     brute_force_topk,
     brute_force_topk_sql,
+    cosine_sql,
     quantize_int8_sql,
     quantized_rescore_sql,
     srp_ann_sql,
@@ -3444,6 +3446,199 @@ def q_curriculum_epoch_schedule(
         )
         .cast("long")
         .alias("n_new_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram novelty — per-doc fraction of shingles FIRST seen in
+# that doc (by doc_id order), the marginal-contribution curve behind
+# "is scraping more of this source still adding new text".
+# ---------------------------------------------------------------------------
+NOVELTY_N = 5
+
+
+@register(
+    "ngram_novelty_score",
+    f"""
+WITH s AS (
+  SELECT doc_id, unnest({shingles_sql("text", NOVELTY_N)}) AS sh
+  FROM documents
+),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh),
+per AS (
+  SELECT s.doc_id, COUNT(*) AS total_shingles,
+         SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           AS novel_shingles
+  FROM s JOIN first f ON s.sh = f.sh GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(p.total_shingles, 0) AS total_shingles,
+       COALESCE(p.novel_shingles, 0) AS novel_shingles,
+       COALESCE(p.novel_shingles * 100 // p.total_shingles, 100)
+         AS novelty_pct
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+    tags=("extension", "text", "dedup", "pipeline", "novelty"),
+    doc=f"Per-doc novelty: the fraction of its distinct word "
+    f"{NOVELTY_N}-gram shingles whose FIRST corpus occurrence (min "
+    "doc_id — ingestion order) is this doc. The aggregate novelty "
+    "curve over ingestion order is the diminishing-returns signal "
+    "data-sourcing decisions use ('another crawl of this domain adds "
+    "2% new text'), and per-doc it is a boilerplate detector that "
+    "needs no pairwise comparison at all — a TEMPLATE dedup "
+    "complement to minhash (a doc of entirely-seen shingles is a "
+    "near-dup of the corpus prefix even if no single doc matches "
+    "it). 100 TB: shingle explode is linear, first-occurrence MIN is "
+    "map-combined into one shuffle on the shingle key, the "
+    "attribution join is keyed on the same shingle (no fan-out — one "
+    "first_doc row per shingle), and the per-doc fold is a second "
+    "map-combined count; integer division keeps it hash-exact. "
+    "Extension (SURVEY.md SS2.5: no text-analysis surface in the "
+    "reference).",
+)
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    s = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), NOVELTY_N)).alias("sh"),
+    )
+    first = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        s.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_shingles"),
+            F.sum(
+                F.when(
+                    F.col("first_doc") == F.col("doc_id"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("novel_shingles"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("total_shingles"), F.lit(0)).alias(
+                "total_shingles"
+            ),
+            F.coalesce(F.col("novel_shingles"), F.lit(0)).alias(
+                "novel_shingles"
+            ),
+            F.coalesce(
+                F.expr("novel_shingles * 100 div total_shingles"),
+                F.lit(100),
+            ).alias("novelty_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-outlier mining — per-label centroid, then the vectors LEAST
+# aligned with their own label's centroid: the standard first-pass
+# mislabel / noisy-annotation detector over an embedded dataset.
+# ---------------------------------------------------------------------------
+LABEL_OUTLIER_K = 5
+
+
+@register(
+    "embedding_label_outliers",
+    f"""
+WITH pe AS (
+  SELECT label, vec_id,
+         unnest(list_transform(range(len(embedding)),
+                i -> struct_pack(pos := i,
+                     val := CAST(embedding[i + 1] AS DOUBLE)))) AS u
+  FROM embeddings
+),
+pe2 AS (SELECT label, vec_id, u.pos AS pos, u.val AS val FROM pe),
+cd AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         COUNT(*) AS cnt
+  FROM pe2 GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(s / cnt ORDER BY pos) AS centroid FROM cd
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round({cosine_sql("e.embedding", "c.centroid")}, {COS_ROUND})
+           AS cos_centroid
+  FROM embeddings e JOIN cent c ON e.label = c.label
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_centroid, vec_id) AS rn
+  FROM scored
+)
+SELECT label, vec_id, cos_centroid, rn FROM r WHERE rn <= {LABEL_OUTLIER_K}
+""",
+    tags=("extension", "embedding", "quality", "outlier"),
+    doc="Mislabel mining: per label an exact centroid (per-dimension "
+    "DECIMAL-summed mean over the posexploded vectors — float sums "
+    "are order-dependent, decimal sums are not), then every vector's "
+    f"cosine to its OWN label centroid (the registry's established "
+    "sequential-fold dot + round-9 discipline), bottom-"
+    f"{LABEL_OUTLIER_K} per label = the annotation-noise review "
+    "queue. This is the cheap first pass every labeled-embedding "
+    "pipeline runs before training a classifier head: a vector "
+    "anti-aligned with its label's mass is either mislabeled or an "
+    "ambiguous example worth auditing. 100 TB: the posexplode fan-"
+    "out is x-dims but collapses map-side into the (label, dim) "
+    "centroid frame — labels x dims rows total, broadcast back; the "
+    "scoring pass is embarrassingly parallel with NO shuffle beyond "
+    "the bounded per-label bottom-K rank (topk_per_key_salted is the "
+    "hot-label knob, same (cos, vec_id) total order). Extension "
+    "(SURVEY.md SS2.5: no similarity surface in the reference).",
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    cd = pe.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s"),
+        F.count("*").alias("cnt"),
+    )
+    cent = (
+        cd.select(
+            "label",
+            F.struct(
+                F.col("pos"), (F.col("s") / F.col("cnt")).alias("m")
+            ).alias("pm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pm")),
+                lambda x: x.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            cosine(F.col("embedding"), F.col("centroid")), COS_ROUND
+        ).alias("cos_centroid"),
+    )
+    wL = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wL))
+        .filter(F.col("rn") <= LABEL_OUTLIER_K)
+        .select("label", "vec_id", "cos_centroid", "rn")
     )
 
 

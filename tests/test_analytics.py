@@ -661,3 +661,163 @@ def test_events_dow_profile_anchored_and_partitioned(spark, sf_correctness):
         assert 0 <= r["dow"] <= 6
         sums[r["event_type"]] += r["share_of_type"]
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+def _md5_hash48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_cusum_matches_clamp_recursion_bitwise(spark, sf_correctness):
+    """Independent Python mirror of anomaly_cusum_events from the raw
+    events table, computing the CLAMP RECURSION directly
+    (S_t = max(0, S_{t-1} + d_t)) — proving the query's prefix-sum /
+    running-min identity (S_t = C_t - min(0, min C)) equals the
+    sequential definition, in the same integer-micros arithmetic."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from msstreamingstack_spark.queries_analytics import (
+        CUSUM_ALARM_DIV,
+        CUSUM_SLACK_DIV,
+    )
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    raw = events_with_time(spark, sf_correctness).select(
+        "event_type", "ts_sec", "value"
+    ).collect()
+    hourly = defaultdict(lambda: [0, Decimal(0)])  # (type,hour) -> [n, sum]
+    for r in raw:
+        k = (r["event_type"], r["ts_sec"] // 3600 * 3600)
+        hourly[k][0] += 1
+        # DECIMAL(25,6) quantization of each value, like the query
+        hourly[k][1] += Decimal(repr(r["value"])).quantize(Decimal("0.000001"))
+    by_type = defaultdict(list)
+    for (et, hb), (n, s) in hourly.items():
+        by_type[et].append((hb, n, int(s * 1_000_000)))
+    expect = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        tot = sum(x for _, _, x in rows)
+        mu = tot // len(rows)
+        slack = mu // CUSUM_SLACK_DIV
+        s_run = 0
+        for hb, n, xi in rows:
+            s_run = max(0, s_run + (xi - mu - slack))
+            expect[(et, hb)] = (
+                n,
+                float(s_run) / 1e6,
+                s_run * CUSUM_ALARM_DIV > tot,
+            )
+    got = REGISTRY["anomaly_cusum_events"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert len(got) == len(expect)
+    n_alarm = 0
+    for r in got:
+        n, stat, alarm = expect[(r["event_type"], r["hour_bucket"])]
+        assert r["n_events"] == n
+        assert r["cusum_stat"] == stat  # bitwise: same int -> /1e6
+        assert r["alarm"] == alarm
+        n_alarm += alarm
+    # the statistic must actually move: some alarms or some nonzero S
+    assert any(r["cusum_stat"] > 0 for r in got)
+
+
+def test_theta_overlap_matches_python_sketch_bitwise(spark, sf_correctness):
+    """Full Python mirror of segment_overlap_theta: per-type bottom-K
+    KMV over md5-hash48(user_id), pairwise theta intersection, exact
+    rider — every output column bitwise, plus the estimator lands
+    within the ~1/sqrt(K) KMV band of the exact overlap."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.queries_analytics import (
+        THETA_K,
+        _THETA_SPACE,
+    )
+    from msstreamingstack_spark.sources.tables import events_with_time
+
+    raw = events_with_time(spark, sf_correctness).select(
+        "event_type", "user_id"
+    ).distinct().collect()
+    users = defaultdict(set)
+    for r in raw:
+        users[r["event_type"]].add(r["user_id"])
+    samp, theta = {}, {}
+    for et, us in users.items():
+        hs = sorted({_md5_hash48(str(u)) for u in us})
+        samp[et] = set(hs[:THETA_K])
+        theta[et] = hs[THETA_K - 1] if len(hs) >= THETA_K else _THETA_SPACE
+    types = sorted(users)
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            th = min(theta[a], theta[b])
+            common = sum(1 for h in samp[a] & samp[b] if h < th)
+            est = float(common) * float(1 << 48) / float(th)
+            exact = len(users[a] & users[b])
+            expect[(a, b)] = (
+                len(samp[a]),
+                len(samp[b]),
+                th,
+                common,
+                est,
+                exact,
+            )
+    got = REGISTRY["segment_overlap_theta"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        k_a, k_b, th, common, est, exact = expect[(r["type_a"], r["type_b"])]
+        assert (r["k_a"], r["k_b"], r["theta_ab"]) == (k_a, k_b, th)
+        assert r["common_k"] == common
+        assert r["est_overlap"] == est
+        assert r["exact_overlap"] == exact
+        # KMV accuracy: 4/sqrt(K) relative band (loose, >99.9% of draws)
+        if exact > 0:
+            assert abs(r["est_overlap"] - exact) <= max(
+                4.0 / (THETA_K ** 0.5) * exact, 8.0
+            )
+
+
+def test_weighted_tickets_matches_python_mirror(spark, sf_correctness):
+    """Python mirror of sample_weighted_tickets (weights, per-ticket
+    md5 hashes, min-ticket keys, bottom-K per lang) — bitwise; and the
+    sample must skew toward heavier docs (mean sampled weight >= mean
+    corpus weight per stratum, the point of weighting)."""
+    from collections import defaultdict
+
+    from msstreamingstack_spark.queries_analytics import WS_K, WS_MAX_TIER
+    from msstreamingstack_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    keys = defaultdict(list)
+    corpus_w = defaultdict(list)
+    for r in docs:
+        w = 1 + min(WS_MAX_TIER - 1, r["n_chars"] // 150)
+        corpus_w[r["lang"]].append(w)
+        mk = min(
+            _md5_hash48(f"{r['doc_id']}:{t}") for t in range(1, w + 1)
+        )
+        keys[r["lang"]].append((mk, r["doc_id"], w))
+    expect = {}
+    for lang, ks in keys.items():
+        ks.sort()
+        for rn, (mk, did, w) in enumerate(ks[:WS_K], start=1):
+            expect[(lang, did)] = (w, mk, rn)
+    got = REGISTRY["sample_weighted_tickets"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert len(got) == len(expect)
+    sampled_w = defaultdict(list)
+    for r in got:
+        w, mk, rn = expect[(r["lang"], r["doc_id"])]
+        assert (r["weight"], r["min_ticket"], r["rn"]) == (w, mk, rn)
+        sampled_w[r["lang"]].append(w)
+    for lang, ws in sampled_w.items():
+        cw = corpus_w[lang]
+        assert sum(ws) / len(ws) >= sum(cw) / len(cw)

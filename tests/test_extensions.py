@@ -1463,3 +1463,83 @@ def test_cluster_balanced_sampler_keeps_rare_cells_whole(spark):
         per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
     assert per_cell[0] == 3              # rare: all kept
     assert per_cell[1] == CLUSTER_SAMPLE_K  # dense: cut to budget
+
+
+def test_ngram_novelty_invariants(spark, sf_correctness):
+    """Conservation + boundary invariants for ngram_novelty_score:
+    summed novel_shingles == number of DISTINCT shingles in the corpus
+    (each shingle is novel exactly once, at its min doc_id); the
+    earliest doc with any shingles scores 100; novelty_pct is the
+    exact integer floor of novel*100/total."""
+    from msstreamingstack_spark.functions.text import shingles
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import NOVELTY_N
+    from msstreamingstack_spark.sources.tables import load_table
+
+    rows = REGISTRY["ngram_novelty_score"].builder(
+        spark, sf_correctness
+    ).collect()
+    docs = load_table(spark, sf_correctness, "documents")
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    distinct_corpus = (
+        docs.select(F.explode(shingles(F.col("text"), NOVELTY_N)).alias("sh"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["novel_shingles"] for r in rows) == distinct_corpus
+    with_sh = sorted(
+        (r for r in rows if r["total_shingles"] > 0),
+        key=lambda r: r["doc_id"],
+    )
+    assert with_sh[0]["novel_shingles"] == with_sh[0]["total_shingles"]
+    assert with_sh[0]["novelty_pct"] == 100
+    for r in rows:
+        if r["total_shingles"]:
+            assert (
+                r["novelty_pct"]
+                == r["novel_shingles"] * 100 // r["total_shingles"]
+            )
+            assert 0 <= r["novel_shingles"] <= r["total_shingles"]
+        else:
+            assert r["novelty_pct"] == 100 and r["novel_shingles"] == 0
+
+
+def test_label_outliers_match_numpy_mirror(spark, sf_correctness):
+    """numpy mirror of embedding_label_outliers: float64 per-label
+    centroids, cosine to own centroid, bottom-5 per label — the chosen
+    vec_ids must match exactly and the cosines to 1e-6 (the engine's
+    DECIMAL centroid sums vs numpy's float64 sums differ only in last
+    bits, far below the round-9 output grain)."""
+    import numpy as np
+
+    from msstreamingstack_spark.queries import REGISTRY
+    from msstreamingstack_spark.queries_extensions import LABEL_OUTLIER_K
+    from msstreamingstack_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    expect = {}
+    for lab, vecs in by_label.items():
+        cent = np.mean([v for _, v in vecs], axis=0)
+        cn = np.linalg.norm(cent)
+        scored = sorted(
+            (
+                round(float(v @ cent / (np.linalg.norm(v) * cn)), 9),
+                vid,
+            )
+            for vid, v in vecs
+        )
+        expect[lab] = scored[:LABEL_OUTLIER_K]
+    got = REGISTRY["embedding_label_outliers"].builder(
+        spark, sf_correctness
+    ).collect()
+    assert len(got) == sum(len(v) for v in expect.values())
+    for r in got:
+        cos, vid = expect[r["label"]][r["rn"] - 1]
+        assert r["vec_id"] == vid
+        assert abs(r["cos_centroid"] - cos) <= 1e-6
