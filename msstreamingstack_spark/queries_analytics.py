@@ -2532,11 +2532,23 @@ LEFT JOIN exact x ON p.type_a = x.type_a AND p.type_b = x.type_b
     "(SURVEY.md SS2.5: no sketch surface).",
 )
 def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from msstreamingstack_spark.caching import rotating_persist
     from msstreamingstack_spark.functions.text import hash48
 
     ev = events_with_time(spark, sf_dir)
+    # ONE full-data (type, user) distinct pass feeds both the sketch
+    # side (hashed) and the exact rider — hash48 is injective per
+    # distinct user modulo hash collisions, which the KMV definition
+    # absorbs (the oracle distincts the hashed pairs identically).
+    # eager: the frame feeds the broadcast(common)/broadcast(exact)
+    # subtrees, whose concurrent builds race a lazy cache (r10 A/B).
+    tu = rotating_persist(
+        ev.select("event_type", "user_id").distinct(),
+        "theta.tu",
+        eager=True,
+    )
     du = (
-        ev.select(
+        tu.select(
             "event_type",
             hash48(F.col("user_id").cast("string")).alias("hv"),
         )
@@ -2585,7 +2597,6 @@ def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("common_k"))
     )
-    tu = ev.select("event_type", "user_id").distinct()
     ua, ub = tu.alias("ua"), tu.alias("ub")
     exact = (
         ua.join(
