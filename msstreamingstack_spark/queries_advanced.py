@@ -1050,8 +1050,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # ngram_jaccard_pairs emits each (d1 < d2) pair exactly once (its
+    # tail is a groupBy(d1, d2)) — the CC edge distinct is redundant
     pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
-    return dedup_keep_list(docs, pairs)
+    return dedup_keep_list(docs, pairs, pairs_unique=True)
 
 
 @register(
@@ -1086,8 +1088,11 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # same pair-uniqueness guarantee as dedup_clusters
     pairs = ngram_jaccard_pairs(docs, 0.8).select("d1", "d2")
-    assign = dedup_keep_list(docs, pairs).select("doc_id", "cluster_id")
+    assign = dedup_keep_list(docs, pairs, pairs_unique=True).select(
+        "doc_id", "cluster_id"
+    )
     withq = assign.join(
         docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
         "doc_id",
@@ -3582,23 +3587,33 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # least(...) chain — O(K*N*D) total instead of O(K^2*N*D), which
     # matters because the decimal-HOF distance is interpreter-bound.
     md = emb.withColumn("min_d", d2_to(seed["embedding"])).persist()
+    prev = None
     try:
         for t in range(2, KCENTER_K + 1):
             top = (
                 md.orderBy(F.desc("min_d"), F.asc("vec_id"))
                 .limit(1)
                 .collect()[0]
-            )  # top-1 TakeOrdered: a reduce, not a sort-all
+            )  # top-1 TakeOrdered: a reduce, not a sort-all — and the
+            # ONE action of the round: it materializes md's persist
+            # (reading the still-cached parent), after which the
+            # parent can be released. The r10 shape ran a separate
+            # count() per round to materialize before unpersisting —
+            # K-1 extra jobs whose only purpose this fold absorbs.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             selected.append((t, int(top["vec_id"]), float(top["min_d"])))
             if t < KCENTER_K:
                 nxt = md.withColumn(
                     "min_d", F.least(F.col("min_d"), d2_to(top["embedding"]))
                 ).persist()
-                nxt.count()  # materialize before releasing the parent
-                md.unpersist()
+                prev = md
                 md = nxt
     finally:
         md.unpersist()
+        if prev is not None:
+            prev.unpersist()
     out = spark.createDataFrame(
         selected, "sel_round int, vec_id bigint, dist2 double"
     )

@@ -2555,10 +2555,17 @@ def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     wN = Window.partitionBy("event_type").orderBy("hv")
-    samp = (
+    # samp is tiny (<= T*K rows) but costs two shuffles (distinct +
+    # window) to build, and the final plan references it four times
+    # (summ in pairs, sa, sb, and pairs again in the output join) —
+    # persist so the window pass runs once; eager because it feeds the
+    # broadcast(common)/broadcast(pairs) subtrees (same race as tu)
+    samp = rotating_persist(
         du.withColumn("rn", F.row_number().over(wN))
         .filter(F.col("rn") <= THETA_K)
-        .drop("rn")
+        .drop("rn"),
+        "theta.samp",
+        eager=True,
     )
     summ = samp.groupBy("event_type").agg(
         F.count("*").alias("k_used"),
