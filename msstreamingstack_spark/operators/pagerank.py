@@ -65,10 +65,35 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_TELEPORT_SCALED = 150_000_000_000  # 0.15 * 1e12
 
 
+def copurchase_node_id(custkey=None, suppkey=None):
+    """BIGINT node id for the co-purchase graph: customers map to
+    ``2*custkey``, suppliers to ``2*suppkey + 1`` — injective, the two
+    key spaces cannot collide, and every per-round shuffle/sort/join
+    of the kernel moves an 8-byte long instead of a 'c…'/'s…' string
+    (guide §2.3: narrower types halve the column, halve its shuffle
+    bytes — and long hash/compare beats string hash/compare in every
+    exchange and sort the 4-round plan contains)."""
+    if custkey is not None:
+        return (F.col(custkey).cast("long") * 2).alias("node")
+    return (F.col(suppkey).cast("long") * 2 + 1).alias("node")
+
+
+def copurchase_node_str(node: str = "node"):
+    """Decode the BIGINT node id back to the public 'c…'/'s…' string —
+    applied ONLY in the final projection, so the query output (and the
+    DuckDB oracle, which speaks strings throughout) is unchanged."""
+    return F.expr(
+        f"CASE WHEN {node} % 2 = 0 "
+        f"THEN concat('c', CAST({node} div 2 AS STRING)) "
+        f"ELSE concat('s', CAST({node} div 2 AS STRING)) END"
+    )
+
+
 def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """(src, dst, cnt) — symmetric customer↔supplier edges weighted by
-    line-item count. Node ids are prefixed ('c…'/'s…') so the two key
-    spaces cannot collide.
+    line-item count. Node ids are BIGINT (``copurchase_node_id``):
+    even = customer, odd = supplier — decode with
+    ``copurchase_node_str`` in the final projection only.
 
     The directed pair table is persisted (rotating slot) BEFORE the
     symmetric union: downstream the edge frame is consumed twice more
@@ -81,11 +106,10 @@ def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             orders,
             lineitem["l_orderkey"] == orders["o_orderkey"],
         )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        .groupBy(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
-        .groupBy("src", "dst")
         .agg(F.count("*").alias("cnt")),
         "pagerank.e0",
     )

@@ -626,11 +626,43 @@ def embedding_neardup_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    withv = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norms once per vector (the embedding_neardup_pairs discipline,
+    # applied here in r11): the verify expression per candidate is one
+    # dot fold instead of three. This matters twice over because the
+    # optimizer pushes the threshold filter INTO the verify join's
+    # condition, evaluating the expression a second time per row — the
+    # hoist shrinks both evaluations. norm(a) is the identical
+    # sqrt(aggregate(...)) expression, just computed in the per-vector
+    # projection, so cos is bit-for-bit the same double.
+    withv = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     return (
-        cand.join(withv.select(F.col("_id").alias("d1"), F.col("_v").alias("v1")), "d1")
-        .join(withv.select(F.col("_id").alias("d2"), F.col("_v").alias("v2")), "d2")
-        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), COS_ROUND))
+        cand.join(
+            withv.select(
+                F.col("_id").alias("d1"),
+                F.col("_v").alias("v1"),
+                F.col("_n").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            withv.select(
+                F.col("_id").alias("d2"),
+                F.col("_v").alias("v2"),
+                F.col("_n").alias("n2"),
+            ),
+            "d2",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                COS_ROUND,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("d1", "d2", "cos")
     )

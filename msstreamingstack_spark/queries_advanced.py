@@ -3414,15 +3414,18 @@ def _pagerank_oracle() -> str:
 def q_graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from msstreamingstack_spark.operators.pagerank import (
         copurchase_edges,
+        copurchase_node_str,
         pagerank,
     )
 
+    # the kernel runs on BIGINT node ids; the public 'c…'/'s…' string
+    # form is reconstructed only here, in the final projection
     return pagerank(
         copurchase_edges(
             spread(load_table(spark, sf_dir, "lineitem")),
             load_table(spark, sf_dir, "orders"),
         )
-    )
+    ).select(copurchase_node_str().alias("node"), "pagerank")
 
 
 def _ppr_oracle() -> str:
@@ -3456,13 +3459,15 @@ def q_graph_pagerank_personalized(
 ) -> DataFrame:
     from msstreamingstack_spark.operators.pagerank import (
         copurchase_edges,
+        copurchase_node_id,
+        copurchase_node_str,
         pagerank,
     )
 
     seeds = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .select(copurchase_node_id(custkey="c_custkey"))
     )
     return pagerank(
         copurchase_edges(
@@ -3470,7 +3475,7 @@ def q_graph_pagerank_personalized(
             load_table(spark, sf_dir, "orders"),
         ),
         seeds=seeds,
-    )
+    ).select(copurchase_node_str().alias("node"), "pagerank")
 
 
 # ---------------------------------------------------------------------------

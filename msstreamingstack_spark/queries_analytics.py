@@ -1302,28 +1302,59 @@ def q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def ewma_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)
-        vals = pdf["value"].to_numpy(dtype="float64")
-        out = np.empty(len(vals), dtype="float64")
-        y = 0.0
-        for i in range(len(vals)):
-            y = vals[i] if i == 0 else 0.7 * y + 0.3 * vals[i]
-            out[i] = y
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "rn": np.arange(1, len(vals) + 1, dtype="int64"),
-                "ewma": out,
-            }
-        )
-
+    # r11 shape (guide §4.1/§4.2): ONE hash repartition by user +
+    # in-partition sort replaces groupBy().applyInPandas. The old form
+    # built one pandas frame PER USER (thousands of tiny frames,
+    # serialized on the 1-2 partitions AQE coalesces this small-bytes/
+    # CPU-dense exchange down to); here each TASK folds its whole
+    # partition in one pass, carrying (user, y, rn) across Arrow batch
+    # boundaries. The recurrence itself is the identical IEEE sequence
+    # (y = vals[i] at group start, else 0.7*y + 0.3*vals[i], in
+    # (ts_sec, event_id) order) — float64 scalar ops in the same
+    # order, so the fold is bit-exact vs the oracle either way. The
+    # explicit numPartitions comes from the session's shuffle-
+    # partition setting (cores locally, cluster-sized on a cluster),
+    # and an explicit repartition is exempt from AQE coalescing —
+    # parallelism equals the configured width, not the byte count.
     ev = events_with_time(spark, sf_dir).select(
         "user_id", "event_id", "ts_sec", "value"
     )
-    smoothed = ev.groupBy("user_id").applyInPandas(
-        ewma_fn, "user_id bigint, event_id bigint, rn bigint, ewma double"
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = ev.repartition(nparts, "user_id").sortWithinPartitions(
+        "user_id", "ts_sec", "event_id"
+    )
+
+    def fold(batches):
+        prev_user = None
+        y = 0.0
+        n = 0
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out = np.empty(len(vals), dtype="float64")
+            rn = np.empty(len(vals), dtype="int64")
+            for i in range(len(vals)):
+                u = users[i]
+                if u != prev_user:
+                    prev_user = u
+                    y = vals[i]
+                    n = 1
+                else:
+                    y = 0.7 * y + 0.3 * vals[i]
+                    n += 1
+                out[i] = y
+                rn[i] = n
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "rn": rn,
+                    "ewma": out,
+                }
+            )
+
+    smoothed = part.mapInPandas(
+        fold, "user_id bigint, event_id bigint, rn bigint, ewma double"
     )
     return smoothed.select(
         "user_id", "event_id", "rn", F.round(F.col("ewma"), 9).alias("ewma")

@@ -136,6 +136,8 @@ def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
 
     from msstreamingstack_spark.sources.tables import load_table
 
+    from msstreamingstack_spark.operators.pagerank import copurchase_node_id
+
     edges = copurchase_edges(
         load_table(spark, sf_smoke, "lineitem"),
         load_table(spark, sf_smoke, "orders"),
@@ -143,7 +145,7 @@ def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
     seeds = (
         load_table(spark, sf_smoke, "customer")
         .filter(F.col("c_nationkey") == 0)
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+        .select(copurchase_node_id(custkey="c_custkey"))
     )
     seed_keys = {r["node"] for r in seeds.collect()}
     pers = {r["node"]: r["pagerank"] for r in pagerank(edges, seeds=seeds).collect()}
@@ -152,6 +154,33 @@ def test_personalized_mass_concentrates_on_seed_side(spark, sf_smoke):
     p_seed = sum(v for k, v in pers.items() if k in seed_keys)
     u_seed = sum(v for k, v in unif.items() if k in seed_keys)
     assert p_seed > u_seed
+
+
+def test_copurchase_node_codec_roundtrip(spark):
+    """The BIGINT node encoding (r11: long ids through every kernel
+    shuffle, strings only in the final projection) is injective across
+    the two key spaces and decodes back to the exact public strings."""
+    from pyspark.sql import functions as F
+
+    from msstreamingstack_spark.operators.pagerank import (
+        copurchase_node_id,
+        copurchase_node_str,
+    )
+
+    keys = spark.createDataFrame(
+        [(0,), (1,), (7,), (12345,), (999999,)], "k long"
+    )
+    cust = keys.select(copurchase_node_id(custkey="k"))
+    supp = keys.select(copurchase_node_id(suppkey="k"))
+    ids = {r["node"] for r in cust.collect()} | {
+        r["node"] for r in supp.collect()
+    }
+    assert len(ids) == 10  # injective across both spaces
+    got_c = [r[0] for r in cust.select(copurchase_node_str()).collect()]
+    got_s = [r[0] for r in supp.select(copurchase_node_str()).collect()]
+    ks = [0, 1, 7, 12345, 999999]
+    assert sorted(got_c) == sorted(f"c{k}" for k in ks)
+    assert sorted(got_s) == sorted(f"s{k}" for k in ks)
 
 
 def test_triangle_count_matches_python_model(spark):

@@ -756,15 +756,22 @@ def test_entity_match_no_cartesian(spark):
 
 
 def test_ewma_single_shuffle_into_pandas_kernel(spark):
-    """The EWMA kernel is the legitimate applyInPandas case: exactly
-    one FlatMapGroupsInPandas, fed by a single user_id exchange — no
-    extra shuffle before or after the grouped fold."""
+    """The EWMA kernel pays exactly ONE user_id exchange feeding one
+    partition-level MapInPandas fold (r11 shape: an explicit hash
+    repartition + in-partition sort replaces groupBy().applyInPandas,
+    so thousands of per-user pandas frames collapse into one pass per
+    task and parallelism is the configured shuffle width, not the
+    AQE-coalesced byte count). No second shuffle anywhere."""
     f = plan_facts(REGISTRY["ewma_event_values"].builder(spark, SF))
-    assert "FlatMapGroupsInPandas" in f.text
+    assert "MapInPandas" in f.text
+    assert "FlatMapGroupsInPandas" not in f.text
     # formatted plans list every node twice (tree + detail section), so
     # one physical occurrence == count 2
     assert f.python_evals == 2, f.text
     assert f.shuffles == 2, f.text
+    # the repartition must be the explicit hash form on user_id (exempt
+    # from AQE coalescing), with the group sort inside the partition
+    assert "REPARTITION_BY_NUM" in f.text, f.text
 
 
 def test_triangle_count_no_cartesian_and_reuses_oriented(spark):
