@@ -617,6 +617,8 @@ def dfcapped_shingle_hashes(
     and the filter-join are both partitioned on ``h``, the same key
     the pair join shuffles on, so AQE reuses the exchange.
     """
+    from msstreamingstack_spark.caching import rotating_persist
+
     sh = doc_shingle_hashes(docs, slot="dfcapped_jaccard.sh", eager=True)
     # eager=True measured 9.0 -> 6.3 s at sf0.1: the df-count and
     # join-back subtrees otherwise re-ran the shingle explode when
@@ -627,7 +629,17 @@ def dfcapped_shingle_hashes(
         .filter(F.col("df") <= df_cap)
         .select("h")
     )
-    return sh.join(keep.hint("shuffle_hash"), "h").select("doc_id", "h")
+    # r11 (guide §5): the capped table feeds THREE consumers in
+    # dfcapped_jaccard_pairs (sizes + both inter join sides) — without
+    # its own persist each consumer re-ran the df aggregate + filter
+    # join over the cached raw shingles (interleaved A/B below). The
+    # cached frame is two longs per KEPT shingle, strictly smaller
+    # than the raw table one slot up.
+    return rotating_persist(
+        sh.join(keep.hint("shuffle_hash"), "h").select("doc_id", "h"),
+        "dfcapped_jaccard.capped",
+        eager=True,
+    )
 
 
 def dfcapped_shingle_hashes_sql(

@@ -201,7 +201,13 @@ def pagerank(
         init = tp_all.select("node", F.col("m").alias("r"))
 
         def teleported(contrib: DataFrame) -> DataFrame:
-            return tp_all.join(contrib, "node", "left").select(
+            # shuffle_hash on the build (right) side: both frames are
+            # node-sized, the hash build skips the two per-round sorts
+            # a sort-merge left join would pay (same A/B family as the
+            # round join above)
+            return tp_all.join(
+                contrib.hint("shuffle_hash"), "node", "left"
+            ).select(
                 "node",
                 (
                     F.col("tp")
@@ -216,6 +222,16 @@ def pagerank(
         rsrc = ranks.withColumnRenamed("node", "src")
         if broadcast_ranks:
             rsrc = F.broadcast(rsrc)
+        else:
+            # r11 (guide §3.1): shuffled-hash beats sort-merge for the
+            # per-round join — the ranks side is node-sized (orders of
+            # magnitude under the edge side), so each partition builds
+            # a small hash table and STREAMS the cached edge partition
+            # with no per-round sort of the edge table. Interleaved
+            # best-of-3 A/B at sf0.1 (BIGINT ids): SMJ 7.83 s vs SHJ
+            # 6.08 s vs per-round broadcast 6.67 s (broadcast also
+            # serializes rounds through a driver collect each round).
+            rsrc = rsrc.hint("shuffle_hash")
         contrib = (
             e.join(rsrc, "src")
             .groupBy(F.col("dst").alias("node"))

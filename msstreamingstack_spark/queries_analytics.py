@@ -1863,6 +1863,13 @@ def q_bootstrap_ci_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash48(F.col("event_id").cast("string")).alias("h"),
         "value",
     )
+    # r11 negative result (recorded in OPTIMIZATION_r11.md): a
+    # one-pass 2·REPS-conditional-aggregate form (the simhash-votes
+    # pattern) was built and interleaved-A/B'd at 1.6x SLOWER than
+    # this fan-out (2.29 vs 1.41 s best-of) — 64 DECIMAL agg-updates
+    # per input row cost more than materializing the filtered
+    # replicate rows into an efficient columnar partial agg. The
+    # crossJoin fan-out stays.
     reps = spark.range(BOOT_REPS).select(
         F.col("id").cast("int").alias("rep"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias(
@@ -2635,16 +2642,28 @@ def q_segment_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("common_k"))
     )
-    ua, ub = tu.alias("ua"), tu.alias("ub")
+    # r11 (guide §2.3/§2.4): the exact rider was a tu×tu self-join on
+    # user_id (sort + merge of the full distinct frame, T² fan-out
+    # through the join). Per-user type-set + in-array pair expansion
+    # is the same multiset of (a<b) pairs — tu is distinct, so each
+    # user's type set has each type once and the self-join emitted
+    # exactly the a<b pairs of that set — for ONE map-combined
+    # groupBy(user) exchange and a bounded C(T,2) explode.
     exact = (
-        ua.join(
-            ub,
-            (F.col("ua.user_id") == F.col("ub.user_id"))
-            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        tu.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, x -> transform("
+                    "filter(ts, y -> y > x),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("ua.event_type").alias("type_a"),
-            F.col("ub.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
         .agg(F.count("*").alias("exact_overlap"))
     )

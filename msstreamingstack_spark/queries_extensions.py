@@ -2566,12 +2566,28 @@ def q_sketch_countmin_user_events(
     def row_bucket(col, d):
         return bucket_hash(F.concat(F.lit(f"r{d}:"), col), CMS_WIDTH)
 
-    rows = None
-    for d in range(CMS_DEPTH):
-        part = ev.groupBy(row_bucket(F.col("k"), d).alias("b")).agg(
-            F.count("*").alias("c")
-        ).select(F.lit(d).alias("d"), "b", "c")
-        rows = part if rows is None else rows.unionByName(part)
+    # r11 (guide §2.3): ONE pass over the cached key frame computes
+    # all d row-buckets per key and folds them in one map-combined
+    # (d, b) aggregate — the union-of-d-scans form re-scanned the
+    # cache (and re-dispatched a scan stage) once per depth for the
+    # same total hash work. Output rows are identical (d, b, c).
+    rows = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            row_bucket(F.col("k"), d).alias("b"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("db")
+        )
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
     truth = (
         ev.groupBy("k")
         .agg(F.count("*").alias("true_count"))
