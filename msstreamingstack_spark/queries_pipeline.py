@@ -265,7 +265,10 @@ def pretrain_corpus_doc_flags(
     # decontamination stages — the per-stage slots would explode the
     # full text three times per execution (the most expensive subtree
     # in the family; at 100 TB that's three corpus scans for one).
-    sh = doc_shingle_hashes(docs, slot="pipeline_v2.sh")
+    # eager (r11): the shared shingle table feeds the fuzzy-dedup AND
+    # both decontamination kernels, whose broadcast subtrees race a
+    # lazy cache (the round-8/10 lesson); interleaved A/B below
+    sh = doc_shingle_hashes(docs, slot="pipeline_v2.sh", eager=True)
     fuzzy_drop = (
         minhash_lsh_pairs(docs, FUZZY_JACCARD_T, shingles_df=sh)
         .select(F.col("d2").alias("doc_id"))
@@ -367,8 +370,13 @@ def pretrain_corpus_doc_flags(
         )
     )
     # the flag frame feeds the rate aggregate AND the final funnel —
-    # persist once or the whole gates/dedup/decontam chain runs twice
-    st = rotating_persist(st, "pipeline_v2.flags")
+    # persist once or the whole gates/dedup/decontam chain runs twice.
+    # eager (r11): the rate side ends in broadcast(rates), whose build
+    # thread would otherwise race the main plan to populate this cache
+    # and re-run the whole upstream funnel; interleaved best-of-3 A/B
+    # at sf0.1: lazy 15.14 s vs sh+flags eager 12.87 s (flags0 eager
+    # on top measured 13.46 — not adopted).
+    st = rotating_persist(st, "pipeline_v2.flags", eager=True)
 
     cnt = st.groupBy("source").agg(
         F.count(F.when(F.col("clean"), 1)).alias("n_clean_src")
