@@ -151,8 +151,21 @@ def pagerank(
     from msstreamingstack_spark.caching import rotating_persist
 
     deg = edges.groupBy("src").agg(F.sum("cnt").alias("outdeg"))
+    # r11 (guide §2.4): pin the cache's layout to the per-round join
+    # key with an explicit REPARTITION_BY_NUM before the persist. The
+    # earlier negative result (sortWithinPartitions / localCheckpoint
+    # layouts invisible through the cache) does NOT apply to an
+    # explicit hash repartition: REPARTITION_BY_NUM is AQE-coalesce-
+    # exempt, so InMemoryTableScan reports hashpartitioning(src, n)
+    # and every round's shuffled-hash join consumes it — the edge
+    # table (the big frame) is exchanged ONCE at build instead of
+    # once per round. n = defaultParallelism: cores-derived, not a
+    # local[32] constant.
+    nparts = edges.sparkSession.sparkContext.defaultParallelism
     e = rotating_persist(
-        edges.join(deg, "src").select("src", "dst", "cnt", "outdeg"),
+        edges.join(deg, "src")
+        .select("src", "dst", "cnt", "outdeg")
+        .repartition(nparts, "src"),
         "pagerank.e",
     )
     nodes = e.select(F.col("src").alias("node")).distinct()
@@ -180,6 +193,9 @@ def pagerank(
         # guarantees a seed with no in-contribution still receives its
         # teleport AND avoids a per-round full-outer (measurably
         # slower — full outer cannot broadcast and builds both sides)
+        # same layout pin as `e`: the per-round teleport left join is
+        # keyed on node, so cache tp_all hash-partitioned by node and
+        # each round only exchanges the contrib side
         tp_all = rotating_persist(
             nodes.join(
                 sd.crossJoin(F.broadcast(ns)).select(
@@ -191,11 +207,13 @@ def pagerank(
                 ),
                 "node",
                 "left",
-            ).select(
+            )
+            .select(
                 "node",
                 F.coalesce(F.col("tp0"), F.lit(0)).alias("tp"),
                 F.coalesce(F.col("m0"), F.lit(0)).alias("m"),
-            ),
+            )
+            .repartition(nparts, "node"),
             "pagerank.tp_all",
         )
         init = tp_all.select("node", F.col("m").alias("r"))

@@ -3784,13 +3784,21 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # r11 (guide §2.4): cache oriented hash-partitioned on src — the
+    # wedge join consumes it for o2 (keyed src) AND o3 (keyed
+    # (src,dst): hash(src) co-locates equal (src,dst) rows, so the
+    # ClusteredDistribution is satisfied without an exchange); only
+    # o1's dst-keyed side still exchanges. Explicit REPARTITION_BY_NUM
+    # survives the cache (see operators/pagerank.py).
+    nparts = spark.sparkContext.defaultParallelism
     oriented = rotating_persist(
         und.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        ),
+        )
+        .repartition(nparts, "src"),
         "triangles.oriented",
     )
     o1 = oriented.alias("o1")
