@@ -170,30 +170,50 @@ FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS sh FROM {doc_rel})
 
 def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact jaccard for a given (d1, d2) candidate set, from the
-    shingle-hash table: |∩| via a two-sided semi-restricted join,
-    |∪| = n1 + n2 − |∩|."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "h")
-    b = sh.select(F.col("doc_id").alias("d2"), "h")
-    # shuffle_hash pins: at small SF AQE broadcasts the shingle table
-    # (legitimately <10MB there), but the pair-generation stage then
-    # can't be skew-split and plan latency is erratic; shuffled hash on
-    # the key keeps pair generation partitioned — the only plan shape
-    # that exists at 100 TB, and the stable one locally.
-    inter = (
-        pairs.join(a.hint("shuffle_hash"), "d1")
-        .join(b.hint("shuffle_hash"), ["d2", "h"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_inter"))
+    shingle-hash table: fold each doc's hashes into ONE array row,
+    attach both docs' arrays to the candidate pair, |∩| =
+    size(array_intersect), |∪| = n1 + n2 − |∩|.
+
+    r11 (guide §2.3/§2.4): this replaces the old two-sided shingle
+    join (pairs ⋈ sh on d1, ⋈ sh on (d2,h), groupBy(d1,d2), then TWO
+    more sizes joins — 6 exchanges, two of them moving the full
+    shingle table) with 3 exchanges of the per-doc array frame; the
+    candidate fan-out rows never hit an exchange. Exactness: (doc, h)
+    is duplicate-free BY CONSTRUCTION up to same-doc 48-bit collisions
+    (see doc_shingle_hashes — ~1e-10 per doc; pinned absent on the
+    fixture corpus at every SF by tests/test_extensions.py), so the
+    per-doc array is a set and size(array_intersect) IS the join
+    count. Interleaved best-of-3 A/B at sf0.1 on the LSH kernel:
+    2.41-2.58 s → 1.74-1.93 s, output repr-exact."""
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count("*").alias("n")
     )
+    a1 = arrs.select(
+        F.col("doc_id").alias("d1"), F.col("hs").alias("h1"),
+        F.col("n").alias("n1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("d2"), F.col("hs").alias("h2"),
+        F.col("n").alias("n2"),
+    )
+    # shuffle_hash pins: at small SF AQE broadcasts the array table
+    # (legitimately <10MB there), but then the attach stage can't be
+    # skew-split and plan latency is erratic; shuffled hash on the key
+    # keeps it partitioned — the only plan shape that exists at 100 TB,
+    # and the stable one locally.
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        pairs.join(a1.hint("shuffle_hash"), "d1")
+        .join(a2.hint("shuffle_hash"), "d2")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("h1", "h2")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
         )
+        .drop("h1", "h2")
     )
 
 

@@ -39,6 +39,68 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_correctness):
     assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
 
 
+def test_jaccard_verify_array_form_matches_join_count(
+    spark, sf_correctness
+):
+    """The array-intersect verify (r11 _jaccard_on_pairs) is exact iff
+    (doc_id, h) is duplicate-free — pin BOTH: the fixture corpus holds
+    the invariant at this SF, and the array form's (n_inter, n1, n2,
+    jaccard) equals the old two-sided join count on the real LSH
+    candidate set."""
+    from msstreamingstack_spark.operators.dedup import (
+        _band_buckets,
+        _jaccard_on_pairs,
+        doc_shingle_hashes,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_correctness, "documents")
+    sh = doc_shingle_hashes(docs, persist=False)
+    assert (
+        sh.groupBy("doc_id", "h").count().filter(F.col("count") > 1).count()
+        == 0
+    ), "(doc_id, h) must be duplicate-free for array-intersect verify"
+    buckets = _band_buckets(minhash_signatures(sh))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    # the array form also emits zero-intersection candidates (the old
+    # inner join on h dropped them); every caller filters
+    # jaccard >= threshold > 0, so compare the reachable surface
+    got = {
+        (r["d1"], r["d2"]): (r["n_inter"], r["n1"], r["n2"], r["jaccard"])
+        for r in _jaccard_on_pairs(sh, cand).collect()
+        if r["n_inter"] > 0
+    }
+    # reference: the pre-r11 join-count form, inline
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), "h")
+    ref_df = (
+        cand.join(a, "d1")
+        .join(b, ["d2", "h"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+    )
+    ref = {
+        (r["d1"], r["d2"]): (r["n_inter"], r["n1"], r["n2"], r["jaccard"])
+        for r in ref_df.collect()
+    }
+    assert ref, "candidate set should be non-empty at this SF"
+    assert got == ref
+
+
 def test_srp_ann_recall(spark, sf_correctness):
     emb = load_table(spark, sf_correctness, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
