@@ -480,19 +480,21 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     wider fingerprints make band keys selective — see simhash_pairs):
     token weight = occurrence count; bit b
     set when the weighted sum of ±1 votes from token-hash bit b is
-    positive. One explode + one groupBy (SIMHASH_BITS = 48 conditional
-    sums)."""
-    toks = (
-        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", hash48(F.col("tok")))
-    )
+    positive. One explode + ONE map-combined groupBy (SIMHASH_BITS = 48
+    conditional sums): summing ±1 per token OCCURRENCE equals summing
+    ±cnt per token TYPE exactly (integer arithmetic), so the
+    (doc, tok) count pre-aggregation — a full exchange of the exploded
+    token table — is unnecessary. The hash is computed per occurrence
+    instead of per type; that per-row work is cheaper than the removed
+    shuffle (measured)."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(id_col, hash48(F.col("tok")).alias("h"))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
             ).alias(f"s_{b}")
             for b in range(SIMHASH_BITS)
         ]
