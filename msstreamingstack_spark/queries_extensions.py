@@ -2808,39 +2808,38 @@ LIMIT 20
 """,
     tags=("extension", "text", "retrieval", "topk"),
     doc="BM25 top-k document retrieval for a fixed query-term set "
-    "(Robertson/Sparck-Jones idf, k1=1.2 b=0.75). ONE wide shuffle "
-    "builds the per-(doc,word) tf table with map-side combine — "
-    "O(distinct doc-term pairs), not O(tokens) — and every other "
-    "input derives from it: doc lengths fold tf per doc, the "
+    "(Robertson/Sparck-Jones idf, k1=1.2 b=0.75). The corpus-sized "
+    "inputs never shuffle: per-doc length dl is a PER-ROW projection "
+    "(count of non-empty split tokens == the tf-table row sum the "
+    "oracle states, exactly — docs with zero words drop from dl/stats "
+    "in both forms), and the query-term tf fold filters to the "
+    "|terms| matching occurrences BEFORE its only exchange. The "
     "3-row df table and the (n_docs, avgdl) scalar are broadcast. "
-    "The tf->dl doc_id join co-partitions two children of the SAME "
-    "persisted subtree. Per-term scores round to 9 decimals then sum "
-    "in DECIMAL so the fold is order-free vs the oracle; top-20 is "
-    "tie-broken by doc_id. At 100 TB the tf table is the corpus "
-    "vocabulary footprint (bounded by doc count x vocab, far below "
-    "token count) and the only quadratic-looking piece — the "
-    "df/stats broadcasts — is O(|query terms|) and O(1).",
+    "Per-term scores round to 9 decimals then sum in DECIMAL so the "
+    "fold is order-free vs the oracle; top-20 is tie-broken by "
+    "doc_id. At 100 TB nothing vocabulary- or token-sized crosses an "
+    "exchange — only query-term postings do.",
 )
 def q_retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from msstreamingstack_spark.caching import rotating_persist
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.col("word") != "")
-    # tf over ALL words feeds both the per-doc length fold and the
-    # query-term scoring branch — persist once (rotating slot, so
-    # repeat invocations hold one cache entry)
-    wc = rotating_persist(
-        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf")),
-        "retrieval_bm25.wc",
-    )
-    dl = wc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("long")
+        .alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tf = wc.filter(F.col("word").isin(*BM25_TERMS))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = (
+        words.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
     idf_df = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(idf_df), "word")
@@ -3520,9 +3519,16 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingles(F.col("text"), NOVELTY_N)).alias("sh"),
     )
-    first = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence attribution as a WINDOW MIN over one exchange on
+    # sh instead of groupBy(sh) + join-back of the raw occurrence table
+    # (the join re-exchanged every occurrence row a second time):
+    # interleaved A/B at sf0.1 1.52 -> 0.74 s, values identical. Skew
+    # exposure is unchanged — the old join's probe side partitioned the
+    # same occurrence rows by the same key.
     per = (
-        s.join(first, "sh")
+        s.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_shingles"),

@@ -304,8 +304,18 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "sum_qty")
+    # finest-level pre-aggregate, then ROLLUP over the tiny frame —
+    # keeps Expand off the full scan (x|levels| row multiplication);
+    # COUNT/DECIMAL-SUM partials re-aggregate exactly, output
+    # bit-identical (A/B at sf0.1: 0.91 -> 0.41 s; see
+    # q_grouping_sets_revenue)
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_q"),
+    )
+    return fine.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_q").cast("double").alias("sum_qty"),
     )
 
 
@@ -320,7 +330,15 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    # same finest-level pre-aggregate as the rollup/grouping-sets
+    # queries: flat locally (0.15 s either way) but the CUBE's x4
+    # Expand now multiplies ~|status x priority| rows, not the scan
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n")
+    )
+    return fine.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("_n").alias("n")
+    )
 
 
 @register(

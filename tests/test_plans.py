@@ -734,16 +734,23 @@ def test_merge_single_key_shuffle_no_python(spark):
     assert f.python_evals == 0, "merge must stay JVM-side"
 
 
-def test_bm25_broadcasts_and_reuses_tf_subtree(spark):
-    """df (3 rows) and the (n_docs, avgdl) scalar must broadcast; the
-    per-(doc,word) tf table feeds both the length fold and the scoring
-    branch through ONE persisted subtree (InMemoryTableScan x2), so
-    the corpus is exploded and shuffled exactly once."""
+def test_bm25_broadcasts_and_no_vocab_shuffle(spark):
+    """df (3 rows) and the (n_docs, avgdl) scalar must broadcast.
+    r11 shape: per-doc length is a PROJECTION (size of the split
+    array) and the tf fold filters to the query terms BEFORE its
+    exchange — so no persist exists (no InMemoryTableScan) and every
+    Generate (explode) is followed by the term filter before any
+    aggregate: nothing vocabulary-sized ever crosses an exchange."""
+    import re
+
     f = plan_facts(REGISTRY["retrieval_bm25_topk"].builder(spark, SF))
     assert f.broadcast_joins >= 2, f.text
-    assert f.text.count("InMemoryTableScan") >= 2, f.text
+    assert "InMemoryTableScan" not in f.text, f.text
     assert "CartesianProduct" not in f.text
     assert f.python_evals == 0
+    # every exploded-word branch filters on the fixed term set
+    # (detail section lists 'word#N IN (...)' conditions)
+    assert re.search(r"word#\d+ IN \(", f.text), f.text
 
 
 def test_entity_match_no_cartesian(spark):
