@@ -760,14 +760,25 @@ def eval_overlap_stats(
     )
     eval_ids = docs.filter(eval_pred).select(id_col)
     eval_h = (
-        sh.join(F.broadcast(eval_ids), id_col).select("h").distinct()
+        sh.join(F.broadcast(eval_ids), id_col)
+        .select("h")
+        .distinct()
+        .withColumn("_ev", F.lit(1))
     )
     train_sh = sh.join(F.broadcast(eval_ids), id_col, "left_anti")
-    n_sh = train_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    overlap = (
-        train_sh.join(F.broadcast(eval_h), "h")
+    # ONE pass over the corpus-sized train shingle table: the overlap
+    # marker rides a broadcast LEFT join, so n_shingles (all rows) and
+    # n_overlap (marker non-null) fold in a single map-combined
+    # aggregate — the old shape exchanged train_sh twice (two groupBys)
+    # and joined back per doc twice (r11 session-3 A/B: 1.11 -> 1.03 s
+    # at sf0.1; structural at scale, train_sh is corpus-sized)
+    per = (
+        train_sh.join(F.broadcast(eval_h), "h", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_ev").alias("n_overlap"),
+        )
     )
     frac = F.round(
         F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 9
@@ -775,8 +786,7 @@ def eval_overlap_stats(
     return (
         docs.filter(~eval_pred)
         .select(id_col)
-        .join(n_sh, id_col, "left")
-        .join(overlap, id_col, "left")
+        .join(per, id_col, "left")
         .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
         .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
         .withColumn(

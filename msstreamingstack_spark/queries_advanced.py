@@ -653,25 +653,35 @@ ORDER BY total_qty DESC, o_orderkey ASC
 LIMIT 25
 """,
     tags=("relational", "tpch", "having-semijoin", "topk"),
-    doc="TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join "
-    "back onto the fact (large-volume orders), then re-aggregate with "
-    "dims; the IN-subquery becomes a LeftSemi hash join.",
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate over the fact "
+    "(large-volume orders), then re-aggregate with dims. r11: the "
+    "HAVING filter runs as a window SUM over ONE l_orderkey exchange "
+    "of lineitem (partition = lines-per-order, bounded) instead of a "
+    "separate aggregate + LeftSemi join back onto a second lineitem "
+    "exchange (A/B 1.34 -> 0.99 s, identical DECIMAL comparison); "
+    "the oracle keeps the IN-subquery text.",
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    li_big = (
+        li.withColumn(
+            "q",
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).over(
+                Window.partitionBy("l_orderkey")
+            ),
+        )
         .filter(F.col("q") > 180)
-        .select("l_orderkey")
+        .drop("q")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
-              F.col("o_orderkey") == F.col("big_ok"), "left_semi")
+        .join(li_big, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "c_custkey",
             "c_name",
@@ -1694,12 +1704,17 @@ WHERE p.p_brand = 'Brand#1'
     tags=("relational", "tpch", "subquery"),
     doc="TPC-H Q17 shape: revenue lost to small-quantity orders — a "
     "correlated scalar subquery (per-part 20%%-of-average quantity "
-    "threshold) expressed as an explicit per-part aggregate + "
-    "self-join, the decorrelation Catalyst would produce. Brand dim "
-    "filter broadcasts; the per-part average computes only over parts "
-    "that survive the broadcast join, not all of lineitem.",
+    "threshold) run as a per-part window AVG over ONE exchange of the "
+    "branded rows (r11; was aggregate + join-back, which re-exchanged "
+    "them twice). Order-free cross-engine: quantities are "
+    "integer-valued doubles, so the avg is exact integer sum / count "
+    "under any addition order. Brand dim filter broadcasts; the "
+    "average computes only over parts that survive the broadcast "
+    "join, not all of lineitem.",
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     p = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
@@ -1709,10 +1724,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     branded = li.join(p, li.l_partkey == p.p_partkey)
-    thresholds = branded.groupBy("l_partkey").agg(
-        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_threshold")
+    thr = F.lit(0.2) * F.avg(F.col("l_quantity").cast("double")).over(
+        Window.partitionBy("l_partkey")
     )
-    small = branded.join(thresholds, "l_partkey").filter(
+    small = branded.withColumn("qty_threshold", thr).filter(
         F.col("l_quantity") < F.col("qty_threshold")
     )
     return small.agg(
@@ -2122,12 +2137,15 @@ WHERE p.p_size = 10 AND p.p_type = 'SMALL'
     tags=("relational", "tpch", "subquery"),
     doc="TPC-H Q2 shape: cheapest EUROPE supplier per SMALL size-10 "
     "part — correlated scalar MIN decorrelated into a per-part "
-    "min-cost aggregate joined back on (partkey, cost). Region/"
-    "nation/supplier dims broadcast; the only shuffles are the two "
-    "partkey aggregations. partsupp derived from lineitem (no "
-    "partsupp in testdata).",
+    "window MIN over ONE partkey exchange (r11: the aggregate +"
+    "join-back form re-exchanged ps_eur twice; window partition = "
+    "suppliers-per-part, bounded at any scale; A/B 1.10 -> 0.77 s). "
+    "Region/nation/supplier dims broadcast. partsupp derived from "
+    "lineitem (no partsupp in testdata).",
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eur = (
@@ -2139,16 +2157,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_eur = _psupp(spark, sf_dir).join(
         F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    min_cost = ps_eur.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
     p = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_size") == 10) & (F.col("p_type") == "SMALL"))
         .select("p_partkey", "p_brand")
     )
     return (
-        ps_eur.join(min_cost, "ps_partkey")
+        ps_eur.withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+        )
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(p, F.col("ps_partkey") == F.col("p_partkey"))
         .select(

@@ -1639,8 +1639,15 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    dfreq = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = wins.join(dfreq, "h").filter(F.col("nd") > 1)
+    # "appears in >1 distinct doc" ⟺ min(doc_id) != max(doc_id) over
+    # the same-hash window: two cheap window aggs over ONE exchange on
+    # h replace the countDistinct aggregate + join-back that moved the
+    # window table through the h exchange twice (interleaved A/B at
+    # sf0.1: 2.06 -> 0.94 s, output identical)
+    hw = Window.partitionBy("h")
+    dup = wins.withColumn(
+        "_dup", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
+    ).filter(F.col("_dup"))
     prev_end = F.max(F.col("w") + W).over(
         Window.partitionBy("doc_id")
         .orderBy("w")
@@ -1761,11 +1768,16 @@ def q_chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    dfreq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    # same min!=max window trick as substring_dup_spans: "shared with
+    # another doc" needs only (min != max) over the same-hash window,
+    # not a countDistinct + join-back (A/B 0.66 -> 0.45 s at sf0.1)
+    hw = Window.partitionBy("h")
+    flagged = ch.withColumn(
+        "_dup", F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
+    )
+    shared = F.sum(F.when(F.col("_dup"), 1).otherwise(0))
     return (
-        ch.join(dfreq, "h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
             shared.cast("long").alias("n_shared_chunks"),
