@@ -554,6 +554,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     Scale: explode is 28 longs/doc; the join shuffles on the bucket
     key; `distinct` on (d1, d2) bounds re-verification. The verify
     popcount is a JVM expression — no Python in the path.
+
+    Measured scale boundary (r11, first 64× reading): random band-pair
+    collisions make the candidate set C(N,2)·28/4096 — negligible at
+    bench N (85k candidates at N=5k) but quadratic-dominant past
+    ~10^5 docs (~348M at N=320k; 64× cert ratio 33.3 vs 2.61 at 16×,
+    SCALE64_r11.json). The hamming≤6 guarantee needs ≥2 intact bands,
+    which is TIGHT at 48 bits / 8 bands, so the fix at corpus scale is
+    a wider fingerprint (more/wider bands ⇒ smaller collision rate) —
+    a deployment knob that changes the query's output contract
+    (hamming over more bits), not an in-place optimization. At 100 TB
+    deploy SIMHASH_BITS=64+ with 10+ bands, or shard the bucket join
+    by a coarse content prefix.
     """
     st = simhash_table(docs)
     nb = SIMHASH_BANDS
