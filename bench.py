@@ -280,11 +280,16 @@ def main() -> None:
     # fit, slowest first (the informative ones), with the full map in
     # the file the "full" key points at.
     line = json.dumps(payload, separators=(",", ":"))
+    # r12 (verdict task #7): a non-default SPARK_GRAFT_CPUS full run
+    # (the driver's scaling pass) used to clobber the 32-core record —
+    # suffix the durable copy by cpu count so c8 and c32 runs coexist.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    durable = "BENCH.json" if cpus == "32" else f"BENCH_c{cpus}.json"
     if not subset:
         # only FULL runs own the durable copy — a BENCH_QUERIES subset
         # run would silently clobber the full-registry record
         out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+            os.path.dirname(os.path.abspath(__file__)), durable
         )
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
@@ -303,7 +308,7 @@ def main() -> None:
         "median_sec": round(sorted(timings.values())[len(timings) // 2], 4)
         if timings
         else 0.0,
-        "full": "BENCH.json",
+        "full": durable,
     }
     budget = 1800  # tail window is 2000; leave headroom
     for qname, secs in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -252,95 +252,74 @@ from msstreamingstack_spark import queries_pipeline  # noqa: E402,F401
 # hash verdict; their correctness lives in pytest recall/property
 # tests instead).
 # ---------------------------------------------------------------------------
-# Round-11 rotation — executes the round-10 verdict's pre-computed r11
-# window budget verbatim (its "Next round" task #1). Audit basis:
-# CORRECTNESS_r1-r10 union = 184 distinct oracled queries driver-
-# checked, all latest-hash-green; latest-round histogram entering r11
-# (regenerated AUDIT.md at round open): r10=50, r9=48, r8=48, r7=38,
-# r6=0; never=2 oracled (both judge-sim hash-green in the r10 verdict
-# session) + rows-only entries kept out of the window by policy above.
+# Round-12 rotation — executes the round-11 verdict's pre-computed r12
+# window budget verbatim (its "Next round" task #3). Audit basis:
+# CORRECTNESS_r1-r11 union = 186 distinct oracled queries driver-
+# checked, all latest-hash-green; latest-round histogram entering r12
+# (regenerated AUDIT.md at round open): r11=50, r10=48, r9=48, r8=40,
+# r7=0; never=5 oracled (the five round-11 registrations) + rows-only
+# entries kept out of the window by policy above.
 # Composition, in the judge's priority order:
-#   (a) the TWO round-10 registrations the driver has never checked:
-#       the bottom-1024 KMV quantile sketch and the oracled sliding
-#       WAU HLL twin;
-#   (b) ALL 38 r7-latest queries (3 rounds stale if r11 missed them)
-#       — the r10 budget's leftover list, verbatim order; covers the
-#       tpch slot (tpch_q9_product_profit), the similarity slot
-#       (coreset_kcenter), and the iterative-graph cohort;
-#   (c) 10 fills: the two every-window family slots
+#   (a) the FIVE round-11 registrations the driver has never checked
+#       (catalog never-checked order);
+#   (b) ALL 40 r8-latest queries (3 rounds stale if r12 missed them)
+#       — the r11 budget's leftover list, verbatim order; covers the
+#       tpch slot (q3/q5/q13/q22), the similarity slot
+#       (similarity_topk_cosine, similarity_ann_srp) and the LSH/skew
+#       cohort (dedup_simhash/minhash/jaccard_dfcapped);
+#   (c) 5 fills: the two every-window family slots
 #       (zorder_cluster_stats — only oracled layout query;
 #       grouping_sets_revenue — only oracled grouping-sets query),
-#       then the r8-latest cohort head in registry order, with
-#       multimodal_stats, salted_agg_user_values and
-#       filter_purchases_high_value pulled forward (over
-#       tpch_q3_building, tpch_q5_regional_revenue and
-#       set_ops_customers — tpch is already covered by (b)'s tpch_q9)
-#       to keep the mandatory multimodal, skew-twin and
-#       reference-family slots (test_driver_window_invariants pins a
-#       reference-tagged row in every window; the r10 budget's fill
-#       head had none).
+#       multimodal_frame_sample pulled forward from the r9-latest
+#       cohort for the mandatory multimodal slot, then the r9-latest
+#       cohort head in registry order (sessionize_events,
+#       sessionize_events_bucketed).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-checked r10 registrations — mandatory this round
-    "percentile_event_values_sketch", "wau_sliding_hll_oracled",
-    # (b) the 38 r7-latest queries — mandatory this round
-    "pack_blocks_fixed", "decontaminate_minhash", "mine_hard_negatives",
-    "sketch_countmin_user_events", "quality_gopher_rules",
-    "retrieval_bm25_topk", "entity_match_blocked",
-    "dedup_containment_pairs", "vocab_oov_coverage",
-    "quality_source_calibrated", "asof_next_purchase_tolerance",
-    "range_join_price_bands", "tpch_q9_product_profit",
-    "sql_frontend_agg_filter_parity", "sql_frontend_range_frame_parity",
-    "sql_frontend_lateral_topk_parity", "merge_upsert_customers",
-    "sql_frontend_scripting_parity", "graph_pagerank_copurchase",
-    "graph_pagerank_personalized", "coreset_kcenter",
-    "graph_triangle_count", "sessionize_dynamic_gap",
-    "scd2_merge_device_dim", "pit_device_dim_join",
-    "regr_value_on_propk", "ewma_event_values", "anomaly_mad_events",
-    "mix_epochs_budget", "resample_ohlc_hourly", "wau_sliding_distinct",
-    "session_paths_topk", "event_transition_matrix",
-    "bootstrap_ci_value_mean", "events_gap_stats", "rfm_segments",
-    "basket_lift_pairs", "events_dow_profile",
+    # (a) never-driver-checked r11 registrations — mandatory this round
+    "anomaly_cusum_events", "embedding_label_outliers",
+    "ngram_novelty_score", "sample_weighted_tickets",
+    "segment_overlap_theta",
+    # (b) the 40 r8-latest queries — mandatory this round
+    "tpch_q3_building", "tpch_q5_regional_revenue", "set_ops_customers",
+    "unpivot_event_counts", "timeseries_gapfill",
+    "events_new_vs_returning", "session_summary", "text_stats",
+    "langid_heuristic", "doc_fingerprints", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "similarity_topk_cosine", "similarity_ann_srp",
+    "embedding_norm_stats", "repetition_quality", "dedup_jaccard_dfcapped",
+    "hash_split_assign", "pipeline_pretrain_corpus", "pii_scrub",
+    "sample_reservoir_stratified", "shuffle_shard_assign",
+    "decontaminate_eval_overlap", "quality_chartrigram_df",
+    "quality_bigram_lm", "chunk_dup_fraction", "token_budget_quality_sample",
+    "top_ngrams_per_lang", "session_window_native", "asof_last_purchase",
+    "dedup_embedding_cosine", "dedup_clusters", "hypertable_rollup",
+    "tpch_q13_custdist", "tpch_q22_idle_rich_customers",
+    "interval_join_attribution", "window_rank_family",
+    "sql_frontend_window_join_parity", "corpus_duplication_rate",
+    "lang_shingle_overlap",
     # (c) every-window family slots (layout, grouping-sets)
     "zorder_cluster_stats", "grouping_sets_revenue",
-    # (c) r8-latest fills, registry order (multimodal + skew twin
-    # pulled forward)
-    "multimodal_stats", "salted_agg_user_values",
-    "filter_purchases_high_value",
-    "top_orders_by_price", "topk_customers_per_segment",
-    "agg_events_stats", "distinct_user_days",
-    "pivot_event_type_counts",
+    # (c) multimodal slot pulled forward from the r9-latest cohort
+    "multimodal_frame_sample",
+    # (c) r9-latest fills, registry order
+    "sessionize_events", "sessionize_events_bucketed",
 )
-# ROUND-12 WINDOW BUDGET (arithmetic, do this first next session):
+# ROUND-13 WINDOW BUDGET (arithmetic, do this first next session):
 # after this rotation nothing is >2 rounds stale. Latest-round
-# histogram entering r12: r11=50, r10=48 (the r10 cohort minus
+# histogram entering r13: r12=50, r11=48 (the r11 cohort minus
 # zorder_cluster_stats/grouping_sets_revenue, refreshed here),
-# r9=48, r8=40, r7=0. The r12 window = any round-11 registrations
-# the driver has never checked FIRST (per the catalog's
-# never-checked list at r12 time), then the 40 remaining r8-latest
-# queries
-# (tpch_q3_building, tpch_q5_regional_revenue,
-# set_ops_customers, unpivot_event_counts,
-# timeseries_gapfill, events_new_vs_returning, session_summary,
-# text_stats, langid_heuristic, doc_fingerprints, dedup_minhash_lsh,
-# dedup_simhash_pairs, similarity_topk_cosine, similarity_ann_srp,
-# embedding_norm_stats, repetition_quality, dedup_jaccard_dfcapped,
-# hash_split_assign, pipeline_pretrain_corpus, pii_scrub,
-# sample_reservoir_stratified, shuffle_shard_assign,
-# decontaminate_eval_overlap, quality_chartrigram_df,
-# quality_bigram_lm, chunk_dup_fraction, token_budget_quality_sample,
-# top_ngrams_per_lang, session_window_native, asof_last_purchase,
-# dedup_embedding_cosine, dedup_clusters, hypertable_rollup,
-# tpch_q13_custdist, tpch_q22_idle_rich_customers,
-# interval_join_attribution, window_rank_family,
-# sql_frontend_window_join_parity, corpus_duplication_rate,
-# lang_shingle_overlap), then r9-latest fills in registry order up to
-# 50, keeping the family slots (zorder_cluster_stats,
-# grouping_sets_revenue every window; the r8 list itself covers
-# multimodal via... NOTE the r8 list has no multimodal/tpch gap:
-# tpch_q3/q5/q13/q22 cover tpch, dedup_simhash/minhash/jaccard cover
-# skew-adjacent LSH, similarity_ann_srp covers similarity; pull a
-# multimodal row (multimodal_frame_sample, r9-latest) forward from
-# the r9 fills for the multimodal slot).
+# r10=48, r9=45, r8=0. The r13 window = any round-12 registrations
+# the driver has never checked FIRST (per the catalog's never-checked
+# list at r13 time), then ALL 48 r10-latest queries (3 rounds stale if
+# r13 misses them; the list = CORRECTNESS_r10 names minus
+# zorder_cluster_stats/grouping_sets_revenue — it already covers
+# multimodal via multimodal_features, tpch via tpch_q18_large_orders,
+# skew via basket_lift_pairs_capped/salted_join_events_customer and
+# reference via device_transitions), then the two every-window family
+# slots (zorder_cluster_stats, grouping_sets_revenue) — that is
+# exactly 50 when no new registrations exist; if r12 registers new
+# oracled queries, drop r10-cohort tail rows (they become the r13
+# leftover list) to make room, keeping the family-tag invariants of
+# test_driver_window_invariants.
 
 
 def _apply_driver_window() -> None:
