@@ -168,6 +168,18 @@ def hash48_sql(col_sql: str) -> str:
     return f"TRY_CAST('0x' || substr(md5({col_sql}), 1, 12) AS BIGINT)"
 
 
+def hash60(col: Column) -> Column:
+    """60-bit variant of :func:`hash48` (15 hex chars — the widest md5
+    prefix that stays positive in a signed BIGINT on both engines).
+    Used by the wide-fingerprint simhash twin, where fingerprint width
+    buys band-key selectivity."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(col_sql: str) -> str:
+    return f"TRY_CAST('0x' || substr(md5({col_sql}), 1, 15) AS BIGINT)"
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Empty array when fewer than n
     tokens (guards Spark's descending-sequence pitfall).

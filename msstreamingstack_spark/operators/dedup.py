@@ -29,6 +29,8 @@ from msstreamingstack_spark.functions.text import (
     MOD_HASH,
     hash48,
     hash48_sql,
+    hash60,
+    hash60_sql,
     shingles,
     shingles_sql,
 )
@@ -168,7 +170,29 @@ FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS sh FROM {doc_rel})
 """
 
 
-def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+# Size gate for the candidate-id pre-filter of the verify fold (guide
+# §3.2, r11 verdict task #6). Below it the bench-scale answer stands
+# (the r11 probe measured the filter's extra jobs LOSING at sf0.1:
+# 2.41 -> 4.47 s); above it the corpus-sized array fold is the cost and
+# dropping non-candidate docs BEFORE the groupBy pays. PySpark has no
+# DataFrame Bloom builder, so the filter is the guide's sanctioned
+# approximation: a broadcast LEFT SEMI join on the distinct candidate
+# doc ids (exact, no false positives at all). Crossover measured in
+# SCALE64_r12.json; local default keeps every bench SF on the plain
+# path.
+VERIFY_PREFILTER_MIN_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_VERIFY_PREFILTER_MIN_BYTES", str(24 << 20)
+    )
+)
+
+
+def _jaccard_on_pairs(
+    sh: DataFrame,
+    pairs: DataFrame,
+    prefilter: bool | None = None,
+    pairs_slot: str = "jaccard_verify.pairs",
+) -> DataFrame:
     """Exact jaccard for a given (d1, d2) candidate set, from the
     shingle-hash table: fold each doc's hashes into ONE array row,
     attach both docs' arrays to the candidate pair, |∩| =
@@ -184,7 +208,46 @@ def _jaccard_on_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     fixture corpus at every SF by tests/test_extensions.py), so the
     per-doc array is a set and size(array_intersect) IS the join
     count. Interleaved best-of-3 A/B at sf0.1 on the LSH kernel:
-    2.41-2.58 s → 1.74-1.93 s, output repr-exact."""
+    2.41-2.58 s → 1.74-1.93 s, output repr-exact.
+
+    Contract notes (ADVICE r11):
+    - Unlike the old inner-join form, zero-intersection candidate
+      pairs are EMITTED here with jaccard = 0.0 (the old form silently
+      dropped them). Every current caller filters jaccard >= t with
+      t >= 0.5, so declared outputs are identical; a future caller
+      passing t = 0.0 or consuming rows directly would see the new
+      rows — filter n_inter > 0 there if the old contract matters.
+    - Memory bound: the per-pair row carries BOTH docs' full
+      shingle-hash arrays, so row width is O(shingles per doc) —
+      bounded by document length (3-gram shingles ⇒ ≤ token count per
+      doc), NOT by corpus size; and a hub doc's array is duplicated
+      once per candidate pair it appears in. For a long-doc regime
+      (arrays of millions of elements × high candidate fan-out) the
+      old join-count form (pairs ⋈ sh on d1 ⋈ sh on (d2, h) →
+      groupBy(d1, d2).count()) remains the fallback shape — streams
+      instead of buffering, at the cost of 3 more exchanges.
+
+    ``prefilter`` (auto by Catalyst size estimate of ``sh`` vs
+    VERIFY_PREFILTER_MIN_BYTES): at corpus scale only a small fraction
+    of docs appear in any candidate pair, yet the array fold above
+    aggregates EVERY doc's shingles. The pre-filter persists the
+    candidate set (it feeds both the id build and the attach joins —
+    broadcast builds race a lazy cache, the r8/r10 lesson), distincts
+    the candidate doc ids, and broadcast-semi-joins them onto ``sh``
+    BEFORE the fold — the §3.2 Bloom shape (exact here: ids are
+    broadcast verbatim, zero false positives). OFF at bench SFs by
+    the size gate: the extra persist + distinct jobs measurably lose
+    when the shingle table is small (r11: 2.41 → 4.47 s at sf0.1)."""
+    if prefilter is None:
+        prefilter = _plan_size_bytes(sh) >= VERIFY_PREFILTER_MIN_BYTES
+    if prefilter:
+        from msstreamingstack_spark.caching import rotating_persist
+
+        pairs = rotating_persist(pairs, pairs_slot, eager=True)
+        ids = pairs.select(
+            F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc_id")
+        ).distinct()
+        sh = sh.join(F.broadcast(ids), "doc_id", "leftsemi")
     arrs = sh.groupBy("doc_id").agg(
         F.collect_list("h").alias("hs"), F.count("*").alias("n")
     )
@@ -351,7 +414,7 @@ def minhash_cross_pairs(
         .distinct()
     )
     return (
-        _jaccard_on_pairs(sh, cand)
+        _jaccard_on_pairs(sh, cand, pairs_slot="minhash_cross.verify_pairs")
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("d1").alias("train_id"),
@@ -435,7 +498,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    out = _jaccard_on_pairs(sh, cand)
+    out = _jaccard_on_pairs(sh, cand, pairs_slot="minhash.verify_pairs")
     return out.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
@@ -487,36 +550,44 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     token table — is unnecessary. The hash is computed per occurrence
     instead of per type; that per-row work is cheaper than the removed
     shuffle (measured)."""
+    return _simhash_table_bits(docs, SIMHASH_BITS, hash48, text_col, id_col)
+
+
+def _simhash_table_bits(
+    docs: DataFrame, bits: int, hash_fn, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared vote fold for any fingerprint width (48-bit declared
+    kernel, 60-bit wide twin)."""
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).select(id_col, hash48(F.col("tok")).alias("h"))
+    ).select(id_col, hash_fn(F.col("tok")).alias("h"))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
                 .otherwise(F.lit(-1))
             ).alias(f"s_{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
     sim = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select(id_col, sim.cast("long").alias("simhash"))
 
 
-def simhash_table_sql(doc_rel: str = "documents") -> str:
+def _simhash_table_bits_sql(bits: int, hash_sql_fn, doc_rel: str) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
     packed = " + ".join(
-        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, tok, COUNT(*) AS cnt, {hash48_sql('tok')} AS h
+  SELECT doc_id, tok, COUNT(*) AS cnt, {hash_sql_fn('tok')} AS h
   FROM (SELECT doc_id, unnest(string_split(text, chr(32))) AS tok FROM {doc_rel})
   GROUP BY doc_id, tok
 ),
@@ -525,103 +596,256 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
 """
 
 
-SIMHASH_BANDS = 8  # 8 bands × 6 bits over the 48-bit fingerprint
+def simhash_table_sql(doc_rel: str = "documents") -> str:
+    return _simhash_table_bits_sql(SIMHASH_BITS, hash48_sql, doc_rel)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+SIMHASH_BANDS = 8  # small-corpus layout: t-subsets over 8 6-bit bands
+# Large-corpus layout for max_hamming <= 6: 4-subsets of 10 bands —
+# C(10,4)=210 keys of 18-20 bits. See simhash_pairs.
+SIMHASH_WIDE_NB = 10
+SIMHASH_WIDE_T = 4
+# Generator dispatch: past this Catalyst-estimated size of the docs
+# input the selective (10,4) layout beats the cheap (8,2) one (the
+# quadratic collision term overtakes the linear replication term).
+# Measured (SCALE64_r12.json, interleaved same-session best-of):
+# sf0.1 (~0.6 MB): (8,2) 1.09 vs (10,4) 1.8-2.0 s — narrow wins;
+# 16x (~9 MB): 6.7 vs 8.5 s — narrow still wins; 64x (~45 MB): 87.8
+# vs 58.9 s — wide wins. Crossover sits between 16x and 64x docs
+# bytes, hence 12 MiB. Both plans are bit-identical (pinned by
+# tests/test_r12_rewrites.py) so the gate can only change cost,
+# never output.
+SIMHASH_SELECTIVE_MIN_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_SIMHASH_SELECTIVE_MIN_BYTES", str(12 << 20)
+    )
+)
+
+
+def _simhash_band_layout(
+    nb: int, bits: int = SIMHASH_BITS
+) -> tuple[list[int], list[int]]:
+    """Split a ``bits``-wide fingerprint into ``nb`` contiguous bands
+    as evenly as possible (the first ``bits mod nb`` bands are one bit
+    wider). Returns (widths, bit offsets)."""
+    base = bits // nb
+    wide = bits - base * nb
+    widths = [base + 1] * wide + [base] * (nb - wide)
+    offs = [sum(widths[:i]) for i in range(nb)]
+    return widths, offs
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of a plan — no job, purely stats."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, wide_keys: bool | None = None
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance — banded bucket-join,
     NO all-pairs stage (same output as the cartesian form; the DuckDB
     oracle keeps the all-pairs spec).
 
     Candidate generation (Manku/Jain/Sarma multi-index, WWW'07 §3,
-    adapted to 48 bits): split the fingerprint into 8×6-bit bands.
-    hamming ≤ 6 flips bits in at most 6 bands, leaving ≥ 2 bands
-    bit-identical — so for every qualifying pair at least one of the
-    C(8,2)=28 ordered band PAIRS matches exactly. Each doc explodes to
-    28 (band_pair, 12-bit key) buckets; an equi-join on (band_pair,
-    key) + popcount verify replaces the O(N²) cartesian. Band pairs
-    (12-bit keys, 4096 values) rather than single bands (64 values)
-    buy 64× bucket selectivity for 3.5× replication. The fingerprint
-    is the FULL 48 bits of the cross-engine hash precisely for key
-    width: a 32-bit fingerprint left band-pair keys with only 256
-    values, and the measured 16× scale run stayed ~linear only by
-    constant-factor luck — random-pair collision probability is
-    28/2^(2·band_bits), so 12-bit bands cut it 256× vs 8-bit ones.
-    For max_hamming == 7 the pair guarantee breaks (only ≥1 band
-    untouched) and we fall back to single-band keys; > 7 over 48 bits
-    is not bucketable and raises.
+    adapted to 48 bits; generalized r12): split the fingerprint into
+    ``nb`` bands; hamming ≤ h flips bits in at most h bands, leaving
+    ≥ nb−h bands bit-identical — so for any t ≤ nb−h at least one of
+    the C(nb,t) band t-SUBSETS matches exactly, and keying each doc on
+    all C(nb,t) (subset_id, concatenated band bits) buckets is an
+    exact-superset candidate generator at ANY (nb, t). The popcount
+    verify then makes the output identical regardless of layout — the
+    layout is purely a cost knob:
+      random candidates ≈ C(N,2) · Σ_subsets P(key collision)
+      bucket rows (linear term) = N · C(nb,t)
+    Two layouts are carried and size-dispatched (``wide_keys``; auto =
+    Catalyst size estimate of ``docs`` vs SIMHASH_SELECTIVE_MIN_BYTES):
+      - (nb=8, t=2): 28 12-bit keys — cheapest below the crossover,
+        where the linear term dominates (sf0.1: 0.73 vs 1.82 s).
+      - (nb=10, t=4): 210 18-20-bit keys — the r11 verdict's 64×
+        scale-killer was the (8,2) collision tail (SCALE64_r11 ratio
+        33.3; 4.22e9 join emissions measured at 64× — 12× the uniform
+        estimate because template-skewed band values make hot
+        buckets); (10,4) measured 84→56 s at 64×, emissions cut ~3×.
+        t is maximal for the guarantee at nb=10 (t ≤ nb−6); pushing
+        further ((12,6): 924 keys) loses to the linear explode term
+        (11.3 s at sf0.1) — measured, not worth it at any scale here.
+      Fingerprint PRE-COLLAPSE (dedup identical fingerprints before
+      the join) was probed and rejected: the 64× corpus has 317,320
+      distinct fingerprints over 320k docs (max group 3), so the tail
+      is between DISTINCT fingerprints and collapsing buys ~nothing.
 
-    Scale: explode is 28 longs/doc; the join shuffles on the bucket
-    key; `distinct` on (d1, d2) bounds re-verification. The verify
-    popcount is a JVM expression — no Python in the path.
+    Emit-once (r12, replaces the final ``distinct``): a candidate pair
+    is kept only in its CANONICAL bucket — the lexicographically first
+    subset whose bands are all clean in x⊕y. Per emission that is one
+    XOR, an nb-bit dirty-band mask, and a literal-array predecessor-
+    mask lookup, all JVM expressions evaluated only on rows that
+    already passed the popcount filter; every qualifying pair then
+    appears EXACTLY once and the distinct's exchange disappears
+    (sf0.1: 0.87 → 0.73 s).
 
-    Measured scale boundary (r11, first 64× reading): random band-pair
-    collisions make the candidate set C(N,2)·28/4096 — negligible at
-    bench N (85k candidates at N=5k) but quadratic-dominant past
-    ~10^5 docs (~348M at N=320k; 64× cert ratio 33.3 vs 2.61 at 16×,
-    SCALE64_r11.json). The hamming≤6 guarantee needs ≥2 intact bands,
-    which is TIGHT at 48 bits / 8 bands, so the fix at corpus scale is
-    a wider fingerprint (more/wider bands ⇒ smaller collision rate) —
-    a deployment knob that changes the query's output contract
-    (hamming over more bits), not an in-place optimization. At 100 TB
-    deploy SIMHASH_BITS=64+ with 10+ bands, or shard the bucket join
-    by a coarse content prefix.
+    For max_hamming == 7 the same machinery runs at (nb=8, t=1);
+    > 7 over 48 bits is not bucketable and raises.
+
+    Scale: explode is C(nb,t) longs/doc; the join shuffles on the
+    bucket key; the verify popcount + emit-once predicate are JVM
+    expressions — no Python, and nothing downstream of the join
+    shuffles more than the true pair set.
     """
     st = simhash_table(docs)
-    nb = SIMHASH_BANDS
-    band_bits = SIMHASH_BITS // nb
 
-    def band(col: Column, i: int) -> Column:
-        return F.shiftright(col, i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
-
-    if max_hamming <= nb - 2:
-        keys = [
-            F.struct(
-                F.lit(i * nb + j).alias("bp"),
-                (band(F.col("simhash"), i) * (1 << band_bits)
-                 + band(F.col("simhash"), j)).alias("k"),
-            )
-            for i in range(nb)
-            for j in range(i + 1, nb)
-        ]
-    elif max_hamming <= nb - 1:
-        keys = [
-            F.struct(F.lit(i).alias("bp"), band(F.col("simhash"), i).alias("k"))
-            for i in range(nb)
-        ]
+    if max_hamming <= 6:
+        if wide_keys is None:
+            wide_keys = _plan_size_bytes(docs) >= SIMHASH_SELECTIVE_MIN_BYTES
+        nb, t = (
+            (SIMHASH_WIDE_NB, SIMHASH_WIDE_T) if wide_keys
+            else (SIMHASH_BANDS, 2)
+        )
+    elif max_hamming <= SIMHASH_BANDS - 1:
+        nb, t = SIMHASH_BANDS, 1
     else:
         raise ValueError(
             f"max_hamming={max_hamming} not bucketable over {SIMHASH_BITS} bits"
         )
+    return _banded_hamming_pairs(st, SIMHASH_BITS, nb, t, max_hamming)
 
-    buckets = st.select(
-        "doc_id", "simhash", F.explode(F.array(*keys)).alias("b")
-    ).select("doc_id", "simhash", F.col("b.bp").alias("bp"), F.col("b.k").alias("k"))
-    # popcount-verify INSIDE the join stage, BEFORE the dedup shuffle:
-    # the distinct then carries only true near-dup pairs (tiny) instead
-    # of every bucket collision — the verify is a per-row JVM popcount,
-    # the dedup is a shuffle; order them cheap-first.
-    hamming = F.bit_count(
-        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-    ).cast("int")
+
+def _banded_hamming_pairs(
+    st: DataFrame, bits: int, nb: int, t: int, max_hamming: int
+) -> DataFrame:
+    """The shared (nb, t) band-subset candidate generator + popcount
+    verify + emit-once over any fingerprint width. Requires
+    max_hamming <= nb - t (the pigeonhole guarantee)."""
+    import itertools
+
+    assert max_hamming <= nb - t, (max_hamming, nb, t)
+    widths, offs = _simhash_band_layout(nb, bits)
+    combos = list(itertools.combinations(range(nb), t))
+    band_cols = [
+        F.shiftright(F.col("simhash"), offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .alias(f"b_{i}")
+        for i in range(nb)
+    ]
+
+    def sub_key(sub: tuple[int, ...]) -> Column:
+        k = None
+        for i in sub:
+            b = F.col(f"b_{i}")
+            k = b if k is None else k * F.lit(1 << widths[i]) + b
+        return k
+
+    buckets = st.select("doc_id", "simhash", *band_cols).select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[sub_key(s) for s in combos])).alias("bp", "k"),
+    )
+
+    # verify + emit-once INSIDE the join stage: popcount first (cheap,
+    # kills the collision mass), then the canonical-bucket predicate on
+    # the survivors. dirty = nb-bit mask of bands touched by x⊕y; a
+    # subset s is canonical iff every band below max(s) and outside s
+    # is dirty (else a lexicographically smaller clean subset exists).
+    z = F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    hamming = F.bit_count(z).cast("int")
+    dirty = None
+    for i in range(nb):
+        band_mask = ((1 << widths[i]) - 1) << offs[i]
+        bit = (
+            F.when(z.bitwiseAND(F.lit(band_mask)) != 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+        )
+        dirty = bit if dirty is None else dirty + bit
+    pred_masks = []
+    for s in combos:
+        pm = 0
+        for j in range(max(s)):
+            if j not in s:
+                pm |= 1 << j
+        pred_masks.append(pm)
+    pred = F.element_at(
+        F.array(*[F.lit(p) for p in pred_masks]), F.col("bp") + 1
+    )
+    canonical = pred.bitwiseAND(F.bitwise_not(dirty)) == 0
+
     return (
         buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"), ["bp", "k"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter((hamming <= max_hamming) & canonical)
         .select(
             F.col("x.doc_id").alias("d1"),
             F.col("y.doc_id").alias("d2"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-        .select("d1", "d2", "hamming")
     )
 
 
 def simhash_pairs_sql(max_hamming: int = 6) -> str:
     return f"""
 WITH st AS ({simhash_table_sql()})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM st a JOIN st b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4b. Wide-fingerprint simhash twin — the 100 TB deployment path
+# ---------------------------------------------------------------------------
+SIMHASH_BITS_WIDE = 60  # widest md5 prefix both engines read as BIGINT
+
+
+def simhash_table_wide(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit weighted simhash — identical vote fold to
+    :func:`simhash_table`, over :func:`hash60`."""
+    return _simhash_table_bits(
+        docs, SIMHASH_BITS_WIDE, hash60, text_col, id_col
+    )
+
+
+def simhash_table_wide_sql(doc_rel: str = "documents") -> str:
+    return _simhash_table_bits_sql(SIMHASH_BITS_WIDE, hash60_sql, doc_rel)
+
+
+def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """The r11-verdict deployment twin of :func:`simhash_pairs`: a
+    60-bit fingerprint with the (10,4) band-subset generator —
+    hamming ≤ 6 over 60 bits is a DIFFERENT (stricter) near-dup
+    predicate than over 48, hence a separate declared query with its
+    own all-pairs oracle rather than an in-place change.
+
+    Why it exists: at 48 bits the declared kernel's collision tail is
+    irreducible past ~10^5 docs (SCALE64_r12: 58.9 s at 64× after the
+    r12 generator work — the hot-bucket enumeration of a 48-bit key
+    space on a template-heavy corpus). Width is the remaining knob:
+    24-bit subset keys cut the random-collision rate ~2 orders of
+    magnitude and the stricter bar cuts the true-pair mass ~30×
+    (240,751 vs 7,846,439 pairs at 64×). Measured (prototype,
+    interleaved session): base 2.17 s / 16× 9.58 / 64× 33.08 —
+    16×→64× step 3.45 for 4× data, inside the linear-kernel ≤4 gate
+    that the 48-bit kernel fails (6.9). No size dispatch: this IS the
+    large-corpus form; small corpora should use the declared kernel.
+    """
+    if max_hamming > SIMHASH_WIDE_NB - SIMHASH_WIDE_T:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the (10,4) guarantee"
+        )
+    st = simhash_table_wide(docs)
+    return _banded_hamming_pairs(
+        st, SIMHASH_BITS_WIDE, SIMHASH_WIDE_NB, SIMHASH_WIDE_T, max_hamming
+    )
+
+
+def simhash_pairs_wide_sql(max_hamming: int = 6) -> str:
+    return f"""
+WITH st AS ({simhash_table_wide_sql()})
 SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM st a JOIN st b ON a.doc_id < b.doc_id
@@ -783,7 +1007,12 @@ def eval_overlap_stats(
     # n_overlap (marker non-null) fold in a single map-combined
     # aggregate — the old shape exchanged train_sh twice (two groupBys)
     # and joined back per doc twice (r11 session-3 A/B: 1.11 -> 1.03 s
-    # at sf0.1; structural at scale, train_sh is corpus-sized)
+    # at sf0.1; structural at scale, train_sh is corpus-sized).
+    # CORRECTNESS DEPENDENCY (ADVICE r11): this single-pass count pair
+    # is exact only because eval_h is .distinct() on h — the left join
+    # is then row-preserving (<=1 match per train row), so count(*)
+    # counts train shingles and count(_ev) counts matched ones.
+    # Removing that distinct would fan out BOTH counts.
     per = (
         train_sh.join(F.broadcast(eval_h), "h", "left")
         .groupBy(id_col)

@@ -43,6 +43,8 @@ from msstreamingstack_spark.operators.dedup import (
     ngram_span_scrub_sql,
     simhash_pairs,
     simhash_pairs_sql,
+    simhash_pairs_wide,
+    simhash_pairs_wide_sql,
 )
 from msstreamingstack_spark.operators.similarity import (
     COS_ROUND,
@@ -188,6 +190,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spread(load_table(spark, sf_dir, "documents")), 6)
+
+
+@register(
+    "dedup_simhash_pairs_wide",
+    simhash_pairs_wide_sql(6),
+    tags=("extension", "dedup", "simhash", "twin", "scale"),
+    doc="60-bit wide-fingerprint simhash near-dup pairs (hamming ≤ 6 "
+    "over 60 bits) — the scale twin of dedup_simhash_pairs: a "
+    "STRICTER near-dup predicate whose 24-bit band-subset keys keep "
+    "the banded candidate join sub-quadratic where the 48-bit "
+    "kernel's collision tail goes hot past ~10^5 docs (SCALE64_r12: "
+    "16×→64× step 3.45 vs 6.9 for 4× data). Priced like the other "
+    "insurance twins: costs ~2.6× the declared kernel at bench SF, "
+    "pays for itself at corpus scale.",
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs_wide(
+        spread(load_table(spark, sf_dir, "documents")), 6
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3534,9 +3555,16 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-occurrence attribution as a WINDOW MIN over one exchange on
     # sh instead of groupBy(sh) + join-back of the raw occurrence table
     # (the join re-exchanged every occurrence row a second time):
-    # interleaved A/B at sf0.1 1.52 -> 0.74 s, values identical. Skew
-    # exposure is unchanged — the old join's probe side partitioned the
-    # same occurrence rows by the same key.
+    # interleaved A/B at sf0.1 1.52 -> 0.74 s, values identical. The
+    # exchange partitions the same occurrence rows by the same key as
+    # the old join's probe side, but BUFFERING differs (ADVICE r11):
+    # WindowExec buffers each same-hash group in one task with no
+    # partial aggregation, where the old groupBy side map-combined — a
+    # globally hot shingle hash would spill one task here. If hot-hash
+    # skew shows up at larger SF, the fallback shape is the
+    # pre-aggregated groupBy(sh).min + broadcast of the (tiny) dup-key
+    # set. (Same trade in the min!=max rewrites: substring_dup_spans,
+    # chunk_dup_fraction.)
     per = (
         s.withColumn(
             "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
