@@ -172,17 +172,19 @@ FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS sh FROM {doc_rel})
 
 # Size gate for the candidate-id pre-filter of the verify fold (guide
 # §3.2, r11 verdict task #6). Below it the bench-scale answer stands
-# (the r11 probe measured the filter's extra jobs LOSING at sf0.1:
-# 2.41 -> 4.47 s); above it the corpus-sized array fold is the cost and
-# dropping non-candidate docs BEFORE the groupBy pays. PySpark has no
-# DataFrame Bloom builder, so the filter is the guide's sanctioned
-# approximation: a broadcast LEFT SEMI join on the distinct candidate
-# doc ids (exact, no false positives at all). Crossover measured in
-# SCALE64_r12.json; local default keeps every bench SF on the plain
-# path.
+# (the r11 probe measured the filter's extra jobs LOSING at sf0.1;
+# re-measured r12 on the array-form verify: off 0.76 vs on 0.89 s);
+# above it the corpus-sized array fold is the cost and dropping
+# non-candidate docs BEFORE the groupBy pays (16x: 1.34 vs 1.22 s;
+# 64x: 1.99 vs 1.07 s — SCALE64_r12.json, parity True at every
+# scale). PySpark has no DataFrame Bloom builder, so the filter is
+# the guide's sanctioned approximation: a broadcast LEFT SEMI join on
+# the distinct candidate doc ids (exact, zero false positives).
+# Catalyst sh estimates: sf0.1 ~0.17 MB (off), 16x ~3.2 MB (on),
+# 64x ~12.9 MB (on) — 1 MiB sits in the measured crossover gap.
 VERIFY_PREFILTER_MIN_BYTES = int(
     __import__("os").environ.get(
-        "SPARK_GRAFT_VERIFY_PREFILTER_MIN_BYTES", str(24 << 20)
+        "SPARK_GRAFT_VERIFY_PREFILTER_MIN_BYTES", str(1 << 20)
     )
 )
 
@@ -379,6 +381,7 @@ def minhash_cross_pairs(
     id_col: str = "doc_id",
     *,
     shingles_df: DataFrame | None = None,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy cross-corpus decontamination: banded-minhash candidates
     restricted to (train, eval) pairs — train docs that share an LSH
@@ -394,7 +397,12 @@ def minhash_cross_pairs(
     predicate over ``doc_id``. ``shingles_df`` lets a composed caller
     (pipeline_pretrain_corpus_v2) share ONE shingle materialization
     across the dedup + decontamination stages instead of exploding
-    the text three times — same contract as minhash_lsh_pairs."""
+    the text three times — same contract as minhash_lsh_pairs.
+    ``buckets_df`` likewise shares a caller-owned (doc_id, band, key)
+    bucket table so a composition running BOTH minhash kernels builds
+    the signature aggregate once (r12; the two kernels' signature
+    subtrees are identical expressions, so sharing cannot change
+    rows)."""
     sh = (
         shingles_df
         if shingles_df is not None
@@ -402,7 +410,11 @@ def minhash_cross_pairs(
             docs, text_col=text_col, id_col=id_col, slot="minhash_cross.sh"
         )
     )
-    buckets = _band_buckets(minhash_signatures(sh), id_col)
+    buckets = (
+        buckets_df
+        if buckets_df is not None
+        else _band_buckets(minhash_signatures(sh), id_col)
+    )
     train_b = buckets.filter(~eval_pred)
     eval_b = buckets.filter(eval_pred)
     cand = (
@@ -466,6 +478,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     *,
     shingles_df: DataFrame | None = None,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-jaccard verification.
     Bands explode to (band_idx, band_key) and bucket-join — the
@@ -475,7 +488,8 @@ def minhash_lsh_pairs(
     shingle table (and OWNS its persist lifecycle — e.g. the per-batch
     ``minhash_increment``, which must unpersist deterministically in
     continuous ingest) supply it instead of having this function
-    persist a fresh one it can never release."""
+    persist a fresh one it can never release. ``buckets_df`` shares a
+    caller-owned bucket table the same way (see minhash_cross_pairs)."""
     sh = (
         shingles_df
         if shingles_df is not None
@@ -488,7 +502,11 @@ def minhash_lsh_pairs(
             # sizes subtrees otherwise re-shingled under broadcasts
         )
     )
-    buckets = _band_buckets(minhash_signatures(sh))
+    buckets = (
+        buckets_df
+        if buckets_df is not None
+        else _band_buckets(minhash_signatures(sh))
+    )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"), ["band", "key"])

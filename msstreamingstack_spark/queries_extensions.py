@@ -186,7 +186,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     simhash_pairs_sql(6),
     tags=("extension", "dedup", "simhash"),
-    doc="32-bit weighted simhash near-dup pairs (hamming ≤ 6).",
+    doc="48-bit weighted simhash near-dup pairs (hamming ≤ 6); "
+    "size-dispatched band-subset candidate generator with emit-once "
+    "verification (r12) — see dedup_simhash_pairs_wide for the "
+    "corpus-scale twin.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spread(load_table(spark, sf_dir, "documents")), 6)

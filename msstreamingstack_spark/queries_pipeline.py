@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from msstreamingstack_spark.queries import REGISTRY, register
 from msstreamingstack_spark.functions.text import token_count, token_count_sql
 from msstreamingstack_spark.operators.dedup import (
+    _band_buckets,
     doc_shingle_hashes,
     eval_overlap_stats,
     eval_overlap_sql,
@@ -64,6 +65,7 @@ from msstreamingstack_spark.operators.dedup import (
     minhash_cross_sql,
     minhash_lsh_pairs,
     minhash_lsh_sql,
+    minhash_signatures,
 )
 # NOT a from-import: when a DIRECT `import queries_extensions` is the
 # process's first query-module import, its registrations re-enter
@@ -269,8 +271,21 @@ def pretrain_corpus_doc_flags(
     # both decontamination kernels, whose broadcast subtrees race a
     # lazy cache (the round-8/10 lesson); interleaved A/B below
     sh = doc_shingle_hashes(docs, slot="pipeline_v2.sh", eager=True)
+    # ONE signature/bucket build feeds fuzzy dedup AND fuzzy
+    # decontamination (r12): both kernels' bucket subtrees are the
+    # identical expression over the shared shingle slot, so without
+    # this the 16-min-aggregate signature pass over the corpus-sized
+    # shingle table runs twice per execution. eager: consumed under
+    # broadcast subtrees (same race as the sh slot).
+    buckets = rotating_persist(
+        _band_buckets(minhash_signatures(sh)),
+        "pipeline_v2.buckets",
+        eager=True,
+    )
     fuzzy_drop = (
-        minhash_lsh_pairs(docs, FUZZY_JACCARD_T, shingles_df=sh)
+        minhash_lsh_pairs(
+            docs, FUZZY_JACCARD_T, shingles_df=sh, buckets_df=buckets
+        )
         .select(F.col("d2").alias("doc_id"))
         .distinct()
         .withColumn("_fz", F.lit(True))
@@ -296,6 +311,7 @@ def pretrain_corpus_doc_flags(
             F.col("doc_id") % _qx.DECON_MOD == _qx.DECON_REM,
             _qx.DECON_JACCARD_T,
             shingles_df=sh,
+            buckets_df=buckets,
         )
         .select(F.col("train_id").alias("doc_id"))
         .distinct()

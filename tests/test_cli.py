@@ -5,11 +5,14 @@ round trip."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from msstreamingstack_spark.__main__ import main
 
 
+@pytest.mark.slow
 def test_produce_consume_roundtrip(spark, tmp_path):
     drops = str(tmp_path / "drops")
     hist = str(tmp_path / "hist")
@@ -178,6 +181,7 @@ def test_cli_mv_and_compact(tmp_path, capsys):
     assert pq.read_table(dst).num_rows == pq.read_table(mv).num_rows
 
 
+@pytest.mark.slow
 def test_cli_verify_subset(tmp_path):
     import subprocess
     import sys

@@ -5,6 +5,8 @@ only ever rewrite the minute partitions a batch actually changed."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyarrow as pa
@@ -49,6 +51,7 @@ def _batch_hourly(spark):
     }
 
 
+@pytest.mark.slow
 def test_mv_matches_batch_rollup_and_resumes(spark, tmp_path):
     drops = str(tmp_path / "drops")
     all_paths = _stage_drops(drops, n_chunks=4)
@@ -114,6 +117,7 @@ def test_mv_matches_batch_rollup_and_resumes(spark, tmp_path):
     assert mv == raw
 
 
+@pytest.mark.slow
 def test_mv_compaction_preserves_rollup(spark, tmp_path):
     """A long-running MV accretes one tiny file per touched minute
     partition per batch; compaction must collapse the file count

@@ -3,6 +3,8 @@ exact jaccard agreement, and the multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from msstreamingstack_spark.extensions.multimodal import (
@@ -331,6 +333,7 @@ def test_incremental_dedup_equals_oneshot_and_replays(spark, sf_correctness, tmp
     assert replay == fresh2  # deterministic: same fresh set on replay
 
 
+@pytest.mark.slow
 def test_minhash_increment_catches_cross_increment_neardups(spark, tmp_path):
     """Near-dup counterpart of the digest store: a doc in increment 2
     that is a near-duplicate of an increment-1 doc must be matched via
@@ -369,6 +372,7 @@ def test_minhash_increment_catches_cross_increment_neardups(spark, tmp_path):
     assert {(r["new_id"], r["old_id"]) for r in m2r.collect()} == {(10, 1)}
 
 
+@pytest.mark.slow
 def test_minhash_increment_nondefault_columns(spark, tmp_path):
     """text_col/id_col must thread through the WHOLE increment,
     including the in-increment LSH stage (ADVICE round-2: it hardcoded
@@ -409,6 +413,7 @@ def test_minhash_increment_nondefault_columns(spark, tmp_path):
     assert {(r["new_id"], r["old_id"]) for r in m2.collect()} == {(10, 1)}
 
 
+@pytest.mark.slow
 def test_minhash_increment_releases_caches(spark, tmp_path):
     """Continuous-ingest leak regression (ADVICE round-4): every
     minhash_increment call persisted a shingle table it never released
@@ -448,6 +453,7 @@ def test_minhash_increment_releases_caches(spark, tmp_path):
     assert not (persistent_ids() - base)
 
 
+@pytest.mark.slow
 def test_embedding_increment_semantic_dedup(spark, tmp_path):
     """Semantic dedup across increments: a near-identical embedding in
     increment 2 must match increment 1's stored int8+SRP representation
@@ -529,6 +535,7 @@ def test_bigram_lm_skew_robust_twin_is_bit_identical(spark, sf_correctness):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_per_source_window_skew_robust_twins_bit_identical(
     spark, sf_correctness
 ):
@@ -776,6 +783,7 @@ def test_rotating_persist_bounds_registry_query_caches(spark):
         df.unpersist(blocking=False)
 
 
+@pytest.mark.slow
 def test_compact_store_preserves_increment_semantics(spark, tmp_path):
     """Compaction folds N increment partitions into one __base
     partition WITHOUT changing what later increments compute: the

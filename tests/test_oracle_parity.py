@@ -14,6 +14,12 @@ from tests.oracle_harness import compare, duck_connect
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 
 
+# Whole-module slow tier: exhaustive sweeps the default run skips
+# (oracle parity duplicates `python -m msstreamingstack_spark verify`,
+# which the external driver runs separately; opt in with --runslow).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def duck(sf_correctness):
     con = duck_connect(sf_correctness)

@@ -79,6 +79,7 @@ def test_v1_unchanged_and_both_registered():
         assert part in o
 
 
+@pytest.mark.slow
 def test_corpus_build_matches_funnel_counts(spark, sf_smoke, tmp_path):
     """build_pretrain_corpus materializes exactly the docs the funnel
     counts as kept, with valid pack positions (block_offset within a
@@ -111,6 +112,7 @@ def test_corpus_build_matches_funnel_counts(spark, sf_smoke, tmp_path):
         assert (r["first_block"], r["block_offset"]) == (0, 0), r
 
 
+@pytest.mark.slow
 def test_corpus_build_cli(spark, tmp_path, capsys):
     from msstreamingstack_spark.__main__ import main
 
@@ -145,6 +147,7 @@ def test_plan_cli(capsys):
     assert main(["plan", "no_such_query"]) == 2
 
 
+@pytest.mark.slow
 def test_v2_skew_robust_twin_bit_identical(spark, sf_smoke):
     """skew_robust replaces the digest window with a partial-agg +
     AQE-splittable join and the packing cumsum with the (source,
@@ -164,6 +167,7 @@ def test_v2_skew_robust_twin_bit_identical(spark, sf_smoke):
     )
 
 
+@pytest.mark.slow
 def test_v2_skew_robust_plan_drops_the_digest_window(spark, sf_smoke):
     """The twin plan must carry NO window partitioned by the digest
     (that window pins a viral page's whole duplicate group to one

@@ -166,6 +166,7 @@ def test_left_join_pushes_no_filter_to_preserved_side(spark):
     assert f.broadcast_joins >= 1
 
 
+@pytest.mark.slow
 def test_no_python_eval_in_relational_paths(spark):
     """Every relational/tpch/dedup query stays JVM-side end-to-end —
     Python appears only in explicitly-Python operators (multimodal

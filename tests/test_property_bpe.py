@@ -57,6 +57,7 @@ def _bpe_model(texts: list[str], rounds: int):
 
 @given(corpus_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_bpe_merges_match_python_model(spark, token_lists):
     from msstreamingstack_spark.operators.bpe import bpe_learn_merges
 
@@ -77,6 +78,7 @@ def test_bpe_merges_match_python_model(spark, token_lists):
 
 @given(corpus_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_bpe_segmentation_matches_python_model(spark, token_lists):
     from msstreamingstack_spark.operators.bpe import bpe_segment_corpus
 
@@ -140,6 +142,7 @@ def test_batched_trainer_self_pair_regression(spark, batch):
 
 @given(corpus_strategy, st.sampled_from([1, 2, 4, 16]))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_batched_trainer_bit_equals_sequential(spark, token_lists, batch):
     """The exact stop-and-truncate batching rule must reproduce the
     sequential merge SEQUENCE bit-for-bit on tie-heavy tiny corpora —

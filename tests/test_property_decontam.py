@@ -48,6 +48,7 @@ def _model(token_lists, eval_every, n=3):
 
 @given(corpus_strategy)
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_eval_overlap_matches_python_model(spark_session_holder, token_lists):
     from msstreamingstack_spark.operators.dedup import eval_overlap_stats
 
@@ -114,6 +115,7 @@ def _ngram_model(token_lists, eval_every, n):
 
 @given(corpus_strategy)
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_ngram_contamination_matches_python_model(
     spark_session_holder, token_lists
 ):
@@ -141,6 +143,7 @@ def test_ngram_contamination_matches_python_model(
 
 @given(corpus_strategy)
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_ngram_span_scrub_matches_python_model(
     spark_session_holder, token_lists
 ):

@@ -5,6 +5,8 @@ model row-for-row (no floats involved, so equality is exact)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -54,6 +56,7 @@ def _model(target, source):
 
 @given(target_strategy, source_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_merge_matches_python_model(spark, target, source):
     t = spark.createDataFrame(
         target or [(99, "zz", -1)], "id long, name string, bal long"

@@ -104,6 +104,7 @@ def _ffill_model(rows):
 
 @given(points_strategy)
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_gapfill_matches_python_model(spark_session_holder, rows):
     spark = spark_session_holder
     # dedupe (u, b) keeping the last generated value, mirroring max_by

@@ -137,6 +137,7 @@ def test_bucketed_midnight_boundary_cases(spark):
 
 @given(events_strategy, st.sampled_from([37, 100, 250, 86_400]))
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_bucketed_sessionize_matches_python_model(
     spark_session_holder, rows, bucket_sec
 ):

@@ -20,6 +20,12 @@ from msstreamingstack_spark.operators.windows import (
 )
 
 
+# Whole-module slow tier: exhaustive sweeps the default run skips
+# (oracle parity duplicates `python -m msstreamingstack_spark verify`,
+# which the external driver runs separately; opt in with --runslow).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     # hypothesis needs a non-function-scoped fixture

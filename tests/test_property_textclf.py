@@ -7,6 +7,8 @@ model on random tiny corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 from collections import Counter
@@ -73,6 +75,7 @@ def _fit(spark, corpus):
 
 @given(doc_strategy)
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_fit_matches_python_model_and_permutation_invariant(spark, corpus):
     got = _fit(spark, corpus)
     assert got == _py_model(corpus)

@@ -6,6 +6,8 @@ unchanged."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -63,6 +65,7 @@ def test_jsonl_corrupt_lines_routed_not_fatal(spark, tmp_path):
     assert len(bad) == 2 and "{not json at all" in bad
 
 
+@pytest.mark.slow
 def test_corpus_ingest_from_jsonl_drops(spark, tmp_path):
     """The full streaming ingest pipeline (gates → watermarked dedup →
     decontamination → accept/reject sinks) runs unchanged on raw JSONL

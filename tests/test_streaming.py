@@ -143,6 +143,7 @@ def test_stream_static_dim_join(spark, staged_stream_dir, tmp_path):
     assert len(sink.batches) >= 2  # genuinely micro-batched
 
 
+@pytest.mark.slow
 def test_generator_feeds_pipeline(spark, tmp_path):
     """Producer parity (S4/K5): generator drops → file stream →
     sessionized output; every generated event comes through once."""
@@ -172,6 +173,7 @@ def test_parquet_sink_idempotent_on_redelivery(spark, tmp_path):
     assert got.count() == 5
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, staged_stream_dir, tmp_path):
     """Stream-stream interval join (streaming/joins.py): the
     watermarked view⋈purchase join over micro-batched drops must emit
@@ -204,6 +206,7 @@ def test_stream_stream_interval_join(spark, staged_stream_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_rocksdb_state_store_backend(spark, staged_stream_dir, tmp_path):
     """The full stateful pipeline (applyInPandasWithState
     sessionization) runs on the RocksDB state store and produces the
@@ -240,6 +243,7 @@ def test_rocksdb_state_store_backend(spark, staged_stream_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_transactional_sink_exactly_once(spark, staged_stream_dir, tmp_path):
     """TransactionalParquetSink: redelivered batches are skipped via
     the commit log, a torn write is invisible to readers, and
@@ -378,6 +382,7 @@ def test_transform_with_state_user_table(spark, staged_stream_dir, tmp_path):
         assert got.n_events == r.n_events, r.user_id
 
 
+@pytest.mark.slow
 def test_observed_quality_metrics_in_progress(spark, staged_stream_dir, tmp_path):
     """observe() metrics ride the existing plan: every micro-batch's
     progress reports row count / bad-user count / event-time HWM
@@ -402,6 +407,7 @@ def test_observed_quality_metrics_in_progress(spark, staged_stream_dir, tmp_path
     assert max(m["max_ts_sec"] for m in observed) > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_preserves_session_state(spark, tmp_path):
     """Stop-and-restart continuity: a second run against the SAME
     checkpoint must (a) not reprocess already-committed input and

@@ -103,6 +103,7 @@ def test_quality_gate_reasons(spark):
     assert out == {1: None, 2: "too_repetitive", 3: "too_short"}
 
 
+@pytest.mark.slow
 def test_corpus_ingest_dedup_state_survives_restart(spark, tmp_path):
     """Stop after batch 0, restart on the same checkpoint with a new
     drop containing a duplicate of a batch-0 doc: the content-hash
@@ -140,6 +141,7 @@ def test_corpus_ingest_dedup_state_survives_restart(spark, tmp_path):
     assert accepted == {1, 3}, "restart must keep doc 2 deduped"
 
 
+@pytest.mark.slow
 def test_corpus_sink_idempotent_under_full_replay(spark, corpus_drops, tmp_path):
     """Disaster-recovery shape: the whole ingest re-runs from scratch
     (fresh checkpoint, lost state) against the SAME sink directories.
@@ -170,6 +172,7 @@ def test_corpus_sink_idempotent_under_full_replay(spark, corpus_drops, tmp_path)
     assert sorted(rejected) == [2, 3, 4], rejected
 
 
+@pytest.mark.slow
 def test_digest_store_catches_recrawl_after_checkpoint_reset(spark, tmp_path):
     """The watermark bounds in-stream dedup state by TIME; a re-crawl
     after a checkpoint reset would be re-accepted. With the persisted
@@ -221,6 +224,7 @@ def test_digest_store_catches_recrawl_after_checkpoint_reset(spark, tmp_path):
     assert rej2 == {10: "store_duplicate"}
 
 
+@pytest.mark.slow
 def test_corpus_ingest_observe_metrics(spark, corpus_drops, tmp_path):
     """Per-batch data-quality metrics surface in the streaming progress
     events without any extra scan: total rows, gate failures, chars."""
@@ -252,6 +256,7 @@ def test_corpus_ingest_observe_metrics(spark, corpus_drops, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_neardup_store_catches_edited_recrawl(spark, tmp_path):
     """A LIGHTLY-EDITED re-crawl defeats the exact digest store (new
     md5) but not the MinHash-signature store: with neardup_store_dir
@@ -311,6 +316,7 @@ def test_neardup_store_catches_edited_recrawl(spark, tmp_path):
     assert rej2 == {10: "near_duplicate"}
 
 
+@pytest.mark.slow
 def test_neardup_store_survives_all_rejected_batch(spark, tmp_path):
     """A micro-batch whose every doc fails the quality gates reaches
     the near-dup stage with an EMPTY accepted set — the signature
@@ -352,6 +358,7 @@ def test_neardup_store_survives_all_rejected_batch(spark, tmp_path):
     assert rej == {1: "too_short", 2: "too_repetitive"}
 
 
+@pytest.mark.slow
 def test_lm_store_gates_junk_after_corpus_established(spark, tmp_path):
     """Quality-LM ingest stage: the first drop (empty LM store) is
     accepted wholesale and defines the corpus; in the second run a
@@ -409,6 +416,7 @@ def test_lm_store_gates_junk_after_corpus_established(spark, tmp_path):
     assert rej2.get(11) == "low_quality_lm", (acc2, rej2)
 
 
+@pytest.mark.slow
 def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
     """Long-run soak of the THREE-store gauntlet (digest + near-dup
     signatures + bigram LM) over 50 micro-batches: the round-5 leak
@@ -530,6 +538,7 @@ def test_full_gauntlet_soak_50_batches_bounded_resources(spark, tmp_path):
     assert late[2] <= 4 * early[2], (early, late)  # p25 vs p25
 
 
+@pytest.mark.slow
 def test_in_stream_compaction_preserves_results(spark, tmp_path):
     """compact_every folds store partitions under the LIVE stream
     (current batch's label excluded): the accept/reject outcome must
@@ -609,6 +618,7 @@ def test_in_stream_compaction_preserves_results(spark, tmp_path):
         assert any(e.startswith("increment=__base_") for e in parts), parts
 
 
+@pytest.mark.slow
 def test_ft_gate_rejects_nontarget_and_matches_batch_scores(spark, tmp_path):
     """Pinned-classifier ingest stage: the gate's keep/reject split
     must EXACTLY match the batch operator's decision boundary
@@ -671,6 +681,7 @@ def test_ft_gate_rejects_nontarget_and_matches_batch_scores(spark, tmp_path):
     assert gate_rejects == {r["doc_id"] for r in docs} - expected_keep - stateless
 
 
+@pytest.mark.slow
 def test_ngram13_gate_catches_verbatim_quote(spark, tmp_path):
     """A 5-word verbatim quote inside an otherwise-novel doc slips the
     aggregate shingle-overlap gate (frac ~0.11 < 0.30) but must be
@@ -750,6 +761,7 @@ def test_ngram13_gate_off_passes_the_same_quote(spark, tmp_path):
     assert accepted == {2}
 
 
+@pytest.mark.slow
 def test_bpe_token_annotation_matches_pinned_segmenter(spark, tmp_path):
     """--bpe-tokens annotates accepted docs with the pinned subword
     count; the stream's per-batch values must equal the batch

@@ -84,6 +84,7 @@ def staged_doc_drops(tmp_path_factory):
     return str(out), order
 
 
+@pytest.mark.slow
 def test_stream_flags_match_sequential_twin(spark, staged_doc_drops, tmp_path):
     src_dir, order = staged_doc_drops
     out_dir = str(tmp_path / "verdicts")

@@ -5,6 +5,8 @@ drop rows later than the bound and still emit closed windows."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyarrow as pa
@@ -168,6 +170,7 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert len(sink.batches) >= 2
 
 
+@pytest.mark.slow
 def test_session_rollup_timeout_closes_idle_sessions(spark, tmp_path):
     """Sessions closed by a later event emit inline; the final session
     of an idle user emits via EventTimeTimeout once the watermark
