@@ -855,7 +855,17 @@ def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the (10,4) guarantee"
         )
-    st = simhash_table_wide(docs)
+    from msstreamingstack_spark.caching import rotating_persist
+
+    # Persist the fingerprint table (two longs per doc). Besides the
+    # usual reuse (both bucket sides), this is a CODEGEN barrier: fused
+    # with the band projection + 210-key explode, the 60-aggregate vote
+    # fold lands in one generated stage that cold sessions execute in a
+    # permanently slow mode (measured 6.4-6.7 s steady at sf0.1 from a
+    # cold session vs 1.7-2.0 s with the barrier; the 48-bit kernel's
+    # 48-agg stage does not trip this). The cache boundary splits the
+    # stages deterministically.
+    st = rotating_persist(simhash_table_wide(docs), "simhash_wide.st")
     return _banded_hamming_pairs(
         st, SIMHASH_BITS_WIDE, SIMHASH_WIDE_NB, SIMHASH_WIDE_T, max_hamming
     )
